@@ -1,0 +1,17 @@
+from sparkcheck.integrity.uniqueness import (
+    duplicate_key_counts,
+    duplicate_violation_rows,
+    uniqueness_summary,
+)
+from sparkcheck.integrity.referential import (
+    orphan_rows,
+    orphan_summary,
+)
+
+__all__ = [
+    "duplicate_key_counts",
+    "duplicate_violation_rows",
+    "uniqueness_summary",
+    "orphan_rows",
+    "orphan_summary",
+]

@@ -1,0 +1,18 @@
+from sparkcheck.profile.models import ColumnStatistics, TableProfile
+from sparkcheck.profile.profiler import (
+    PATTERNS,
+    histogram,
+    pattern_match_rates,
+    profile_table,
+    top_k,
+)
+
+__all__ = [
+    "ColumnStatistics",
+    "TableProfile",
+    "profile_table",
+    "histogram",
+    "top_k",
+    "pattern_match_rates",
+    "PATTERNS",
+]

@@ -1,0 +1,84 @@
+"""Profile result model.
+
+Driver-side analogs of the reference dataclasses
+(profiler/models.py:10-54 ColumnStatistics, :67-99 TableProfile) — these
+hold the OUTPUT of one distributed agg pass; they are small (one per
+column) and JSON-serializable so a profile can be persisted as the drift
+baseline (sparkcheck.drift)."""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+
+@dataclass
+class ColumnStatistics:
+    name: str
+    data_type: str
+    total_count: int = 0
+    null_count: int = 0
+    non_null_count: int = 0
+    distinct_count: int | None = None  # approx (HLL) at scale, exact in tests
+    min_value: Any = None
+    max_value: Any = None
+    mean: float | None = None
+    stddev: float | None = None  # SAMPLE stddev (pandas std default, ddof=1)
+    quartiles: list[float] | None = None  # [q25, q50, q75]
+    skewness: float | None = None
+    kurtosis: float | None = None
+    min_length: int | None = None
+    max_length: int | None = None
+    avg_length: float | None = None
+    top_values: list[dict[str, Any]] = field(default_factory=list)
+    histogram: list[dict[str, Any]] = field(default_factory=list)
+    patterns: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def null_percentage(self) -> float:
+        # Against the population total, not a sample (analyzer.py:77-86).
+        return 100.0 * self.null_count / self.total_count if self.total_count else 0.0
+
+    @property
+    def unique_percentage(self) -> float:
+        if not self.non_null_count or self.distinct_count is None:
+            return 0.0
+        return 100.0 * self.distinct_count / self.non_null_count
+
+
+@dataclass
+class TableProfile:
+    table: str
+    total_rows: int
+    columns: dict[str, ColumnStatistics]
+    profiled_at: float = field(default_factory=time.time)
+
+    def to_dict(self) -> dict[str, Any]:
+        d = asdict(self)
+        for name, cs in self.columns.items():
+            d["columns"][name]["null_percentage"] = cs.null_percentage
+            d["columns"][name]["unique_percentage"] = cs.unique_percentage
+        return d
+
+    def to_json(self, path: str | None = None) -> str:
+        s = json.dumps(self.to_dict(), default=str, indent=2)
+        if path:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "TableProfile":
+        cols = {}
+        for name, cd in d["columns"].items():
+            cd = {k: v for k, v in cd.items() if k not in ("null_percentage", "unique_percentage")}
+            cols[name] = ColumnStatistics(**cd)
+        return cls(table=d["table"], total_rows=d["total_rows"], columns=cols,
+                   profiled_at=d.get("profiled_at", 0.0))
+
+    @classmethod
+    def from_json(cls, path: str) -> "TableProfile":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

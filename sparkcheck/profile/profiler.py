@@ -1,0 +1,227 @@
+"""One-pass table profiler.
+
+The reference profiles a table with a pushed-down combined aggregate
+(db/base.py:346-448 builds ONE ``SELECT COUNT(*), COUNT(c), MIN(c), ...``
+for all columns) plus pandas-side sampled stats (profiler/analyzer.py).
+Spark-native shape: ONE ``df.agg(*exprs)`` computes EXACT stats for every
+column at once — no sampling split, no per-row Python:
+
+- counts / null counts           → F.count
+- distinct                       → approx_count_distinct (HLL — constant
+  memory per column, no shuffle growth) or exact count_distinct in tests
+- min/max/mean/stddev            → native aggs (stddev_samp: pandas std
+  is the SAMPLE stddev, ddof=1 — analyzer.py:108-120)
+- quartiles                      → percentile_approx (GK sketch)
+- skewness/kurtosis              → F.skewness / F.kurtosis
+- string length stats            → F.min/max/avg(F.length)
+- pattern match-rates            → F.avg(rlike(p).cast int), fused in
+
+Only top-k (a groupBy per column, tiny shuffle) and histograms (need
+min/max first ⇒ a second cheap pass) are separate jobs.
+
+Aggregation without grouping keys is a tree-reduce: shuffle volume is
+O(#columns) per partition, independent of table size ⇒ this holds
+unchanged at 10^12 rows / 1000 executors.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from sparkcheck.profile.models import ColumnStatistics, TableProfile
+
+# Pattern-detection regexes — semantics of profiler/analyzer.py:21-50
+# (match-rate ≥ 10% ⇒ pattern reported). Left-anchored like re.match.
+PATTERNS: dict[str, str] = {
+    "email": r"^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$",
+    "phone_us": r"^\+?1?[-.\s]?\(?[0-9]{3}\)?[-.\s]?[0-9]{3}[-.\s]?[0-9]{4}$",
+    "ssn": r"^[0-9]{3}-[0-9]{2}-[0-9]{4}$",
+    "credit_card": r"^[0-9]{4}[-\s]?[0-9]{4}[-\s]?[0-9]{4}[-\s]?[0-9]{4}$",
+    "url": r"^https?://[^\s/$.?#].[^\s]*$",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "ip_address": r"^([0-9]{1,3}\.){3}[0-9]{1,3}$",
+}
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+_TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def _kind(dt: T.DataType) -> str:
+    if isinstance(dt, _NUMERIC):
+        return "numeric"
+    if isinstance(dt, _TEMPORAL):
+        return "temporal"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    return "other"
+
+
+def profile_table(
+    df: DataFrame,
+    table_name: str = "table",
+    columns: Sequence[str] | None = None,
+    approx_distinct: bool = True,
+    histogram_bins: int = 10,
+    top_k_k: int = 10,
+    detect_patterns: bool = True,
+    with_histograms: bool = True,
+    with_top_k: bool = True,
+) -> TableProfile:
+    """Profile every (or selected) column in ONE fused aggregation pass,
+    plus one cheap pass per requested histogram / top-k."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(columns) if columns else list(fields)
+
+    exprs = [F.count(F.lit(1)).alias("__total")]
+    pattern_cols: list[str] = []
+    for c in cols:
+        kind = _kind(fields[c])
+        col = F.col(c)
+        exprs.append(F.count(col).alias(f"{c}__nn"))
+        dc = F.approx_count_distinct(col) if approx_distinct else F.count_distinct(col)
+        exprs.append(dc.alias(f"{c}__distinct"))
+        if kind in ("numeric", "temporal", "string", "boolean"):
+            exprs.append(F.min(col).alias(f"{c}__min"))
+            exprs.append(F.max(col).alias(f"{c}__max"))
+        if kind == "numeric":
+            exprs.append(F.avg(col).alias(f"{c}__mean"))
+            exprs.append(F.stddev_samp(col).alias(f"{c}__std"))
+            exprs.append(
+                F.percentile_approx(col, [0.25, 0.5, 0.75]).alias(f"{c}__quartiles")
+            )
+            exprs.append(F.skewness(col).alias(f"{c}__skew"))
+            exprs.append(F.kurtosis(col).alias(f"{c}__kurt"))
+        if kind == "string":
+            ln = F.length(col)
+            exprs.append(F.min(ln).alias(f"{c}__lmin"))
+            exprs.append(F.max(ln).alias(f"{c}__lmax"))
+            exprs.append(F.avg(ln).alias(f"{c}__lavg"))
+            if detect_patterns:
+                pattern_cols.append(c)
+                for pname, pat in PATTERNS.items():
+                    exprs.append(
+                        F.avg(col.rlike(pat).cast("int")).alias(f"{c}__pat__{pname}")
+                    )
+
+    row = df.agg(*exprs).collect()[0].asDict()
+    total = row["__total"]
+
+    out: dict[str, ColumnStatistics] = {}
+    for c in cols:
+        kind = _kind(fields[c])
+        nn = row[f"{c}__nn"]
+        cs = ColumnStatistics(
+            name=c,
+            data_type=fields[c].simpleString(),
+            total_count=total,
+            non_null_count=nn,
+            null_count=total - nn,
+            distinct_count=row.get(f"{c}__distinct"),
+            min_value=row.get(f"{c}__min"),
+            max_value=row.get(f"{c}__max"),
+            mean=row.get(f"{c}__mean"),
+            stddev=row.get(f"{c}__std"),
+            quartiles=list(row[f"{c}__quartiles"]) if row.get(f"{c}__quartiles") else None,
+            skewness=row.get(f"{c}__skew"),
+            kurtosis=row.get(f"{c}__kurt"),
+            min_length=row.get(f"{c}__lmin"),
+            max_length=row.get(f"{c}__lmax"),
+            avg_length=row.get(f"{c}__lavg"),
+        )
+        if c in pattern_cols:
+            for pname in PATTERNS:
+                rate = row.get(f"{c}__pat__{pname}")
+                # ≥10% match-rate ⇒ reported, with confidence = rate
+                # (analyzer.py:172-208).
+                if rate is not None and rate >= 0.10:
+                    cs.patterns.append({"pattern": pname, "confidence": float(rate)})
+        out[c] = cs
+
+    if with_histograms:
+        for c in cols:
+            if _kind(fields[c]) != "numeric":
+                continue
+            lo, hi = out[c].min_value, out[c].max_value
+            if lo is None or hi is None or float(hi) == float(lo):
+                continue
+            buckets = histogram(df, c, bins=histogram_bins,
+                                lo=float(lo), hi=float(hi)).collect()
+            out[c].histogram = [
+                {"bucket": r["bucket"], "count": r["bucket_count"]} for r in buckets
+            ]
+
+    if with_top_k:
+        for c in cols:
+            if _kind(fields[c]) not in ("string", "boolean"):
+                continue
+            rows = top_k(df, c, k=top_k_k).collect()
+            out[c].top_values = [
+                {"value": r["value"], "count": r["value_count"]} for r in rows
+            ]
+
+    return TableProfile(table=table_name, total_rows=total, columns=out)
+
+
+def histogram(
+    df: DataFrame, column: str, bins: int = 10,
+    lo: float | None = None, hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram, reference semantics (db/base.py:467-531):
+    bucket = floor((v − lo)/width), the max value clamped into the last
+    bin, NULLs dropped. When lo/hi are not given they are computed in an
+    extra tiny agg pass (a cross-join of one row — broadcast, free)."""
+    col = F.col(column).cast("double")
+    if lo is None or hi is None:
+        mm = df.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+        src = df.crossJoin(F.broadcast(mm))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        src = df
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(float(bins))
+    bucket = F.least(
+        F.floor((col - lo_c) / width), F.lit(bins - 1)
+    ).cast("int")
+    return (
+        src.where(col.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+        .orderBy("bucket")
+    )
+
+
+def top_k(df: DataFrame, column: str, k: int = 10, ascending: bool = False) -> DataFrame:
+    """Top-K (or bottom-K) frequent values — analyzer.py:148-160.
+    Deterministic tie-break on the value itself."""
+    counted = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("value_count"))
+    )
+    order = (
+        [F.asc("value_count"), F.asc("value")]
+        if ascending
+        else [F.desc("value_count"), F.asc("value")]
+    )
+    return counted.orderBy(*order).limit(k)
+
+
+def pattern_match_rates(df: DataFrame, column: str) -> DataFrame:
+    """Match-rate per detection pattern for one string column, as rows
+    (pattern, match_rate) — fused into a single agg pass."""
+    col = F.col(column)
+    exprs = [
+        F.avg(col.rlike(p).cast("int")).alias(name) for name, p in PATTERNS.items()
+    ]
+    agg = df.where(col.isNotNull()).agg(*exprs)
+    pairs = ", ".join(f"'{name}', {name}" for name in PATTERNS)
+    return agg.selectExpr(
+        f"stack({len(PATTERNS)}, {pairs}) as (pattern, match_rate)"
+    )

@@ -1,0 +1,118 @@
+"""Golden fixture #1 (FIXTURES.md §1) — the reference's canonical
+field-validation test (reference tests/test_field_validation.py:31-95):
+4 users with planted violations; exact per-rule pass/fail counts."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sparkcheck.compile import summary_df, violation_rows, plan_time_check
+from sparkcheck.rules import (
+    EnumRule,
+    LengthRule,
+    NullCheckRule,
+    RangeRule,
+    RegexRule,
+)
+from sparkcheck.rules.models import EMAIL_PATTERN
+
+
+def users_df(spark):
+    rows = [
+        (1, "test@example.com", 25, "Alice", "active"),
+        (2, "invalid-email", 30, "Bob", "inactive"),
+        (3, None, 150, "C", "ACTIVE"),
+        (4, "another@test.org", -5, "Very Long Name That Exceeds Normal Length", "pending"),
+    ]
+    return spark.createDataFrame(rows, "id int, email string, age int, name string, status string")
+
+
+RULES = [
+    RegexRule(name="email_format", column="email", pattern=EMAIL_PATTERN),
+    NullCheckRule(name="email_not_null", column="email"),
+    RangeRule(name="age_range", column="age", min_value=0, max_value=120),
+    LengthRule(name="name_length", column="name", min_length=2, max_length=20),
+    EnumRule(
+        name="status_enum", column="status",
+        allowed_values=("active", "inactive", "suspended", "deleted"),
+    ),
+]
+
+
+def test_summary_matches_reference_matrix(spark):
+    df = users_df(spark)
+    s = {r["rule_id"]: r.asDict() for r in summary_df(df, RULES).collect()}
+
+    # email regex: row 2 fails; row 3 NULL skipped ⇒ evaluated 3
+    assert s["email_format"]["evaluated"] == 3
+    assert s["email_format"]["violations"] == 1
+    # null check evaluates all 4 rows; row 3 fails
+    assert s["email_not_null"]["evaluated"] == 4
+    assert s["email_not_null"]["violations"] == 1
+    # age range [0,120]: rows 3 (150) and 4 (−5) fail
+    assert s["age_range"]["violations"] == 2
+    # name length [2,20]: row 3 ("C") and row 4 (42 chars) fail
+    assert s["name_length"]["violations"] == 2
+    # enum case-sensitive: row 3 "ACTIVE" and row 4 "pending" fail
+    assert s["status_enum"]["violations"] == 2
+    assert all(r["total_rows"] == 4 for r in s.values())
+
+
+def test_violation_rows_lineage(spark):
+    df = users_df(spark)
+    rows = violation_rows(df, RULES, key_cols=["id"]).collect()
+    by_id = {r["id"]: set(r["failed_rules"]) for r in rows}
+    assert 1 not in by_id  # row 1 is clean
+    assert by_id[2] == {"email_format"}
+    assert by_id[3] == {"email_not_null", "age_range", "name_length", "status_enum"}
+    assert by_id[4] == {"age_range", "name_length", "status_enum"}
+    assert all(r["partition_id"] is not None for r in rows)
+
+
+def test_case_insensitive_enum(spark):
+    df = users_df(spark)
+    rule = EnumRule(
+        name="status_ci", column="status", case_sensitive=False,
+        allowed_values=("active", "inactive", "suspended", "deleted"),
+    )
+    s = summary_df(df, [rule]).collect()[0]
+    assert s["violations"] == 1  # only 'pending' now fails
+
+
+def test_regex_is_left_anchored_not_full_match(spark):
+    # reference uses re.match: anchored at start, NOT at end
+    df = spark.createDataFrame([("abc123",), ("xabc",), (None,)], "v string")
+    rule = RegexRule(name="r", column="v", pattern="abc")
+    s = summary_df(df, [rule]).collect()[0]
+    assert s["evaluated"] == 2  # NULL skipped
+    assert s["violations"] == 1  # 'xabc' fails (no match at start); 'abc123' passes
+
+
+def test_range_non_numeric_is_violation(spark):
+    # validator.py:249-260 — a non-numeric value is a violation, not a skip
+    df = spark.createDataFrame([("5",), ("abc",), (None,)], "v string")
+    rule = RangeRule(name="r", column="v", min_value=0, max_value=10)
+    s = summary_df(df, [rule]).collect()[0]
+    assert s["evaluated"] == 2
+    assert s["violations"] == 1  # 'abc'
+
+
+def test_empty_table_summary_is_zero_not_null(spark):
+    df = spark.createDataFrame([], "v int")
+    s = summary_df(df, [NullCheckRule(name="nn", column="v")]).collect()[0]
+    assert s["evaluated"] == 0 and s["violations"] == 0 and s["total_rows"] == 0
+
+
+def test_rule_name_with_quote_is_escaped(spark):
+    df = spark.createDataFrame([(1,)], "v int")
+    s = summary_df(df, [NullCheckRule(name="bad'name", column="v")]).collect()[0]
+    assert s["rule_id"] == "bad'name"
+
+
+def test_missing_column_guard(spark):
+    df = users_df(spark)
+    rules = RULES + [NullCheckRule(name="ghost", column="no_such_col")]
+    ok, missing = plan_time_check(df, rules)
+    assert [r.name for r in missing] == ["ghost"]
+    assert len(ok) == len(RULES)
