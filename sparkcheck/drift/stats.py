@@ -1,0 +1,127 @@
+"""Distribution-drift statistics: PSI and KS over fixed bins.
+
+The reference has NO KS/PSI implementation (verified — no scipy.stats in
+sqltest/); its drift detection is Δ-threshold profile comparison
+(profiler/analyzer.py:370-443). The north star requires KS/PSI, so they
+are additive, built on the reference's own primitives: the equi-width
+histogram (db/base.py:467-531 semantics) and quantile sketches.
+
+Scale design: both statistics reduce a 10^12-row column to ONE pass that
+computes per-bin counts for the two slices simultaneously (a groupBy on
+(slice, bucket) — bounded output: 2 × bins rows), then O(bins) driver
+arithmetic. Never a sort, never a full-data collect. The same math is
+expressible as pure SQL (see __spark_entry__ oracles) so it is
+DuckDB-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Laplace-style floor for empty bins so PSI's log stays finite — the
+# standard practice; applied identically in the SQL oracle.
+EPS = 1e-6
+
+
+def histogram_fractions(
+    df: DataFrame,
+    column: str,
+    slice_col: Column,
+    bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Per-(slice, bucket) row fractions over FIXED [lo, hi) bins with the
+    reference's last-bin clamp. ``slice_col`` is any expression labeling
+    the two (or more) populations — e.g. baseline vs current, or a
+    year(ts) slice. One scan, one small shuffle (≤ slices × bins rows)."""
+    col = F.col(column).cast("double")
+    width = (hi - lo) / float(bins)
+    bucket = F.least(F.floor((col - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)).cast("int")
+    counts = (
+        df.where(col.isNotNull())
+        .select(slice_col.alias("slice"), bucket.alias("bucket"))
+        .groupBy("slice", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("slice").agg(F.sum("n").alias("total"))
+    return (
+        counts.join(totals, "slice")
+        .select("slice", "bucket", (F.col("n") / F.col("total")).alias("frac"))
+    )
+
+
+def psi_from_counts(expected: Sequence[float], actual: Sequence[float]) -> float:
+    """PSI = Σ (aᵢ − eᵢ)·ln(aᵢ/eᵢ) over aligned bin fractions.
+    Inputs are raw counts or fractions; normalized here. Empty bins are
+    floored at EPS. Rule of thumb: <0.1 stable, 0.1-0.25 moderate, >0.25
+    major shift."""
+    te, ta = sum(expected), sum(actual)
+    if te <= 0 or ta <= 0:
+        raise ValueError("empty distribution")
+    out = 0.0
+    for e, a in zip(expected, actual):
+        pe = max(e / te, EPS)
+        pa = max(a / ta, EPS)
+        out += (pa - pe) * math.log(pa / pe)
+    return out
+
+
+def ks_from_binned(expected: Sequence[float], actual: Sequence[float]) -> float:
+    """KS statistic from aligned bin counts: max |CDF_e − CDF_a|.
+    Binned approximation (exact KS needs the full sort — O(n log n)
+    shuffle at 10^12 rows; the binned version is the scale path and its
+    error is bounded by the bin width)."""
+    te, ta = sum(expected), sum(actual)
+    if te <= 0 or ta <= 0:
+        raise ValueError("empty distribution")
+    ce = ca = 0.0
+    best = 0.0
+    for e, a in zip(expected, actual):
+        ce += e / te
+        ca += a / ta
+        best = max(best, abs(ce - ca))
+    return best
+
+
+def _aligned_counts(
+    df: DataFrame, column: str, slice_col: Column, bins: int, lo: float, hi: float
+) -> tuple[list[float], list[float]]:
+    """Collect per-bin counts for exactly two slice labels (sorted order)."""
+    col = F.col(column).cast("double")
+    width = (hi - lo) / float(bins)
+    bucket = F.least(F.floor((col - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)).cast("int")
+    rows = (
+        df.where(col.isNotNull())
+        .select(slice_col.alias("slice"), bucket.alias("bucket"))
+        .groupBy("slice", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    labels = sorted({r["slice"] for r in rows})
+    if len(labels) != 2:
+        raise ValueError(f"expected exactly 2 slices, got {labels}")
+    out = {lab: [0.0] * bins for lab in labels}
+    for r in rows:
+        if 0 <= r["bucket"] < bins:
+            out[r["slice"]][r["bucket"]] = float(r["n"])
+    return out[labels[0]], out[labels[1]]
+
+
+def psi(
+    df: DataFrame, column: str, slice_col: Column, bins: int, lo: float, hi: float
+) -> float:
+    """PSI between the two populations labeled by slice_col, one pass."""
+    e, a = _aligned_counts(df, column, slice_col, bins, lo, hi)
+    return psi_from_counts(e, a)
+
+
+def ks_statistic(
+    df: DataFrame, column: str, slice_col: Column, bins: int, lo: float, hi: float
+) -> float:
+    """Binned KS statistic between the two populations, one pass."""
+    e, a = _aligned_counts(df, column, slice_col, bins, lo, hi)
+    return ks_from_binned(e, a)

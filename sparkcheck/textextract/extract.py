@@ -1,0 +1,81 @@
+"""Deterministic html → text extraction with a byte-identity contract.
+
+The north rule (BASELINE.json input_hint) requires "byte-identical
+extracted text per url". The reference framework has no extractor — this
+is the one genuinely-new operator — so determinism is engineered, not
+inherited: the extractor is a PURE function of the html bytes, uses only
+the stdlib `re` module (versioned behavior; no external parser whose
+upgrades would shift bytes), and is pinned by EXTRACTOR_VERSION plus
+golden binary fixtures in tests.
+
+Execution model: an Arrow-vectorized pandas UDF over the binary column.
+Regex-over-bytes has no columnar kernel, so work inside the batch is
+per-element Python — but it crosses the JVM↔Python boundary once per
+Arrow batch (10k rows), not once per row, which is the sanctioned slow
+path. At 10^12 docs this stage is embarrassingly parallel (no shuffle).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+EXTRACTOR_VERSION = "1"
+
+_BODY_RE = re.compile(r"<body[^>]*>(.*?)</body>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text_py(html_bytes: bytes | None) -> str | None:
+    """Pure extraction: body content, tags stripped, whitespace collapsed.
+
+    Contract: for well-formed generator html, extract_text_py(html) is
+    byte-identical to the stored ``text`` column. Malformed html (e.g.
+    truncated) yields best-effort text — those rows are exactly the
+    extraction-mismatch violations.
+    """
+    if html_bytes is None:
+        return None
+    s = html_bytes.decode("utf-8", errors="replace")
+    m = _BODY_RE.search(s)
+    content = m.group(1) if m else _drop_head(s)
+    content = _TAG_RE.sub(" ", content)
+    return _WS_RE.sub(" ", content).strip()
+
+
+def _drop_head(s: str) -> str:
+    """No closed <body>: drop everything through <body...> if present,
+    and any <head>…</head> block, then continue best-effort."""
+    s = re.sub(r"<head[^>]*>.*?</head>", " ", s, flags=re.S | re.I)
+    s = re.sub(r".*?<body[^>]*>", " ", s, flags=re.S | re.I)
+    return s
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.apply(extract_text_py)
+
+
+def extraction_mismatch_rows(
+    df: DataFrame, html_col: str = "html", text_col: str = "text",
+    key_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Rows where re-extraction does NOT reproduce the stored text
+    byte-for-byte (NULL-safe). Compares md5 of the UTF-8 bytes so the
+    shuffle-free verdict needs no driver-side strings."""
+    extracted = extract_text_udf(F.col(html_col))
+    mismatch = ~F.md5(F.encode(F.coalesce(extracted, F.lit("\0NULL")), "UTF-8")).eqNullSafe(
+        F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("\0NULL")), "UTF-8"))
+    )
+    return (
+        df.select(
+            *key_cols,
+            F.spark_partition_id().alias("partition_id"),
+            extracted.alias("extracted_text"),
+            F.col(text_col),
+        )
+        .where(mismatch)
+    )

@@ -1,0 +1,75 @@
+"""Drift: PSI/KS statistics and baseline-profile comparison."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck.drift import (
+    compare_profiles,
+    ks_from_binned,
+    ks_statistic,
+    psi,
+    psi_from_counts,
+)
+from sparkcheck.profile import profile_table
+
+
+def test_psi_identical_distributions_is_zero():
+    assert psi_from_counts([10, 20, 30], [100, 200, 300]) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_psi_known_value():
+    # hand-computed: e=[.5,.5], a=[.9,.1] → (.9-.5)ln(.9/.5)+(.1-.5)ln(.1/.5)
+    expected = 0.4 * math.log(0.9 / 0.5) + (-0.4) * math.log(0.1 / 0.5)
+    assert psi_from_counts([5, 5], [9, 1]) == pytest.approx(expected, rel=1e-12)
+
+
+def test_ks_known_value():
+    # CDFs: e = [.5, 1.0], a = [.9, 1.0] → max gap .4
+    assert ks_from_binned([5, 5], [9, 1]) == pytest.approx(0.4, rel=1e-12)
+
+
+def test_spark_psi_ks_detect_planted_shift(spark):
+    # slice 0: uniform 0..99; slice 1: uniform 50..149 (clear shift)
+    rows = [(0, float(i % 100)) for i in range(2000)] + [
+        (1, float(50 + i % 100)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "s int, v double")
+    p = psi(df, "v", F.col("s"), bins=10, lo=0.0, hi=150.0)
+    k = ks_statistic(df, "v", F.col("s"), bins=10, lo=0.0, hi=150.0)
+    assert p > 0.25  # major shift
+    assert 0.3 < k <= 0.5
+
+    # same distribution in both slices → no drift
+    same = spark.createDataFrame(
+        [(i % 2, float(i % 100)) for i in range(4000)], "s int, v double"
+    )
+    assert psi(same, "v", F.col("s"), bins=10, lo=0.0, hi=100.0) < 0.01
+    assert ks_statistic(same, "v", F.col("s"), bins=10, lo=0.0, hi=100.0) < 0.02
+
+
+def test_compare_profiles_flags_null_drift(spark):
+    base = spark.createDataFrame([(i, "x") for i in range(100)], "id int, c string")
+    # 20% nulls now (Δ null% = 20 > 5 threshold)
+    cur = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else "x") for i in range(100)], "id int, c string"
+    )
+    pb = profile_table(base, "t", approx_distinct=False, with_histograms=False, with_top_k=False)
+    pc = profile_table(cur, "t", approx_distinct=False, with_histograms=False, with_top_k=False)
+    d = compare_profiles(pb, pc)
+    assert "c" in d.drifted_columns
+    assert d.column_changes["c"]["null_pct_delta"] == pytest.approx(20.0)
+    assert d.has_drift and d.stability_score < 1.0
+
+
+def test_compare_profiles_schema_changes(spark):
+    base = spark.createDataFrame([(1, "x")], "id int, old_col string")
+    cur = spark.createDataFrame([(1, 2.0)], "id int, new_col double")
+    pb = profile_table(base, "t", approx_distinct=False, with_histograms=False, with_top_k=False)
+    pc = profile_table(cur, "t", approx_distinct=False, with_histograms=False, with_top_k=False)
+    d = compare_profiles(pb, pc)
+    assert d.added_columns == ["new_col"]
+    assert d.removed_columns == ["old_col"]

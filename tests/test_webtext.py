@@ -1,0 +1,100 @@
+"""Webtext generator: determinism, planted-violation counts, skew shape,
+and the html→text byte-identity contract (FIXTURES.md §7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkcheck.compile import summary_df
+from sparkcheck.drift import psi
+from sparkcheck.integrity import duplicate_key_counts, uniqueness_summary
+from sparkcheck.textextract import extract_text_py, extraction_mismatch_rows
+from sparkcheck.webtext import PLANTED, webtext_table, webtext_rules
+
+N = 5000
+EXPECTED_PER_CLASS = N // 1000  # each planted class hits once per 1000 ids
+
+
+def test_deterministic_across_partitionings(spark):
+    a = webtext_table(spark, 1000, num_partitions=2)
+    b = webtext_table(spark, 1000, num_partitions=7)
+    ha = a.agg(F.md5(F.concat_ws("|", F.collect_list(F.md5(F.coalesce(F.col("url"), F.lit("-")))))))
+    # order-insensitive content hash: xor-free — compare sorted collected urls
+    ua = sorted(r["url"] or "" for r in a.select("url").collect())
+    ub = sorted(r["url"] or "" for r in b.select("url").collect())
+    assert ua == ub
+    ta = sorted(r["text"] or "" for r in a.select("text").collect())
+    tb = sorted(r["text"] or "" for r in b.select("text").collect())
+    assert ta == tb
+
+
+def test_planted_violation_counts(spark):
+    df = webtext_table(spark, N).withColumn(
+        "warc_ts_epoch", F.unix_timestamp("warc_ts")
+    )
+    s = {r["rule_id"]: r.asDict() for r in summary_df(df, webtext_rules()).collect()}
+    assert s["url_not_null"]["violations"] == EXPECTED_PER_CLASS
+    assert s["text_not_null"]["violations"] == EXPECTED_PER_CLASS
+    assert s["lang_not_null"]["violations"] == EXPECTED_PER_CLASS
+    assert s["lang_enum"]["violations"] == EXPECTED_PER_CLASS  # 'xx'; NULLs skipped
+    assert s["url_scheme"]["violations"] == EXPECTED_PER_CLASS  # not-a-url-*
+    assert s["warc_ts_window"]["violations"] == EXPECTED_PER_CLASS  # future ts
+
+
+def test_planted_duplicates(spark):
+    df = webtext_table(spark, N)
+    s = uniqueness_summary(df, ["url"], approx=False).collect()[0]
+    # each id%1000==7 row copies url(id−1) ⇒ 5 duplicated urls, excess 5
+    assert s["duplicate_excess"] == EXPECTED_PER_CLASS
+    dups = duplicate_key_counts(df, ["url"]).collect()
+    assert len(dups) == EXPECTED_PER_CLASS
+    assert all(r["dup_count"] == 2 for r in dups)
+
+
+def test_host_skew_is_zipfian(spark):
+    df = webtext_table(spark, N)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    top = (
+        df.where(F.col("url").startswith("https://"))
+        .groupBy(host.alias("host")).count()
+        .orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    assert top["host"] == "bighost.com"
+    assert top["count"] > 0.35 * N  # hot host ≈45%
+
+
+def test_extraction_byte_identity(spark):
+    df = webtext_table(spark, N)
+    bad = extraction_mismatch_rows(df, key_cols=("doc_id",))
+    rows = bad.collect()
+    # Only truncated-html rows (id%1000==41) AND null-text rows where the
+    # html embeds "" while text IS NULL mismatch.
+    ids = sorted(r["doc_id"] for r in rows)
+    expected = sorted(
+        [i for i in range(N) if i % 1000 == PLANTED["bad_html"]]
+        + [i for i in range(N) if i % 1000 == PLANTED["null_text"]]
+    )
+    assert ids == expected
+
+
+def test_extractor_pure_function_golden():
+    html = "<html><head><title>T</title></head><body><p>hello   world</p></body></html>".encode()
+    assert extract_text_py(html) == "hello world"
+    assert extract_text_py(None) is None
+    # truncated html (no closed head/body): best-effort tag strip keeps
+    # the title text — deterministic, and always an extraction mismatch
+    assert extract_text_py(b"<html><head><title>Page 1</title>") == "Page 1"
+    # no body tags at all
+    assert extract_text_py(b"plain <b>bold</b> text") == "plain bold text"
+
+
+def test_drifted_slice_has_psi_signal(spark):
+    df = webtext_table(spark, N).withColumn("n_chars", F.length("text"))
+    # id%10==9 rows have +60 words ⇒ shifted n_chars distribution
+    p = psi(
+        df.where(F.col("n_chars").isNotNull()),
+        "n_chars",
+        (F.col("doc_id") % 10 == 9).cast("int"),
+        bins=20, lo=0.0, hi=800.0,
+    )
+    assert p > 0.25
