@@ -1,0 +1,22 @@
+from sparkcheck.dedup.exact import drop_exact_duplicates, exact_duplicate_groups
+from sparkcheck.dedup.jaccard import jaccard_pairs, shingles
+from sparkcheck.dedup.minhash import (
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+)
+from sparkcheck.dedup.simhash import simhash, simhash_near_duplicates
+from sparkcheck.dedup.embedding import embedding_near_duplicates
+
+__all__ = [
+    "drop_exact_duplicates",
+    "exact_duplicate_groups",
+    "shingles",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_near_duplicates",
+    "simhash",
+    "simhash_near_duplicates",
+    "embedding_near_duplicates",
+]

@@ -1,0 +1,93 @@
+"""Word-shingle generation + exact n-gram Jaccard similarity on pairs.
+
+Shingling is a pure higher-order-function projection (no Python):
+
+    tokens   = split(text, ' ')
+    shingles = transform(sequence(1, n-k+1), i -> array_join(slice(tokens, i, k), ' '))
+
+Jaccard between two docs' shingle SETS is computed distributively:
+explode distinct shingles, self-join on shingle → per-pair intersection
+count; per-doc set sizes from one aggregation; |A∪B| = |A|+|B|−|A∩B|.
+
+Scale: the shingle self-join is the classic hot spot — a shingle shared
+by h docs produces h² pair rows. ``max_shingle_freq`` drops
+super-common shingles (stopword phrases) before the join, the standard
+guard in web-scale dedup (identical semantics applied in the oracle).
+Pair generation is normally fed by LSH candidates (minhash.py), not the
+full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def shingle_expr(text_col: Column, k: int) -> Column:
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct rows — k-word shingles; docs shorter than
+    k words contribute their whole text as one shingle."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(shingle_expr(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    One explode + one self-join on shingle + one pair aggregation.
+    Quadratic in docs-per-shingle — use ``max_shingle_freq`` or the
+    MinHash/LSH pipeline for corpus-scale inputs.
+    """
+    sh = shingles(df, text_col, id_col, k).persist()
+    if max_shingle_freq is not None:
+        common = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .where(F.col("f") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(common), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out

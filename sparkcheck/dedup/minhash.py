@@ -1,0 +1,118 @@
+"""MinHash + LSH near-duplicate detection — the scale path for fuzzy
+dedup of a 10^12-doc corpus.
+
+Standard construction (Broder '97; Leskovec MMDS ch.3), engine-portable:
+the i-th hash of a shingle is ``md5(i || '|' || shingle)`` compared as a
+HEX STRING — md5 hex is identical in every engine and lexicographic min
+over hex strings is a valid uniform min-hash, so the DuckDB oracle
+reproduces signatures byte-for-byte. All of it is codegen'd Column work
+(concat/md5/min) — zero Python.
+
+Pipeline and its shuffle budget:
+  1. explode distinct (doc, shingle)        — map-only
+  2. groupBy(doc).agg(min(h_i) × H)         — 1 shuffle on doc id (uniform)
+  3. bands: concat r signature slots        — map-only
+  4. groupBy(band value) → candidate pairs  — 1 shuffle on band hash
+  5. exact-Jaccard verify of candidates     — joins on id (uniform)
+
+Hot bands (boilerplate-heavy corpora) make step 4 skew: a band bucket of
+h docs yields h² pairs, so buckets larger than ``max_bucket`` are dropped
+(they're near-identical boilerplate clusters; standard practice) and AQE
+skew-join covers the rest.
+
+With H hashes in b bands of r rows, P(candidate) = 1 − (1 − s^r)^b — an
+S-curve around threshold ≈ (1/b)^(1/r).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkcheck.dedup.jaccard import jaccard_pairs, shingles
+
+
+def _hash_col(i: int):
+    return F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(id, mh_0..mh_{H-1}) — per-doc MinHash signature, one agg pass
+    over the exploded shingles."""
+    sh = shingles(df, text_col, id_col, k)
+    aggs = [F.min(_hash_col(i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Bands are materialized by ONE explode (band_idx, band_key) rather
+    than b separate self-joins; the self-join happens once on
+    (band_idx, band_key)."""
+    assert num_hashes % rows_per_band == 0
+    bands = num_hashes // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "", *[F.col(f"mh_{j * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = signatures.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .where(F.col("f") > max_bucket)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Full pipeline: LSH candidates → exact shingle-Jaccard verify →
+    pairs (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes, rows_per_band, max_bucket)
+    # Verify ONLY candidate pairs: semi-join the shingle table down to
+    # candidate ids first, then exact Jaccard on that (tiny) subset.
+    ids = cands.select(F.col("id_a").alias("id")).union(
+        cands.select(F.col("id_b").alias("id"))
+    ).distinct()
+    sub = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+    verified = jaccard_pairs(sub, text_col, id_col, k, threshold)
+    return verified.join(cands, ["id_a", "id_b"], "left_semi")

@@ -1,0 +1,15 @@
+from sparkcheck.multimodal.binary import (
+    MEDIA_META_SCHEMA,
+    decode_image_features,
+    fake_media_table,
+    media_metadata,
+    sample_frames,
+)
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "decode_image_features",
+    "fake_media_table",
+    "media_metadata",
+    "sample_frames",
+]

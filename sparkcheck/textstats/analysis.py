@@ -1,0 +1,204 @@
+"""Text-analysis operators for training-data pipelines.
+
+Not present in the reference (it validates tabular SQL data); these are
+the web-corpus analogs of its per-column statistics (profiler/analyzer.py
+string stats + pattern detection), applied to a document `text` column:
+
+- token counting   — whitespace split + a BPE-ish sub-token regex count
+- quality scoring  — length / punctuation / stopword-ratio heuristics
+- language ID      — marker-stopword n-gram heuristic
+- fingerprinting   — md5 content fingerprint + rolling-hash (winnowing)
+
+Every function is a pure Column pipeline (whole-stage codegen, no Python)
+except ``rolling_fingerprints`` (winnowing needs a per-doc loop → Arrow
+pandas UDF). All md5-based hashing is hex-string based so the DuckDB
+oracle computes byte-identical values.
+
+Scale: each op is a map-only projection over the documents table — no
+shuffle at all; at 10^12 docs it parallelizes linearly with partitions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# Marker stopwords per language for the n-gram language-ID heuristic.
+# Deliberately tiny + deterministic; order of dict = tie-break priority.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "los", "que"),
+    "fr": ("le", "la", "les", "des", "une"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+# BPE-ish sub-token splitter: runs of letters, runs of digits, or a
+# single non-space symbol — a cheap proxy for byte-pair tokenizers.
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(col: Column) -> Column:
+    """Whitespace tokens; identical to DuckDB string_split(text, ' ')."""
+    return F.split(col, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts: whitespace tokens, BPE-ish sub-tokens,
+    distinct whitespace tokens, mean token length (rounded)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH), F.lit(0))).alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.length(t).cast("double") / F.size(toks), 4).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0,1] from length, punctuation
+    density, stopword ratio, and lexical diversity — the standard cheap
+    pre-filters of web-corpus pipelines (C4/Gopher-style rules), each a
+    codegen'd expression:
+
+        len_score   = least(n_chars/500, 1)
+        punct_ratio = punct_chars / n_chars
+        stop_ratio  = english stopword tokens / tokens
+        diversity   = distinct tokens / tokens
+        score       = 0.25*len + 0.25*(1-min(punct*5,1)) + 0.25*min(stop*5,1) + 0.25*diversity
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t).cast("double")
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).cast("double")
+    stops = F.size(
+        F.filter(toks, lambda x: x.isin(*[F.lit(s) for s in STOPWORDS["en"]]))
+    ).cast("double")
+    distinct = F.size(F.array_distinct(toks)).cast("double")
+
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_ratio = punct / n_chars
+    stop_ratio = stops / n_tok
+    diversity = distinct / n_tok
+    score = (
+        F.lit(0.25) * len_score
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+        + F.lit(0.25) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.25) * diversity
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(len_score, 4).alias("len_score"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(diversity, 4).alias("diversity"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-stopword language ID: per language, count tokens that are
+    in its marker set; predict the argmax (ties broken by language code
+    order, 'und' when no marker hits). One map-only pass."""
+    toks = _tokens(F.col(text_col))
+    hits = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.lit("und")
+    best_n = F.lit(0)
+    # Iterate reversed so earlier languages win ties (>= replaces).
+    for lang in reversed(list(hits)):
+        cond = hits[lang] >= best_n
+        better = hits[lang] > best_n
+        best = F.when(better | (cond & (best == F.lit("und"))), F.lit(lang)).otherwise(best)
+        best_n = F.greatest(best_n, hits[lang])
+    sel = [F.col(id_col)]
+    sel += [hits[lang].alias(f"hits_{lang}") for lang in hits]
+    sel += [F.when(best_n > 0, best).otherwise(F.lit("und")).alias("pred_lang")]
+    return df.select(*sel)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: md5 of raw text and md5 of the normalized
+    (lowercased, whitespace-collapsed, trimmed) text — the exact-dedup
+    keys. Hex strings ⇒ identical in any engine."""
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(t).alias("fp_raw"),
+        F.md5(norm).alias("fp_norm"),
+    )
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every k-char gram (polynomial rolling hash), keep the minimum
+    in each sliding window of ``window`` hashes → a sparse, position-
+    robust fingerprint set per doc.
+
+    The rolling recurrence is inherently sequential per document, so this
+    is the one text op that uses Python — an Arrow-batched pandas UDF
+    (per-batch vectorized numpy, never per-row Spark Python). Output:
+    (id, fingerprint) exploded rows.
+    """
+    import numpy as np
+
+    B, M = 257, (1 << 61) - 1
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            if s is None or len(s) < k:
+                out.append([])
+                continue
+            b = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+            if len(b) < k:
+                out.append([])
+                continue
+            # rolling hash over byte k-grams, vectorized with object-free
+            # modular arithmetic via Python ints per step on the hash
+            # chain but numpy for the gram matrix when short enough
+            n = len(b) - k + 1
+            h = np.zeros(n, dtype=np.uint64)
+            cur = 0
+            bk = pow(B, k - 1, M)
+            for i in range(k):
+                cur = (cur * B + int(b[i])) % M
+            h[0] = cur
+            for i in range(1, n):
+                cur = ((cur - int(b[i - 1]) * bk) * B + int(b[i + k - 1])) % M
+                h[i] = cur
+            if n <= window:
+                out.append([int(h.min())])
+                continue
+            # winnow: min of each window, dedup consecutive picks
+            picks = set()
+            from collections import deque
+
+            dq: deque[int] = deque()
+            for i in range(n):
+                while dq and h[dq[-1]] >= h[i]:
+                    dq.pop()
+                dq.append(i)
+                if dq[0] <= i - window:
+                    dq.popleft()
+                if i >= window - 1:
+                    picks.add(int(h[dq[0]]))
+            out.append(sorted(picks))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col), F.explode(_winnow(F.col(text_col))).alias("fingerprint")
+    )

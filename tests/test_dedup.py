@@ -1,0 +1,122 @@
+"""Golden tests for the dedup family: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine — planted duplicates at known
+positions ⇒ exact expected pair sets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck.dedup import (
+    drop_exact_duplicates,
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash,
+    simhash_near_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),     # exact dup of 0
+        (2, near),
+        (3, near.replace("lazy", "sleepy")),                       # near dup of 2
+        (4, "completely unrelated text about spark shuffles and joins"),
+        (5, None),                                                 # null exempt
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicate_groups(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert (g["n_copies"], g["first_id"], g["last_id"]) == (2, 0, 1)
+
+
+def test_drop_exact_duplicates(docs):
+    kept = sorted(r["doc_id"] for r in drop_exact_duplicates(docs).collect())
+    assert kept == [0, 2, 3, 4]  # keeps min id 0, drops 1 and the null row
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             jaccard_pairs(docs, k=3, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (2, 3) in pairs and 0.3 <= pairs[(2, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    sigs = minhash_signatures(docs, num_hashes=8)
+    assert [c for c in sigs.columns if c.startswith("mh_")] == [f"mh_{i}" for i in range(8)]
+    a = {r["id"]: tuple(r[f"mh_{i}"] for i in range(8)) for r in sigs.collect()}
+    b = {r["id"]: tuple(r[f"mh_{i}"] for i in range(8)) for r in sigs.collect()}
+    assert a == b
+    assert a[0] == a[1]  # identical docs → identical signatures
+
+
+def test_minhash_lsh_pipeline(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             minhash_near_duplicates(docs, num_hashes=8, rows_per_band=2,
+                                     threshold=0.3).collect()}
+    assert (0, 1) in pairs  # identical docs always share every band
+    for (a, b) in pairs:
+        assert (a, b) != (0, 4) and (a, b) != (2, 4)
+
+
+def test_lsh_max_bucket_drops_hot_buckets(spark):
+    same = [(i, "x y z w v u t s") for i in range(10)]
+    df = spark.createDataFrame(same, ["doc_id", "text"])
+    sigs = minhash_signatures(df, num_hashes=4)
+    all_pairs = lsh_candidate_pairs(sigs, num_hashes=4, rows_per_band=2).count()
+    capped = lsh_candidate_pairs(sigs, num_hashes=4, rows_per_band=2, max_bucket=5).count()
+    assert all_pairs == 45 and capped == 0
+
+
+def test_simhash_near_duplicates_banded_matches_exact(docs):
+    exact = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_duplicates(docs, bits=16, max_hamming=3, banded=False).collect()}
+    band = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+            simhash_near_duplicates(docs, bits=16, max_hamming=3, banded=True).collect()}
+    assert band == exact  # pigeonhole banding loses nothing
+    assert exact[(0, 1)] == 0
+
+
+def test_simhash_bits_are_binary(docs):
+    rows = simhash(docs, bits=8).collect()
+    for r in rows:
+        for i in range(8):
+            assert r[f"bit_{i}"] in (0, 1)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_near_duplicates_exact(vecs):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             embedding_near_duplicates(vecs, threshold=0.95).collect()}
+    assert list(pairs) == [(0, 1)]
+    assert pairs[(0, 1)] > 0.99
+
+
+def test_embedding_near_duplicates_bucketed_finds_same_sign_pairs(vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_duplicates(vecs, threshold=0.95, bucketed=True,
+                                       n_bucket_dims=2).collect()}
+    assert pairs == {(0, 1)}

@@ -1,0 +1,82 @@
+"""Golden tests for text-analysis operators (pattern 2 of SURVEY §5:
+deterministic rows with planted cases ⇒ exact expected outputs)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from sparkcheck.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    rolling_fingerprints,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "el perro de la casa que ladra"),
+        (2, "xyzzy plugh"),
+        (3, "a a a a"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_stats(docs):
+    out = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 6
+    assert out[0]["n_distinct_tokens"] == 5  # 'the' twice
+    assert out[3]["n_distinct_tokens"] == 1
+    assert out[0]["n_subtokens"] == 6  # pure letter runs
+
+
+def test_quality_score_bounds_and_stopwords(docs):
+    out = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    for r in out.values():
+        assert 0.0 <= r["quality"] <= 1.0
+    assert out[0]["stop_ratio"] > 0  # 'the' x2, 'on'? no — the,the => 2/6
+    assert out[2]["stop_ratio"] == 0.0
+    assert out[3]["diversity"] == 0.25
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"  # no markers at all
+    assert out[3] == "en"   # 'a' is an en marker
+
+
+def test_fingerprint_matches_hashlib(docs):
+    out = {r["doc_id"]: r for r in fingerprint(docs).collect()}
+    assert out[0]["fp_raw"] == hashlib.md5(b"the cat sat on the mat").hexdigest()
+    # normalization: case + whitespace collapse
+    assert out[0]["fp_norm"] == out[0]["fp_raw"]  # already normalized
+
+
+def test_rolling_fingerprints_deterministic_and_shift_robust(spark):
+    base = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(0, base), (1, "PREFIX " + base), (2, "totally different content here")],
+        ["doc_id", "text"],
+    )
+    rows = rolling_fingerprints(df, k=5, window=3).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # winnowing is position-robust: shifted doc shares most fingerprints
+    inter01 = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    inter02 = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
+    assert inter01 > 0.5
+    assert inter02 < 0.2
+    # deterministic across invocations
+    again = rolling_fingerprints(df, k=5, window=3).collect()
+    fps2 = {}
+    for r in again:
+        fps2.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps == fps2
