@@ -1,38 +1,769 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, operator queries, and DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every `queries()` entry is an operator from SURVEY.md §2 (validation
+catalog) or the training-data-pipeline family (dedup / similarity /
+text analysis), implemented Spark-first in `sparkcheck/` and mirrored by
+ANSI SQL in `oracle_sql()` for the DuckDB cross-check at sf0.01.
+
+Cross-engine determinism rules used throughout:
+- all hashing is md5 HEX STRINGS (identical bytes in both engines);
+- float aggregates are ROUND()ed identically on both sides;
+- counts are BIGINT on both sides (DuckDB sum(int) is HUGEINT ⇒ CAST);
+- ties in any top-k/rank are broken by an id column.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from sparkcheck.compile import summary_df
+from sparkcheck.dedup import (
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_duplicates,
+)
+from sparkcheck.integrity import orphan_summary, uniqueness_summary
+from sparkcheck.rules.models import (
+    CompletenessRule,
+    EnumRule,
+    LengthRule,
+    NullCheckRule,
+    RangeRule,
+    RegexRule,
+)
+from sparkcheck.similarity import cosine_topk_bruteforce, cosine_topk_bucketed
+from sparkcheck.textstats import STOPWORDS, fingerprint, lang_id, quality_score, token_stats
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+LANGS = ("en", "es", "fr", "de", "zh")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_suite():
+    """Webtext-style rule suite over the documents table — the flagship
+    fused single-pass validation (SURVEY §2.2 catalog)."""
+    return [
+        NullCheckRule(name="nn_text", column="text"),
+        RegexRule(name="re_source", column="source", pattern="src"),
+        RangeRule(name="rg_nchars", column="n_chars", min_value=0, max_value=1000),
+        EnumRule(name="enum_lang", column="lang", allowed_values=LANGS),
+        LengthRule(name="len_text", column="text", min_length=10, max_length=2000),
+        CompletenessRule(name="comp_doc", required_columns=("text", "lang")),
+    ]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full fused rule-suite summary over sf0.001 documents
+    — ONE scan, every rule a codegen'd predicate, per-rule verdict rows."""
+    docs = _t(spark, SF_SMOKE, "documents")
+    return summary_df(docs, _doc_suite())
+
+
+# ----------------------------------------------------------------- helpers
+
+def _longify(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Cast int columns to long so Spark schema == DuckDB BIGINT."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+# ------------------------------------------------------------- the queries
+
+def q_rules_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return summary_df(_t(spark, sf, "documents"), _doc_suite())
+
+
+def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column numeric profile (SURVEY §2.4 aggregate catalog) for
+    lineitem measures — one fused agg, unpivoted to one row per column."""
+    li = _t(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__cnt"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(col).alias(f"{c}__ndv"),
+            F.round(F.min(col), 4).alias(f"{c}__min"),
+            F.round(F.max(col), 4).alias(f"{c}__max"),
+            F.round(F.avg(col), 4).alias(f"{c}__mean"),
+            F.round(F.stddev_samp(col), 4).alias(f"{c}__std"),
+            F.round(F.expr(f"percentile({c}, 0.25)"), 4).alias(f"{c}__q1"),
+            F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias(f"{c}__med"),
+            F.round(F.expr(f"percentile({c}, 0.75)"), 4).alias(f"{c}__q3"),
+        ]
+    one = li.agg(*aggs)
+    stats = ["cnt", "nulls", "ndv", "min", "max", "mean", "std", "q1", "med", "q3"]
+    stack = ", ".join(
+        "'" + c + "', " + ", ".join(f"`{c}__{s}`" for s in stats) for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) as (column, cnt, nulls, ndv, "
+        "min_v, max_v, mean_v, std_v, q1, med, q3)"
+    )
+
+
+def q_histogram_totalprice(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram (reference db/base.py:467-531 semantics:
+    fixed bounds, last-bin clamp)."""
+    o = _t(spark, sf, "orders")
+    lo, hi, bins = 0.0, 500000.0, 10
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+    ).cast("long")
+    return (
+        o.where(F.col("o_totalprice").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_top_k_brand(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+def q_uniqueness_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return uniqueness_summary(_t(spark, sf, "orders"), ["o_orderkey"])
+
+
+def q_duplicate_doc_texts(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_duplicate_groups(_t(spark, sf, "documents"))
+
+
+def q_orphan_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return orphan_summary(
+        _t(spark, sf, "orders"), "o_custkey",
+        _t(spark, sf, "customer"), "c_custkey",
+        broadcast_parent=True,
+    )
+
+
+def q_orphan_lineitem_part(spark: SparkSession, sf: str) -> DataFrame:
+    return orphan_summary(
+        _t(spark, sf, "lineitem"), "l_partkey",
+        _t(spark, sf, "part"), "p_partkey",
+        broadcast_parent=True,
+    )
+
+
+def q_completeness_events(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    bad = (
+        F.col("ts").isNull() | F.col("user_id").isNull() | F.col("value").isNull()
+    ).cast("long")
+    return e.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.coalesce(F.sum(bad), F.lit(0)).alias("incomplete_rows"),
+    )
+
+
+def q_pattern_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Pattern-detection match rates (profiler/analyzer.py:21-50
+    semantics) over customer names — one fused agg, unpivoted."""
+    from sparkcheck.profile.profiler import PATTERNS
+
+    c = _t(spark, sf, "customer")
+    col = F.col("c_name").cast("string")
+    aggs = [
+        F.round(
+            F.coalesce(F.avg(col.rlike(p).cast("int")), F.lit(0.0)), 6
+        ).alias(f"r_{name}")
+        for name, p in PATTERNS.items()
+    ]
+    one = c.agg(*aggs)
+    stack = ", ".join(f"'{name}', `r_{name}`" for name in PATTERNS)
+    return one.selectExpr(f"stack({len(PATTERNS)}, {stack}) as (pattern, match_rate)")
+
+
+def q_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """IQR outlier rows (profiler/analyzer.py:122-128): values outside
+    [q1-1.5*IQR, q3+1.5*IQR] over customer acctbal."""
+    c = _t(spark, sf, "customer")
+    b = c.agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .where(
+            (F.col("c_acctbal") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            | (F.col("c_acctbal") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        )
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+def q_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+    )
+
+
+def q_distribution_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """Skewness/kurtosis via raw moments with IDENTICAL arithmetic in
+    both engines (Spark's skewness() and DuckDB's differ in bias
+    correction, so neither builtin is used)."""
+    o = _t(spark, sf, "orders")
+    x = (F.col("o_totalprice") / F.lit(100000.0))
+    one = o.agg(
+        F.avg(x).alias("a1"),
+        F.avg(x * x).alias("a2"),
+        F.avg(x * x * x).alias("a3"),
+        F.avg(x * x * x * x).alias("a4"),
+    )
+    a1, a2, a3, a4 = F.col("a1"), F.col("a2"), F.col("a3"), F.col("a4")
+    var = a2 - a1 * a1
+    m3 = a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1
+    m4 = a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * a1 * a1 * a1 * a1
+    return one.select(
+        F.round(a1, 6).alias("mean_scaled"),
+        F.round(var, 6).alias("var_scaled"),
+        F.round(m3 / F.pow(var, 1.5), 4).alias("skewness_g1"),
+        F.round(m4 / (var * var) - 3, 4).alias("kurtosis_g2"),
+    )
+
+
+def q_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Drift-over-time trend (reporting/analyzer.py:105-161 semantics):
+    OLS slope of value vs time + correlation."""
+    e = _t(spark, sf, "events")
+    day = (F.unix_timestamp("ts").cast("double") / F.lit(86400.0))
+    return e.agg(
+        F.round(F.regr_slope(F.col("value"), day), 6).alias("slope_per_day"),
+        F.round(F.corr(day, F.col("value")), 6).alias("corr_time_value"),
+    )
+
+
+def _binned_fracs(e: DataFrame):
+    """Shared PSI/KS shape: per-slice per-bucket fractions over fixed
+    bins [0,500)×10 on events.value, click vs view."""
+    bins, lo, width = 10, 0.0, 50.0
+    pts = (
+        e.where(F.col("value").isNotNull() & F.col("event_type").isin("click", "view"))
+        .select(
+            F.when(F.col("event_type") == "click", F.lit("e")).otherwise(F.lit("a")).alias("slice"),
+            F.least(F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+            .cast("long").alias("bucket"),
+        )
+        .groupBy("slice", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = pts.sparkSession.range(bins).select(F.col("id").alias("bucket"))
+    wide = (
+        spine.join(pts.where(F.col("slice") == "e").select("bucket", F.col("n").alias("ne")), "bucket", "left")
+        .join(pts.where(F.col("slice") == "a").select("bucket", F.col("n").alias("na")), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+            F.coalesce("na", F.lit(0)).alias("na"),
+        )
+    )
+    tot = wide.agg(F.sum("ne").alias("te"), F.sum("na").alias("ta"))
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.greatest(F.col("ne") / F.col("te"), F.lit(1e-6)).alias("pe"),
+            F.greatest(F.col("na") / F.col("ta"), F.lit(1e-6)).alias("pa"),
+        )
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    fr = _binned_fracs(_t(spark, sf, "events"))
+    return fr.agg(
+        F.round(F.sum((F.col("pa") - F.col("pe")) * F.log(F.col("pa") / F.col("pe"))), 6)
+        .alias("psi")
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    fr = _binned_fracs(_t(spark, sf, "events"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = fr.select(F.abs(F.sum("pe").over(w) - F.sum("pa").over(w)).alias("d"))
+    return cdf.agg(F.round(F.max("d"), 6).alias("ks"))
+
+
+def q_reconcile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table reconciliation (examples/configs/validations.yaml:79-92
+    shape): orders whose lineitem net-total differs from o_totalprice."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net")
+    )
+    joined = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+    mism = (F.abs(F.col("o_totalprice") - F.coalesce(F.col("net"), F.lit(0.0))) > 0.01)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.coalesce(F.sum(mism.cast("long")), F.lit(0)).alias("n_mismatch"),
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.2)
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_signatures(_t(spark, sf, "documents"), k=3, num_hashes=4)
+
+
+def q_simhash_bits(spark: SparkSession, sf: str) -> DataFrame:
+    sh = simhash(_t(spark, sf, "documents"), bits=8)
+    return _longify(sh, [f"bit_{i}" for i in range(8)])
+
+
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    out = simhash_near_duplicates(
+        _t(spark, sf, "documents"), bits=16, max_hamming=3, banded=False
+    )
+    return _longify(out, ["hamming"])
+
+
+def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_near_duplicates(
+        _t(spark, sf, "embeddings"), threshold=0.6
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = cosine_topk_bruteforce(emb, queries, k=5)
+    return _longify(out, ["rank"])
+
+
+def q_ann_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = cosine_topk_bucketed(emb, queries, k=5, bucket_dims=4)
+    return _longify(out, ["rank"])
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    out = token_stats(_t(spark, sf, "documents"))
+    return _longify(out, ["n_tokens", "n_subtokens", "n_distinct_tokens"])
+
+
+def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    return quality_score(_t(spark, sf, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    out = lang_id(_t(spark, sf, "documents"))
+    return _longify(out, [f"hits_{lng}" for lng in STOPWORDS])
+
+
+def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    return fingerprint(_t(spark, sf, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rules_summary": q_rules_summary,
+        "profile_stats": q_profile_stats,
+        "histogram_totalprice": q_histogram_totalprice,
+        "top_k_brand": q_top_k_brand,
+        "uniqueness_orders": q_uniqueness_orders,
+        "duplicate_doc_texts": q_duplicate_doc_texts,
+        "orphan_orders": q_orphan_orders,
+        "orphan_lineitem_part": q_orphan_lineitem_part,
+        "completeness_events": q_completeness_events,
+        "pattern_rates": q_pattern_rates,
+        "iqr_outliers": q_iqr_outliers,
+        "correlation": q_correlation,
+        "distribution_shape": q_distribution_shape,
+        "trend_slope": q_trend_slope,
+        "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
+        "reconcile_orders": q_reconcile_orders,
+        "dedup_jaccard": q_dedup_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_bits": q_simhash_bits,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_topk": q_ann_topk,
+        "ann_bucketed": q_ann_bucketed,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------- the oracles
+
+_BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_PUNCT = r"[^A-Za-z0-9\s]"
+_EN = "('the','a','of','and','to')"
+
+_SHINGLES = """
+shingles AS (
+  SELECT DISTINCT doc_id AS id,
+         CASE WHEN len(arr) >= 3
+              THEN array_to_string(arr[i:i+2], ' ')
+              ELSE array_to_string(arr, ' ') END AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        WHERE text IS NOT NULL) t,
+       unnest(generate_series(1, GREATEST(len(arr) - 2, 1))) AS u(i)
+)
+"""
+
+_JACCARD = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.2
+"""
+
+
+def _simhash_sql(bits: int) -> str:
+    bit_cols = ", ".join(
+        f"CAST(CASE WHEN sum((ascii(substr(md5(tok), {b + 1}, 1)) % 2) * 2 - 1) > 0 "
+        f"THEN 1 ELSE 0 END AS BIGINT) AS bit_{b}"
+        for b in range(bits)
+    )
+    return f"""
+simhash AS (
+  SELECT doc_id AS id, {bit_cols}
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY doc_id
+)
+"""
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_NORM_A = (
+    "sqrt(list_sum(list_transform(a.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_NORM_B = (
+    "sqrt(list_sum(list_transform(b.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_COS = f"round({_DOT} / ({_NORM_A} * {_NORM_B}), 4)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rules = f"""
+SELECT 'nn_text' AS rule_id, 'text' AS column, count(*) AS evaluated,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM documents
+UNION ALL
+SELECT 're_source', 'source', count(source),
+       CAST(sum(CASE WHEN source IS NOT NULL
+                AND NOT regexp_matches(CAST(source AS VARCHAR), '^src')
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'rg_nchars', 'n_chars', count(n_chars),
+       CAST(sum(CASE WHEN n_chars IS NOT NULL
+                AND NOT (TRY_CAST(n_chars AS DOUBLE) IS NOT NULL
+                         AND TRY_CAST(n_chars AS DOUBLE) BETWEEN 0 AND 1000)
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'enum_lang', 'lang', count(lang),
+       CAST(sum(CASE WHEN lang IS NOT NULL
+                AND CAST(lang AS VARCHAR) NOT IN ('en','es','fr','de','zh')
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'len_text', 'text', count(text),
+       CAST(sum(CASE WHEN text IS NOT NULL
+                AND NOT (len(CAST(text AS VARCHAR)) BETWEEN 10 AND 2000)
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'comp_doc', 'text,lang', count(*),
+       CAST(sum(CASE WHEN text IS NULL OR lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+"""
+    rules_summary = f"""
+WITH per_rule AS ({rules}), tot AS (SELECT count(*) AS total_rows FROM documents)
+SELECT rule_id, "column", evaluated, violations, tot.total_rows,
+       CASE WHEN evaluated > 0 THEN violations / evaluated ELSE 0.0 END AS violation_rate
+FROM per_rule, tot
+"""
+
+    def _profile_one(c: str) -> str:
+        return f"""
+SELECT '{c}' AS column, count({c}) AS cnt,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+       count(DISTINCT {c}) AS ndv,
+       round(min({c}), 4) AS min_v, round(max({c}), 4) AS max_v,
+       round(avg({c}), 4) AS mean_v, round(stddev_samp({c}), 4) AS std_v,
+       round(quantile_cont({c}, 0.25), 4) AS q1,
+       round(quantile_cont({c}, 0.5), 4) AS med,
+       round(quantile_cont({c}, 0.75), 4) AS q3
+FROM lineitem"""
+
+    profile_stats = " UNION ALL ".join(
+        _profile_one(c) for c in ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    from sparkcheck.profile.profiler import PATTERNS
+
+    pattern_rates = " UNION ALL ".join(
+        f"""SELECT '{name}' AS pattern,
+round(COALESCE(avg(CASE WHEN regexp_matches(CAST(c_name AS VARCHAR), '{p}')
+                   THEN 1 ELSE 0 END), 0.0), 6) AS match_rate FROM customer"""
+        for name, p in PATTERNS.items()
+    )
+
+    binned = """
+pts AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'e' ELSE 'a' END AS slice,
+         CAST(LEAST(FLOOR((value - 0.0) / 50.0), 9) AS BIGINT) AS bucket
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+),
+counts AS (SELECT slice, bucket, count(*) AS n FROM pts GROUP BY 1, 2),
+spine AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+wide AS (
+  SELECT s.bucket,
+         COALESCE(MAX(CASE WHEN c.slice = 'e' THEN c.n END), 0) AS ne,
+         COALESCE(MAX(CASE WHEN c.slice = 'a' THEN c.n END), 0) AS na
+  FROM spine s LEFT JOIN counts c ON c.bucket = s.bucket
+  GROUP BY s.bucket
+),
+tot AS (SELECT sum(ne) AS te, sum(na) AS ta FROM wide),
+fr AS (
+  SELECT bucket,
+         GREATEST(ne / te, 1e-6) AS pe,
+         GREATEST(na / ta, 1e-6) AS pa
+  FROM wide, tot
+)
+"""
+
+    minhash_cols_sql = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(4)
+    )
+
+    return {
+        "rules_summary": rules_summary,
+        "profile_stats": profile_stats,
+        "histogram_totalprice": """
+SELECT CAST(LEAST(FLOOR((o_totalprice - 0.0) / 50000.0), 9) AS BIGINT) AS bucket,
+       count(*) AS cnt
+FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+""",
+        "top_k_brand": """
+SELECT p_brand, count(*) AS cnt FROM part GROUP BY 1
+ORDER BY cnt DESC, p_brand ASC LIMIT 10
+""",
+        "uniqueness_orders": """
+SELECT count(*) AS total_keys, count(DISTINCT o_orderkey) AS distinct_keys,
+       count(*) - count(DISTINCT o_orderkey) AS duplicate_excess
+FROM orders WHERE o_orderkey IS NOT NULL
+""",
+        "duplicate_doc_texts": """
+SELECT md5(text) AS fp, count(*) AS n_copies,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1 HAVING count(*) > 1
+""",
+        "orphan_orders": """
+SELECT count(*) AS orphan_count, count(DISTINCT o.o_custkey) AS distinct_orphan_keys
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+""",
+        "orphan_lineitem_part": """
+SELECT count(*) AS orphan_count, count(DISTINCT l.l_partkey) AS distinct_orphan_keys
+FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+  ON l.l_partkey = p.p_partkey
+WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+""",
+        "completeness_events": """
+SELECT count(*) AS total_rows,
+       CAST(sum(CASE WHEN ts IS NULL OR user_id IS NULL OR value IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS incomplete_rows
+FROM events
+""",
+        "pattern_rates": pattern_rates,
+        "iqr_outliers": """
+WITH b AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+                  quantile_cont(c_acctbal, 0.75) AS q3 FROM customer)
+SELECT c_custkey, c_acctbal FROM customer, b
+WHERE c_acctbal < q1 - 1.5 * (q3 - q1) OR c_acctbal > q3 + 1.5 * (q3 - q1)
+""",
+        "correlation": """
+SELECT round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+       round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc
+FROM lineitem
+""",
+        "distribution_shape": """
+WITH m AS (
+  SELECT avg(x) AS a1, avg(x*x) AS a2, avg(x*x*x) AS a3, avg(x*x*x*x) AS a4
+  FROM (SELECT o_totalprice / 100000.0 AS x FROM orders)
+)
+SELECT round(a1, 6) AS mean_scaled,
+       round(a2 - a1*a1, 6) AS var_scaled,
+       round((a3 - 3*a1*a2 + 2*a1*a1*a1) / pow(a2 - a1*a1, 1.5), 4) AS skewness_g1,
+       round((a4 - 4*a1*a3 + 6*a1*a1*a2 - 3*a1*a1*a1*a1)
+             / ((a2 - a1*a1) * (a2 - a1*a1)) - 3, 4) AS kurtosis_g2
+FROM m
+""",
+        "trend_slope": """
+SELECT round(regr_slope(value, FLOOR(epoch(ts)) / 86400.0), 6) AS slope_per_day,
+       round(corr(FLOOR(epoch(ts)) / 86400.0, value), 6) AS corr_time_value
+FROM events
+""",
+        "psi_drift": f"""
+WITH {binned}
+SELECT round(sum((pa - pe) * ln(pa / pe)), 6) AS psi FROM fr
+""",
+        "ks_drift": f"""
+WITH {binned},
+cdf AS (
+  SELECT abs(sum(pe) OVER (ORDER BY bucket) - sum(pa) OVER (ORDER BY bucket)) AS d
+  FROM fr
+)
+SELECT round(max(d), 6) AS ks FROM cdf
+""",
+        "reconcile_orders": """
+WITH per_order AS (
+  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS net
+  FROM lineitem GROUP BY 1
+)
+SELECT count(*) AS n_checked,
+       CAST(sum(CASE WHEN abs(o_totalprice - COALESCE(net, 0.0)) > 0.01
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+""",
+        "dedup_jaccard": _JACCARD,
+        "minhash_signatures": f"""
+WITH {_SHINGLES}
+SELECT id, {minhash_cols_sql} FROM shingles GROUP BY id
+""",
+        "simhash_bits": f"WITH {_simhash_sql(8)} SELECT * FROM simhash",
+        "simhash_pairs": f"""
+WITH {_simhash_sql(16)}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST({' + '.join(f'abs(a.bit_{i} - b.bit_{i})' for i in range(16))} AS BIGINT) AS hamming
+FROM simhash a JOIN simhash b ON a.id < b.id
+WHERE {' + '.join(f'abs(a.bit_{i} - b.bit_{i})' for i in range(16))} <= 3
+""",
+        "embedding_near_dups": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS} >= 0.6
+""",
+        "ann_topk": f"""
+WITH scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_COS} AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+""",
+        "ann_bucketed": f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         CAST(embedding[1] >= 0 AS INT) || CAST(embedding[2] >= 0 AS INT) ||
+         CAST(embedding[3] >= 0 AS INT) || CAST(embedding[4] >= 0 AS INT) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_COS} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND b.vec_id < 5 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+""",
+        "token_stats": f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE}')) AS BIGINT) AS n_subtokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       round(CAST(len(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_token_len
+FROM documents
+""",
+        "quality_scores": f"""
+WITH q AS (
+  SELECT doc_id,
+         round(LEAST(CAST(len(text) AS DOUBLE) / 500.0, 1.0), 4) AS len_score,
+         round(CAST(len(regexp_extract_all(text, '{_PUNCT}')) AS DOUBLE)
+           / CAST(len(text) AS DOUBLE), 4) AS punct_ratio,
+         round(CAST(len(list_filter(string_split(text, ' '), x -> x IN {_EN})) AS DOUBLE)
+           / len(string_split(text, ' ')), 4) AS stop_ratio,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')), 4) AS diversity
+  FROM documents
+)
+SELECT doc_id, len_score, punct_ratio, stop_ratio, diversity,
+       round(0.25 * len_score + 0.25 * (1.0 - LEAST(punct_ratio * 5, 1.0))
+             + 0.25 * LEAST(stop_ratio * 5, 1.0) + 0.25 * diversity, 4) AS quality
+FROM q
+""",
+        "lang_id": """
+WITH h AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS hits_en,
+    CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','los','que'))) AS BIGINT) AS hits_es,
+    CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','des','une'))) AS BIGINT) AS hits_fr,
+    CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ein'))) AS BIGINT) AS hits_de,
+    CAST(len(list_filter(string_split(text,' '), x -> x IN ('的','是','了','在','我'))) AS BIGINT) AS hits_zh
+  FROM documents
+)
+SELECT doc_id, hits_en, hits_es, hits_fr, hits_de, hits_zh,
+  CASE WHEN GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) = 0 THEN 'und'
+       WHEN hits_en = GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'en'
+       WHEN hits_es = GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'es'
+       WHEN hits_fr = GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'fr'
+       WHEN hits_de = GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'de'
+       ELSE 'zh' END AS pred_lang
+FROM h
+""",
+        "fingerprints": r"""
+SELECT doc_id, md5(text) AS fp_raw,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
+FROM documents
+""",
+    }

@@ -1,0 +1,91 @@
+"""Local mirror of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
+over the same parquet, compare row-count + column names + sorted values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from sparkcheck.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+            sset = sorted(tuple(norm(r[c]) for c in scols) for r in srows)
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: no oracle; spark rows={len(srows)}")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        ocols = sorted(odf.columns)
+        if ocols != scols:
+            print(f"FAIL  {name}: columns spark={scols} oracle={ocols}")
+            failures += 1
+            continue
+        orows = sorted(
+            tuple(norm(None if (isinstance(v, float) and math.isnan(v)) or v is None
+                       or str(v) == "NaT" else (v.item() if hasattr(v, "item") else v))
+                  for v in row)
+            for row in odf[scols].itertuples(index=False, name=None)
+        )
+        if len(orows) != len(sset):
+            print(f"FAIL  {name}: rows spark={len(sset)} oracle={len(orows)}")
+            failures += 1
+            continue
+        bad = [(a, b) for a, b in zip(sset, orows) if a != b]
+        if bad:
+            print(f"FAIL  {name}: {len(bad)}/{len(sset)} value mismatches; first: "
+                  f"spark={bad[0][0]} oracle={bad[0][1]}")
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(sset)} rows")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -79,10 +79,13 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     ).cast("double")
     distinct = F.size(F.array_distinct(toks)).cast("double")
 
-    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    punct_ratio = punct / n_chars
-    stop_ratio = stops / n_tok
-    diversity = distinct / n_tok
+    # Components are rounded FIRST and the composite score computed from
+    # the rounded values — arithmetic over identical 4-dp doubles is
+    # bit-identical across engines, so the oracle comparison is stable.
+    len_score = F.round(F.least(n_chars / F.lit(500.0), F.lit(1.0)), 4)
+    punct_ratio = F.round(punct / n_chars, 4)
+    stop_ratio = F.round(stops / n_tok, 4)
+    diversity = F.round(distinct / n_tok, 4)
     score = (
         F.lit(0.25) * len_score
         + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
@@ -91,10 +94,10 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     return df.select(
         F.col(id_col),
-        F.round(len_score, 4).alias("len_score"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(diversity, 4).alias("diversity"),
+        len_score.alias("len_score"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        diversity.alias("diversity"),
         F.round(score, 4).alias("quality"),
     )
 
@@ -108,17 +111,15 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang: F.size(F.filter(toks, lambda x: x.isin(*[F.lit(w) for w in words])))
         for lang, words in STOPWORDS.items()
     }
-    best = F.lit("und")
-    best_n = F.lit(0)
-    # Iterate reversed so earlier languages win ties (>= replaces).
-    for lang in reversed(list(hits)):
-        cond = hits[lang] >= best_n
-        better = hits[lang] > best_n
-        best = F.when(better | (cond & (best == F.lit("und"))), F.lit(lang)).otherwise(best)
-        best_n = F.greatest(best_n, hits[lang])
+    best_n = F.greatest(*hits.values())
+    # argmax with dict-order tie-break (en > es > fr > de > zh) — a plain
+    # CASE chain, trivially mirrored by the SQL oracle
+    pred = F.when(best_n == 0, F.lit("und"))
+    for lang in hits:
+        pred = pred.when(hits[lang] == best_n, F.lit(lang))
     sel = [F.col(id_col)]
     sel += [hits[lang].alias(f"hits_{lang}") for lang in hits]
-    sel += [F.when(best_n > 0, best).otherwise(F.lit("und")).alias("pred_lang")]
+    sel += [pred.otherwise(F.lit("und")).alias("pred_lang")]
     return df.select(*sel)
 
 
