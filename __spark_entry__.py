@@ -88,22 +88,29 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
     lineitem measures — one fused agg, unpivoted to one row per column."""
     li = _t(spark, sf, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    # Two fused aggs, not one: mixing count_distinct (which plans an
+    # Expand ×(N+1)) with exact-percentile buffers multiplies the buffer
+    # traffic ~8× — splitting them measured 34s → 4s at sf0.1. Exact
+    # percentile/ndv are for oracle parity; the profiler module's scale
+    # path uses percentile_approx + approx_count_distinct.
     aggs = []
     for c in cols:
         col = F.col(c)
         aggs += [
             F.count(col).alias(f"{c}__cnt"),
             F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(col).alias(f"{c}__ndv"),
             F.round(F.min(col), 4).alias(f"{c}__min"),
             F.round(F.max(col), 4).alias(f"{c}__max"),
             F.round(F.avg(col), 4).alias(f"{c}__mean"),
             F.round(F.stddev_samp(col), 4).alias(f"{c}__std"),
-            F.round(F.expr(f"percentile({c}, 0.25)"), 4).alias(f"{c}__q1"),
-            F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias(f"{c}__med"),
-            F.round(F.expr(f"percentile({c}, 0.75)"), 4).alias(f"{c}__q3"),
+            F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"{c}__qs"),
         ]
-    one = li.agg(*aggs)
+    ndv = li.agg(*[F.count_distinct(F.col(c)).alias(f"{c}__ndv") for c in cols])
+    one = li.agg(*aggs).crossJoin(F.broadcast(ndv))
+    for c in cols:
+        for i, s in enumerate(["q1", "med", "q3"]):
+            one = one.withColumn(f"{c}__{s}", F.round(F.col(f"{c}__qs")[i], 4))
+        one = one.drop(f"{c}__qs")
     stats = ["cnt", "nulls", "ndv", "min", "max", "mean", "std", "q1", "med", "q3"]
     stack = ", ".join(
         "'" + c + "', " + ", ".join(f"`{c}__{s}`" for s in stats) for c in cols
@@ -334,15 +341,25 @@ def q_simhash_bits(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # banded=True is the scale path (pigeonhole segments → candidates,
+    # provably lossless for hamming ≤ nseg-1), so the plain quadratic
+    # oracle SQL still matches. 32 bits ⇒ 8-bit segments ⇒ 256-way
+    # buckets — candidate volume stays subquadratic.
     out = simhash_near_duplicates(
-        _t(spark, sf, "documents"), bits=16, max_hamming=3, banded=False
+        _t(spark, sf, "documents"), bits=32, max_hamming=3, banded=True
     )
     return _longify(out, ["hamming"])
 
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed near-duplicate pairs — the scale path (per-bucket
+    join, never all-pairs). The oracle mirrors the bucket prefilter, so
+    semantics match by construction; the exact variant stays available
+    as sparkcheck.dedup.embedding_near_duplicates(bucketed=False)."""
+    # threshold 0.4: the synthetic embeddings are near-orthogonal (max
+    # pairwise cosine ≈ 0.51), so 0.4 yields a small non-empty pair set
     return embedding_near_duplicates(
-        _t(spark, sf, "embeddings"), threshold=0.6
+        _t(spark, sf, "embeddings"), threshold=0.4, bucketed=True, n_bucket_dims=4
     )
 
 
@@ -358,6 +375,77 @@ def q_ann_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     out = cosine_topk_bucketed(emb, queries, k=5, bucket_dims=4)
     return _longify(out, ["rank"])
+
+
+def q_unique_violation_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-key groups with multiplicity (SURVEY §2.4 uniqueness
+    violation count, §2.2 unique rule keep=False semantics)."""
+    from sparkcheck.integrity import duplicate_key_counts
+
+    return duplicate_key_counts(_t(spark, sf, "documents"), ["source", "lang"])
+
+
+def q_unique_violation_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """All copies of duplicated (source, lang) keys — broadcast semi-join
+    against the dup-key set (no window over the big table)."""
+    from sparkcheck.integrity import duplicate_violation_rows
+
+    out = duplicate_violation_rows(
+        _t(spark, sf, "documents"), ["source", "lang"], extra_cols=("doc_id",)
+    )
+    # partition_id is Spark lineage — engine-specific, excluded from the
+    # cross-engine comparison
+    return out.drop("partition_id")
+
+
+def q_null_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column null counts for every orders column in ONE agg
+    (profiler null/% stats, analyzer.py:77-101)."""
+    o = _t(spark, sf, "orders")
+    cols = o.columns
+    aggs = [F.count(F.lit(1)).alias("total_rows")] + [
+        F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(f"n_{c}")
+        for c in cols
+    ]
+    one = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', `n_{c}`" for c in cols)
+    return one.selectExpr(
+        "total_rows", f"stack({len(cols)}, {stack}) as (column, n_nulls)"
+    ).select("column", "n_nulls", "total_rows")
+
+
+def q_string_length_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """String length stats (analyzer.py:131-137)."""
+    d = _t(spark, sf, "documents")
+    ln = F.length(F.col("text")).cast("long")
+    return d.agg(
+        F.count("text").alias("n"),
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+        F.round(F.avg(ln), 4).alias("avg_len"),
+    )
+
+
+def q_temporal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal min/max + span (analyzer.py:143-145 semantics)."""
+    e = _t(spark, sf, "events")
+    return e.agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.round(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            / F.lit(86400.0),
+            4,
+        ).alias("span_days"),
+    )
+
+
+def q_orphan_recent_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-filtered RI (validations.yaml:115-124 shape: orphan check
+    restricted to recent rows — partition-pruning-friendly at scale)."""
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return orphan_summary(o, "o_custkey", _t(spark, sf, "customer"), "c_custkey",
+                          broadcast_parent=True)
 
 
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -397,6 +485,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "reconcile_orders": q_reconcile_orders,
+        "unique_violation_groups": q_unique_violation_groups,
+        "unique_violation_rows": q_unique_violation_rows,
+        "null_counts": q_null_counts,
+        "string_length_stats": q_string_length_stats,
+        "temporal_profile": q_temporal_profile,
+        "orphan_recent_orders": q_orphan_recent_orders,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "simhash_bits": q_simhash_bits,
@@ -665,6 +759,47 @@ SELECT count(*) AS n_checked,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
 FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
 """,
+        "unique_violation_groups": """
+SELECT source, lang, count(*) AS dup_count FROM documents
+WHERE source IS NOT NULL AND lang IS NOT NULL
+GROUP BY 1, 2 HAVING count(*) > 1
+""",
+        "unique_violation_rows": """
+WITH dups AS (
+  SELECT source, lang FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2 HAVING count(*) > 1
+)
+SELECT d.source, d.lang, d.doc_id
+FROM documents d SEMI JOIN dups u ON d.source = u.source AND d.lang = u.lang
+""",
+        "null_counts": " UNION ALL ".join(
+            f"""SELECT '{c}' AS column,
+CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+count(*) AS total_rows FROM orders"""
+            for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_totalprice", "o_orderdate", "o_orderpriority"]
+        ),
+        "string_length_stats": """
+SELECT count(text) AS n,
+       CAST(min(len(text)) AS BIGINT) AS min_len,
+       CAST(max(len(text)) AS BIGINT) AS max_len,
+       round(avg(len(text)), 4) AS avg_len
+FROM documents
+""",
+        "temporal_profile": """
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+       round((FLOOR(epoch(max(ts))) - FLOOR(epoch(min(ts)))) / 86400.0, 4)
+         AS span_days
+FROM events
+""",
+        "orphan_recent_orders": """
+SELECT count(*) AS orphan_count, count(DISTINCT o.o_custkey) AS distinct_orphan_keys
+FROM (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+""",
         "dedup_jaccard": _JACCARD,
         "minhash_signatures": f"""
 WITH {_SHINGLES}
@@ -672,16 +807,22 @@ SELECT id, {minhash_cols_sql} FROM shingles GROUP BY id
 """,
         "simhash_bits": f"WITH {_simhash_sql(8)} SELECT * FROM simhash",
         "simhash_pairs": f"""
-WITH {_simhash_sql(16)}
+WITH {_simhash_sql(32)}
 SELECT a.id AS id_a, b.id AS id_b,
-       CAST({' + '.join(f'abs(a.bit_{i} - b.bit_{i})' for i in range(16))} AS BIGINT) AS hamming
+       CAST({' + '.join(f'abs(a.bit_{i} - b.bit_{i})' for i in range(32))} AS BIGINT) AS hamming
 FROM simhash a JOIN simhash b ON a.id < b.id
-WHERE {' + '.join(f'abs(a.bit_{i} - b.bit_{i})' for i in range(16))} <= 3
+WHERE {' + '.join(f'abs(a.bit_{i} - b.bit_{i})' for i in range(32))} <= 3
 """,
         "embedding_near_dups": f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         CAST(embedding[1] >= 0 AS INT) || CAST(embedding[2] >= 0 AS INT) ||
+         CAST(embedding[3] >= 0 AS INT) || CAST(embedding[4] >= 0 AS INT) AS bucket
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COS} >= 0.6
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS} >= 0.4
 """,
         "ann_topk": f"""
 WITH scored AS (

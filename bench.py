@@ -1,0 +1,119 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship webtext full
+rule-suite pass (the BASELINE.json metric: validated docs/sec).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "webtext_docs_per_sec": ..., "webtext_rows": ...}
+
+The webtext table is materialized once to parquet under .bench/ (content
+is deterministic — sparkcheck.webtext.generate) so the suite measures a
+real scan + fused aggregation, not generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from sparkcheck.compile import fused_agg
+from sparkcheck.session import get_spark
+from sparkcheck.webtext.generate import webtext_rules, webtext_table
+
+HEADLINE = [
+    "rules_summary",
+    "profile_stats",
+    "histogram_totalprice",
+    "uniqueness_orders",
+    "orphan_lineitem_part",
+    "psi_drift",
+    "ks_drift",
+    "reconcile_orders",
+    "dedup_jaccard",
+    # simhash_bits (linear fingerprinting) not simhash_pairs: the
+    # synthetic small-vocab text makes hamming<=3 pairs ~quadratic
+    # (362k real pairs at sf0.1) — pair emission isn't a throughput
+    # metric there; the correctness gate still checks simhash_pairs.
+    "simhash_bits",
+    "embedding_near_dups",
+    "ann_topk",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+]
+
+WEBTEXT_N = int(os.environ.get("SPARKCHECK_WEBTEXT_N", "1000000"))
+
+
+def webtext_parquet(spark, n: int) -> str:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", f"webtext_n{n}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        webtext_table(spark, n, num_partitions=64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_webtext_suite(spark, path: str) -> tuple[float, int]:
+    """The flagship single-pass fused validation over the webtext table.
+    Returns (elapsed_sec, n_rows). Timed twice, best-of-2 (excludes JVM
+    and parquet-footer warmup)."""
+    df = (
+        spark.read.parquet(path)
+        .withColumn("warc_ts_epoch", F.unix_timestamp("warc_ts").cast("double"))
+    )
+    rules = webtext_rules()
+    n = df.count()  # warmup: footers + file listing
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fused_agg(df, rules).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="sparkcheck-bench", master=f"local[{cpus}]")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):  # best-of-2: the sandbox is noisy
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    wt_path = webtext_parquet(spark, WEBTEXT_N)
+    wt_sec, wt_rows = run_webtext_suite(spark, wt_path)
+    timings["webtext_suite"] = round(wt_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall time (+ webtext full rule-suite pass)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "webtext_rows": wt_rows,
+                "webtext_docs_per_sec": round(wt_rows / wt_sec, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
