@@ -92,6 +92,23 @@ class ValidationReport:
         }
 
 
+def split_rules(rules) -> tuple[list[Rule], list[Rule]]:
+    """Partition rules by execution strategy: (row_rules, other_rules).
+    Row rules fuse into one agg pass; others (unique / RI / SQL) run as
+    dedicated join/SQL jobs. Shared by the engine and the checkpointed
+    runner so both classify identically."""
+    row_rules: list[Rule] = []
+    other_rules: list[Rule] = []
+    for r in rules:
+        if isinstance(r, (UniqueRule, ReferentialIntegrityRule, SqlRule)):
+            other_rules.append(r)
+        elif isinstance(r, (FieldRule, CompletenessRule)):
+            row_rules.append(r)
+        else:
+            other_rules.append(r)
+    return row_rules, other_rules
+
+
 def _threshold_pass(rule: Rule, violations: int) -> bool:
     if rule.expected_violations is not None:
         return violations == rule.expected_violations
@@ -115,15 +132,7 @@ class ValidationEngine:
         ordered = topo_sort(ruleset.enabled_rules())
 
         # Partition rules by execution strategy, preserving order info.
-        row_rules: list[Rule] = []
-        other_rules: list[Rule] = []
-        for r in ordered:
-            if isinstance(r, (UniqueRule, ReferentialIntegrityRule, SqlRule)):
-                other_rules.append(r)
-            elif isinstance(r, (FieldRule, CompletenessRule)):
-                row_rules.append(r)
-            else:
-                other_rules.append(r)
+        row_rules, other_rules = split_rules(ordered)
 
         table_name = default_table or next(iter(tables))
         df = tables[table_name]

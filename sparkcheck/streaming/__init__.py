@@ -1,0 +1,6 @@
+from sparkcheck.streaming.incremental import (
+    streaming_rule_counts,
+    validate_stream,
+)
+
+__all__ = ["streaming_rule_counts", "validate_stream"]

@@ -1,0 +1,83 @@
+"""Incremental / streaming validation via Structured Streaming.
+
+The reference has no true streaming engine — its closest constructs are
+chunked cursor streaming with partial-result merge
+(field_validator/__init__.py:208-298) and a CDC subscribe/callback stub
+(db/data_operations.py:204-270). The Spark-native mapping:
+
+- ``validate_stream`` — ``foreachBatch``: each micro-batch runs the SAME
+  fused single-pass rule aggregation as batch mode (one plan, two
+  execution modes), and per-batch verdict rows append to a sink the
+  caller merges (the streaming analog of the reference's
+  ``_merge_field_results``). Exactly-once per batch via the sink's
+  (batch_id) idempotence.
+
+- ``streaming_rule_counts`` — a fully declarative alternative: violation
+  counts as a windowed streaming aggregation with a watermark, for
+  dashboards that want rolling validation rates over event time.
+
+Scale: a micro-batch over an Iceberg/Kafka source is just partitions;
+the fused agg keeps the same no-row-shuffle property, so streaming
+validation sustains the batch engine's docs/sec within a trigger.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from sparkcheck.compile import summary_df
+from sparkcheck.rules.models import Rule
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    rules: Sequence[Rule],
+    on_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Run the fused rule suite on every micro-batch.
+
+    ``on_batch(summary_with_batch_id, batch_id)`` receives the per-rule
+    summary frame (rule_id, column, evaluated, violations, total_rows,
+    violation_rate, batch_id) — write it to a table keyed by batch_id for
+    idempotent exactly-once accumulation.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        summary = summary_df(batch_df, rules).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        on_batch(summary, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_rule_counts(
+    stream_df: DataFrame,
+    violated: F.Column,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Declarative rolling violation counts: tumbling event-time window
+    + watermark for late data. Returns an unstarted streaming frame
+    (window_start, n_rows, n_violations) the caller writes out."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(violated.cast("long")).alias("n_violations"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_rows", "n_violations")
+    )

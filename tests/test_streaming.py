@@ -1,0 +1,70 @@
+"""Structured Streaming incremental validation tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck.rules import EnumRule, NullCheckRule, RangeRule
+from sparkcheck.streaming import streaming_rule_counts, validate_stream
+
+
+def test_validate_stream_foreachbatch(spark, tmp_path):
+    # file streaming source over two parquet drops = two micro-batch sets
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.lit("ok")).alias("status"),
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("id long, status string").parquet(src)
+    rules = [
+        NullCheckRule(name="nn_status", column="status"),
+        RangeRule(name="rg_id", min_value=0, max_value=98, column="id"),
+    ]
+    batches: list[tuple[int, dict]] = []
+
+    def on_batch(summary_df, batch_id):
+        rows = {r["rule_id"]: r.asDict() for r in summary_df.collect()}
+        batches.append((batch_id, rows))
+
+    q = validate_stream(stream, rules, on_batch, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+
+    assert batches, "no micro-batches processed"
+    total_nn = sum(b["nn_status"]["violations"] for _, b in batches)
+    total_rg = sum(b["rg_id"]["violations"] for _, b in batches)
+    total_rows = sum(b["nn_status"]["total_rows"] for _, b in batches)
+    assert total_rows == 100
+    assert total_nn == 10   # ids 0,10,...,90
+    assert total_rg == 1    # id 99 out of range
+    # every batch carries its id for idempotent sinks
+    assert all(set(r["batch_id"] for r in b.values()) == {bid} for bid, b in batches)
+
+
+def test_streaming_rule_counts_windowed(spark, tmp_path):
+    src = str(tmp_path / "wsrc")
+    spark.range(120).select(
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).cast("timestamp").alias("base"),
+        F.col("id"),
+    ).select(
+        (F.col("base") + F.make_interval(secs=F.col("id"))).alias("ts"),
+        F.col("id").alias("value"),
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, value long").parquet(src)
+    agg = streaming_rule_counts(
+        stream, violated=(F.col("value") % 7 == 0), ts_col="ts", window="1 minute"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("rolling_verdicts")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["window_start"].isoformat(): r for r in
+            spark.sql("SELECT * FROM rolling_verdicts").collect()}
+    assert len(rows) == 2  # 120 seconds → two 1-minute windows
+    assert sum(r["n_rows"] for r in rows.values()) == 120
+    assert sum(r["n_violations"] for r in rows.values()) == 18  # multiples of 7 < 120
