@@ -263,36 +263,36 @@ def q_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
 
 def _binned_fracs(e: DataFrame):
     """Shared PSI/KS shape: per-slice per-bucket fractions over fixed
-    bins [0,500)×10 on events.value, click vs view."""
+    bins [0,500)×10 on events.value, click vs view.
+
+    ONE scan: the two slices pivot into conditional sums per bucket
+    (never a per-slice self-join, which would rescan the table per
+    slice), and the totals come from an unpartitioned window over the
+    ≤bins-row bucket frame — so the 100 TB input is read exactly once."""
     bins, lo, width = 10, 0.0, 50.0
-    pts = (
-        e.where(F.col("value").isNotNull() & F.col("event_type").isin("click", "view"))
-        .select(
-            F.when(F.col("event_type") == "click", F.lit("e")).otherwise(F.lit("a")).alias("slice"),
-            F.least(F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
-            .cast("long").alias("bucket"),
-        )
-        .groupBy("slice", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    spine = pts.sparkSession.range(bins).select(F.col("id").alias("bucket"))
+    is_e = (F.col("event_type") == "click").cast("long")
+    bucket = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+    ).cast("long")
     wide = (
-        spine.join(pts.where(F.col("slice") == "e").select("bucket", F.col("n").alias("ne")), "bucket", "left")
-        .join(pts.where(F.col("slice") == "a").select("bucket", F.col("n").alias("na")), "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("ne", F.lit(0)).alias("ne"),
-            F.coalesce("na", F.lit(0)).alias("na"),
+        e.where(F.col("value").isNotNull() & F.col("event_type").isin("click", "view"))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum(is_e).alias("ne"),
+            F.sum(F.lit(1) - is_e).alias("na"),
         )
     )
-    tot = wide.agg(F.sum("ne").alias("te"), F.sum("na").alias("ta"))
-    return (
-        wide.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.greatest(F.col("ne") / F.col("te"), F.lit(1e-6)).alias("pe"),
-            F.greatest(F.col("na") / F.col("ta"), F.lit(1e-6)).alias("pa"),
-        )
+    spine = e.sparkSession.range(bins).select(F.col("id").alias("bucket"))
+    wide = spine.join(wide, "bucket", "left").select(
+        "bucket",
+        F.coalesce("ne", F.lit(0)).alias("ne"),
+        F.coalesce("na", F.lit(0)).alias("na"),
+    )
+    w = Window.partitionBy()  # whole (tiny) bucket frame
+    return wide.select(
+        "bucket",
+        F.greatest(F.col("ne") / F.sum("ne").over(w), F.lit(1e-6)).alias("pe"),
+        F.greatest(F.col("na") / F.sum("na").over(w), F.lit(1e-6)).alias("pa"),
     )
 
 
@@ -448,6 +448,32 @@ def q_orphan_recent_orders(spark: SparkSession, sf: str) -> DataFrame:
                           broadcast_parent=True)
 
 
+def q_arrow_custom_rule(spark: SparkSession, sf: str) -> DataFrame:
+    """CustomRule = the Arrow-batched pandas-UDF path (§2.10): a
+    vectorized Series→Series predicate, never per-row Python. The
+    predicate (user_id even) is mirrored in SQL so even the UDF path is
+    oracle-checked."""
+    from sparkcheck.rules.models import CustomRule
+
+    def user_id_even(s):
+        return (s % 2) == 0
+
+    rule = CustomRule(name="uid_even", column="user_id", func=user_id_even)
+    return summary_df(_t(spark, sf, "events"), [rule])
+
+
+def q_data_type_conformance(spark: SparkSession, sf: str) -> DataFrame:
+    """DataTypeRule (§2.2 data_type — declared but unimplemented in the
+    reference): cast-conformance via try_cast."""
+    from sparkcheck.rules.models import DataTypeRule
+
+    rules = [
+        DataTypeRule(name="props_not_numeric", column="props", expected_type="double"),
+        DataTypeRule(name="value_is_numeric", column="value", expected_type="double"),
+    ]
+    return summary_df(_t(spark, sf, "events"), rules)
+
+
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     out = token_stats(_t(spark, sf, "documents"))
     return _longify(out, ["n_tokens", "n_subtokens", "n_distinct_tokens"])
@@ -491,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_length_stats": q_string_length_stats,
         "temporal_profile": q_temporal_profile,
         "orphan_recent_orders": q_orphan_recent_orders,
+        "arrow_custom_rule": q_arrow_custom_rule,
+        "data_type_conformance": q_data_type_conformance,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "simhash_bits": q_simhash_bits,
@@ -758,6 +786,37 @@ SELECT count(*) AS n_checked,
        CAST(sum(CASE WHEN abs(o_totalprice - COALESCE(net, 0.0)) > 0.01
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
 FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+""",
+        "arrow_custom_rule": """
+WITH tot AS (SELECT count(*) AS total_rows FROM events)
+SELECT 'uid_even' AS rule_id, 'user_id' AS column,
+       count(user_id) AS evaluated,
+       CAST(sum(CASE WHEN user_id IS NOT NULL AND NOT (user_id % 2 = 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       tot.total_rows,
+       CASE WHEN count(user_id) > 0
+            THEN CAST(sum(CASE WHEN user_id IS NOT NULL AND NOT (user_id % 2 = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) / count(user_id)
+            ELSE 0.0 END AS violation_rate
+FROM events, tot GROUP BY tot.total_rows
+""",
+        "data_type_conformance": """
+WITH tot AS (SELECT count(*) AS total_rows FROM events),
+per_rule AS (
+  SELECT 'props_not_numeric' AS rule_id, 'props' AS column,
+         count(props) AS evaluated,
+         CAST(sum(CASE WHEN props IS NOT NULL AND TRY_CAST(props AS DOUBLE) IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS violations
+  FROM events
+  UNION ALL
+  SELECT 'value_is_numeric', 'value', count(value),
+         CAST(sum(CASE WHEN value IS NOT NULL AND TRY_CAST(value AS DOUBLE) IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+)
+SELECT rule_id, "column", evaluated, violations, tot.total_rows,
+       CASE WHEN evaluated > 0 THEN violations / evaluated ELSE 0.0 END AS violation_rate
+FROM per_rule, tot
 """,
         "unique_violation_groups": """
 SELECT source, lang, count(*) AS dup_count FROM documents

@@ -47,10 +47,13 @@ def histogram_fractions(
         .groupBy("slice", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    totals = counts.groupBy("slice").agg(F.sum("n").alias("total"))
-    return (
-        counts.join(totals, "slice")
-        .select("slice", "bucket", (F.col("n") / F.col("total")).alias("frac"))
+    # per-slice totals via a window over the tiny (slices × bins) frame —
+    # a join against a re-aggregation would rescan the input table
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("slice")
+    return counts.select(
+        "slice", "bucket", (F.col("n") / F.sum("n").over(w)).alias("frac")
     )
 
 
