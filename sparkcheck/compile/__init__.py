@@ -1,3 +1,8 @@
+from sparkcheck.compile.grouped import (
+    GROUP_VERDICT_SCHEMA,
+    batch_custom_check,
+    grouped_custom_check,
+)
 from sparkcheck.compile.compiler import (
     CompiledPredicate,
     compile_field_rule,
@@ -14,4 +19,7 @@ __all__ = [
     "summary_df",
     "violation_rows",
     "plan_time_check",
+    "GROUP_VERDICT_SCHEMA",
+    "batch_custom_check",
+    "grouped_custom_check",
 ]

@@ -1,4 +1,5 @@
 from sparkcheck.integrity.uniqueness import (
+    distinct_count_by_key,
     duplicate_key_counts,
     duplicate_violation_rows,
     uniqueness_summary,
@@ -9,6 +10,7 @@ from sparkcheck.integrity.referential import (
 )
 
 __all__ = [
+    "distinct_count_by_key",
     "duplicate_key_counts",
     "duplicate_violation_rows",
     "uniqueness_summary",

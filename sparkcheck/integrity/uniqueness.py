@@ -102,3 +102,32 @@ def duplicate_violation_rows(
         df.select(*sel, F.spark_partition_id().alias("partition_id"))
         .join(dups, on=list(key_cols), how="left_semi")
     )
+
+
+def distinct_count_by_key(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salted: bool = False,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Per-key exact distinct-value counts — the skew-prone aggregation
+    of the north rule (distinct urls per url-host with Zipfian hosts).
+
+    Plain plan: groupBy(key).count_distinct(value) — the final dedup of
+    a hot key lands on ONE reducer, which at 10^12 rows means one task
+    holding a double-digit share of the corpus.
+
+    Salted plan (exact, because the salt is a function of the value, so
+    a value never appears under two salts of the same key):
+        phase 1: groupBy(key, pmod(xxhash64(value), S)).count_distinct(value)
+        phase 2: groupBy(key).sum(partial)
+    spreading the hot key over S reducers; phase 2 merges S tiny rows.
+    """
+    if not salted:
+        return df.groupBy(key).agg(F.count_distinct(value).alias("ndv"))
+    partial = (
+        df.groupBy(key, F.pmod(F.xxhash64(F.col(value)), F.lit(salt_buckets)).alias("_salt"))
+        .agg(F.count_distinct(value).alias("_ndv"))
+    )
+    return partial.groupBy(key).agg(F.sum("_ndv").alias("ndv"))

@@ -1,4 +1,5 @@
 from sparkcheck.profile.models import ColumnStatistics, TableProfile
+from sparkcheck.profile.schema import SchemaDiff, schema_matches, schema_report
 from sparkcheck.profile.profiler import (
     PATTERNS,
     histogram,
@@ -15,4 +16,7 @@ __all__ = [
     "top_k",
     "pattern_match_rates",
     "PATTERNS",
+    "SchemaDiff",
+    "schema_matches",
+    "schema_report",
 ]

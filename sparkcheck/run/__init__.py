@@ -3,7 +3,9 @@ from sparkcheck.run.engine import (
     RuleOutcome,
     ValidationEngine,
     ValidationReport,
+    split_rules,
 )
+from sparkcheck.run.retry import run_with_timeout, with_retry
 from sparkcheck.run.checkpoint import (
     CheckpointStore,
     GroupResult,
@@ -17,8 +19,11 @@ __all__ = [
     "ValidationEngine",
     "ValidationReport",
     "RuleOutcome",
+    "split_rules",
     "CheckpointStore",
     "GroupResult",
     "checkpointed_validate",
     "merge_group_outcomes",
+    "with_retry",
+    "run_with_timeout",
 ]

@@ -83,3 +83,21 @@ def test_orphan_broadcast_plan(spark):
     orders = spark.createDataFrame([(i, i % 60) for i in range(120)], "o_id int, c_id int")
     plan = orphan_rows(orders, "c_id", customers, "c_id", broadcast_parent=True)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_distinct_count_by_key_salted_parity(spark):
+    from sparkcheck.integrity import distinct_count_by_key
+    from pyspark.sql import functions as F
+
+    # skewed: key 'hot' holds half the rows; urls unique per row except
+    # planted repeats so ndv < count
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))).alias("k"),
+        (F.col("id") % 900).cast("string").alias("v"),
+    )
+    plain = {r["k"]: r["ndv"] for r in distinct_count_by_key(df, "k", "v").collect()}
+    salted = {r["k"]: r["ndv"] for r in
+              distinct_count_by_key(df, "k", "v", salted=True, salt_buckets=16).collect()}
+    assert plain == salted
+    assert plain["hot"] == 900
