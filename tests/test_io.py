@@ -98,3 +98,50 @@ def test_inline_fixture(spark):
     df = inline_fixture(spark, [{"id": 1, "v": "x"}, {"id": 2, "v": None}],
                         schema="id int, v string")
     assert df.count() == 2 and df.columns == ["id", "v"]
+
+
+def test_read_table_csv_json(spark, tmp_path):
+    from sparkcheck.io.sources import read_table
+
+    pdf_rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(pdf_rows, "id long, name string")
+    csv_dir, json_dir = str(tmp_path / "c"), str(tmp_path / "j")
+    df.write.option("header", True).csv(csv_dir)
+    df.write.json(json_dir)
+
+    c = read_table(spark, csv_dir, fmt="csv", schema="id long, name string")
+    j = read_table(spark, json_dir, fmt="json", schema="id long, name string")
+    assert sorted((r["id"], r["name"]) for r in c.collect()) == sorted(pdf_rows)
+    assert sorted((r["id"], r["name"]) for r in j.collect()) == sorted(pdf_rows)
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    from sparkcheck.io.sinks import write_report_json, write_violations
+    import json as _json
+
+    df = spark.createDataFrame([(1, "r1"), (2, "r2")], "k long, rule_id string")
+    out = str(tmp_path / "viol")
+    write_violations(df, out, partition_by=("rule_id",))
+    back = spark.read.parquet(out)
+    assert back.count() == 2 and set(back.columns) == {"k", "rule_id"}
+
+    p = str(tmp_path / "report.json")
+    write_report_json({"passed": True, "n": 2}, p)
+    assert _json.load(open(p)) == {"passed": True, "n": 2}
+
+
+def test_builtin_rules_and_data_type(spark):
+    from pyspark.sql import functions as F
+    from sparkcheck.compile import summary_df
+    from sparkcheck.rules.models import BUILTIN_RULES, DataTypeRule
+
+    df = spark.createDataFrame(
+        [("a@b.com", "123"), ("not-an-email", "x9"), (None, "7")],
+        "email string, num string",
+    )
+    rules = [BUILTIN_RULES("email")["email"], BUILTIN_RULES("email")["not_null"],
+             DataTypeRule(name="num_is_numeric", column="num", expected_type="double")]
+    out = {r["rule_id"]: r for r in summary_df(df, rules).collect()}
+    assert out["email_email"]["violations"] == 1        # not-an-email (null skipped)
+    assert out["not_null_email"]["violations"] == 1     # the None
+    assert out["num_is_numeric"]["violations"] == 1     # 'x9'
