@@ -124,26 +124,20 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
 def q_histogram_totalprice(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-width histogram (reference db/base.py:467-531 semantics:
     fixed bounds, last-bin clamp)."""
-    o = _t(spark, sf, "orders")
-    lo, hi, bins = 0.0, 500000.0, 10
-    width = (hi - lo) / bins
-    bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
-    ).cast("long")
-    return (
-        o.where(F.col("o_totalprice").isNotNull())
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    from sparkcheck.profile import histogram
+
+    out = histogram(_t(spark, sf, "orders"), "o_totalprice", bins=10, lo=0.0, hi=500000.0)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("bucket_count").alias("cnt"),
     )
 
 
 def q_top_k_brand(spark: SparkSession, sf: str) -> DataFrame:
-    p = _t(spark, sf, "part")
-    return (
-        p.groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("p_brand"))
-        .limit(10)
+    from sparkcheck.profile import top_k
+
+    return top_k(_t(spark, sf, "part"), "p_brand", k=10).select(
+        F.col("value").alias("p_brand"), F.col("value_count").alias("cnt")
     )
 
 
