@@ -45,6 +45,9 @@ LANGS = ("en", "es", "fr", "de", "zh")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The oracle comparison needs timestamp rendering to be UTC-stable
+    # regardless of the harness session's default timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -98,6 +98,22 @@ def main() -> None:
     wt_sec, wt_rows = run_webtext_suite(spark, wt_path)
     timings["webtext_suite"] = round(wt_sec, 3)
 
+    # shuffle-heavy headline: url uniqueness over the webtext table
+    from sparkcheck.integrity import uniqueness_summary
+
+    wt = spark.read.parquet(wt_path)
+    t0 = time.perf_counter()
+    uniqueness_summary(wt, ["url"]).collect()
+    timings["webtext_unique_url"] = round(time.perf_counter() - t0, 3)
+
+    # Arrow/pandas-UDF headline: byte-identity text re-extraction
+    from sparkcheck.textextract.extract import extraction_mismatch_rows
+
+    t0 = time.perf_counter()
+    n_mismatch = extraction_mismatch_rows(wt).count()
+    timings["webtext_extract_identity"] = round(time.perf_counter() - t0, 3)
+    assert n_mismatch == 2 * (WEBTEXT_N // 1000), "planted extraction violations"
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
