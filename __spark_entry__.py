@@ -332,6 +332,17 @@ def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf, "documents"), k=3, num_hashes=4)
 
 
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The full corpus-dedup pipeline: MinHash signatures → LSH band
+    candidates → exact-Jaccard verification — oracle-mirrored end to end."""
+    from sparkcheck.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _t(spark, sf, "documents"), k=3, num_hashes=8, rows_per_band=2,
+        threshold=0.2, max_bucket=None,
+    )
+
+
 def q_simhash_bits(spark: SparkSession, sf: str) -> DataFrame:
     sh = simhash(_t(spark, sf, "documents"), bits=8)
     return _longify(sh, [f"bit_{i}" for i in range(8)])
@@ -518,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_type_conformance": q_data_type_conformance,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_bits": q_simhash_bits,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -860,6 +872,35 @@ WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
         "minhash_signatures": f"""
 WITH {_SHINGLES}
 SELECT id, {minhash_cols_sql} FROM shingles GROUP BY id
+""",
+        "dedup_minhash_lsh": f"""
+WITH {_SHINGLES},
+sigs AS (
+  SELECT id, {', '.join(f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(8))}
+  FROM shingles GROUP BY id
+),
+bands AS (
+  {' UNION ALL '.join(f"SELECT id, {j} AS band_idx, mh_{2*j} || mh_{2*j+1} AS band_key FROM sigs" for j in range(4))}
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT id_a, id_b,
+         round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.2
+)
+SELECT v.* FROM verified v SEMI JOIN cands c
+  ON v.id_a = c.id_a AND v.id_b = c.id_b
 """,
         "simhash_bits": f"WITH {_simhash_sql(8)} SELECT * FROM simhash",
         "simhash_pairs": f"""

@@ -98,3 +98,25 @@ def test_drifted_slice_has_psi_signal(spark):
         bins=20, lo=0.0, hi=800.0,
     )
     assert p > 0.25
+
+
+def test_vectorized_udf_matches_pure_function(spark):
+    """The batched .str path must be byte-identical to extract_text_py
+    on every shape: well-formed, truncated, no-body, unicode, None."""
+    from pyspark.sql import functions as F
+    from sparkcheck.textextract.extract import extract_text_py, extract_text_udf
+
+    cases = [
+        b"<html><head><title>T</title></head><body><p>hello  world</p></body></html>",
+        b"<html><head><title>T</title></head><body><p>trunca",      # no </body>
+        b"no tags at all",
+        "<html><body>ümläut 中文</body></html>".encode(),
+        b"<body a=1>x<div>y</div>z</body>",
+        b"",
+        None,
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, html binary")
+    got = {r["i"]: r["t"] for r in
+           df.select("i", extract_text_udf(F.col("html")).alias("t")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == extract_text_py(c), f"case {i} diverged"
