@@ -144,6 +144,15 @@ def q_top_k_brand(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bottom_k_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Bottom-K frequent values (analyzer.py:148-160 tail)."""
+    from sparkcheck.profile import top_k
+
+    return top_k(_t(spark, sf, "part"), "p_type", k=5, ascending=True).select(
+        F.col("value").alias("p_type"), F.col("value_count").alias("cnt")
+    )
+
+
 def q_uniqueness_orders(spark: SparkSession, sf: str) -> DataFrame:
     return uniqueness_summary(_t(spark, sf, "orders"), ["o_orderkey"])
 
@@ -506,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_stats": q_profile_stats,
         "histogram_totalprice": q_histogram_totalprice,
         "top_k_brand": q_top_k_brand,
+        "bottom_k_type": q_bottom_k_type,
         "uniqueness_orders": q_uniqueness_orders,
         "duplicate_doc_texts": q_duplicate_doc_texts,
         "orphan_orders": q_orphan_orders,
@@ -715,6 +725,10 @@ FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
         "top_k_brand": """
 SELECT p_brand, count(*) AS cnt FROM part GROUP BY 1
 ORDER BY cnt DESC, p_brand ASC LIMIT 10
+""",
+        "bottom_k_type": """
+SELECT p_type, count(*) AS cnt FROM part WHERE p_type IS NOT NULL
+GROUP BY 1 ORDER BY cnt ASC, p_type ASC LIMIT 5
 """,
         "uniqueness_orders": """
 SELECT count(*) AS total_keys, count(DISTINCT o_orderkey) AS distinct_keys,
