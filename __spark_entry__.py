@@ -491,6 +491,21 @@ def q_data_type_conformance(spark: SparkSession, sf: str) -> DataFrame:
     return summary_df(_t(spark, sf, "events"), rules)
 
 
+def q_json_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON scalar functions (§2.8): extract a typed field from the
+    events.props JSON column and aggregate it — pushdown-friendly
+    (get_json_object is codegen'd; no UDF)."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.agg(
+        F.count(k).alias("n_with_k"),
+        F.coalesce(F.sum(k), F.lit(0)).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     out = token_stats(_t(spark, sf, "documents"))
     return _longify(out, ["n_tokens", "n_subtokens", "n_distinct_tokens"])
@@ -537,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_recent_orders": q_orphan_recent_orders,
         "arrow_custom_rule": q_arrow_custom_rule,
         "data_type_conformance": q_data_type_conformance,
+        "json_extract_stats": q_json_extract_stats,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -840,6 +856,14 @@ per_rule AS (
 SELECT rule_id, "column", evaluated, violations, tot.total_rows,
        CASE WHEN evaluated > 0 THEN violations / evaluated ELSE 0.0 END AS violation_rate
 FROM per_rule, tot
+""",
+        "json_extract_stats": """
+SELECT count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(COALESCE(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
 """,
         "unique_violation_groups": """
 SELECT source, lang, count(*) AS dup_count FROM documents
