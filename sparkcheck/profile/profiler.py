@@ -84,7 +84,10 @@ def profile_table(
         kind = _kind(fields[c])
         col = F.col(c)
         exprs.append(F.count(col).alias(f"{c}__nn"))
-        dc = F.approx_count_distinct(col) if approx_distinct else F.count_distinct(col)
+        # rsd=0.01: default 0.05 measured ~7% off on small-cardinality
+        # columns — too loose for drift deltas; 0.01 costs a larger HLL
+        # register set but is still constant memory per column.
+        dc = F.approx_count_distinct(col, 0.01) if approx_distinct else F.count_distinct(col)
         exprs.append(dc.alias(f"{c}__distinct"))
         if kind in ("numeric", "temporal", "string", "boolean"):
             exprs.append(F.min(col).alias(f"{c}__min"))
