@@ -491,6 +491,27 @@ def q_data_type_conformance(spark: SparkSession, sf: str) -> DataFrame:
     return summary_df(_t(spark, sf, "events"), rules)
 
 
+def q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (§2.5 windows): sessions = runs of events
+    per user with < 600s gaps; returns per-user session counts + the
+    longest session length. lag + conditional cumsum — two window passes
+    over one shuffle on user_id."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap >= 600), 1).otherwise(0)
+    sessions = e.select(
+        "user_id", "ts", "event_id", new_session.alias("ns")
+    ).withColumn("session_id", F.sum("ns").over(w))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
 def q_json_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
     """JSON scalar functions (§2.8): extract a typed field from the
     events.props JSON column and aggregate it — pushdown-friendly
@@ -553,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_custom_rule": q_arrow_custom_rule,
         "data_type_conformance": q_data_type_conformance,
         "json_extract_stats": q_json_extract_stats,
+        "sessionization": q_sessionization,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -856,6 +878,26 @@ per_rule AS (
 SELECT rule_id, "column", evaluated, violations, tot.total_rows,
        CASE WHEN evaluated > 0 THEN violations / evaluated ELSE 0.0 END AS violation_rate
 FROM per_rule, tot
+""",
+        "sessionization": """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR FLOOR(epoch(ts)) - FLOOR(epoch(lag(ts) OVER w)) >= 600
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_session GROUP BY 1
 """,
         "json_extract_stats": """
 SELECT count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,

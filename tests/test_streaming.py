@@ -68,3 +68,45 @@ def test_streaming_rule_counts_windowed(spark, tmp_path):
     assert len(rows) == 2  # 120 seconds → two 1-minute windows
     assert sum(r["n_rows"] for r in rows.values()) == 120
     assert sum(r["n_violations"] for r in rows.values()) == 18  # multiples of 7 < 120
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a fingerprint seen in batch 1 must be
+    flagged as duplicate when it reappears in batch 2."""
+    import time as _time
+
+    from sparkcheck.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "dsrc")
+    ckpt = str(tmp_path / "dckpt")
+    b1 = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha")], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    collected: dict[int, bool] = {}
+
+    def _sink(bdf, _bid):
+        for r in bdf.collect():
+            collected[r["doc_id"]] = r["is_duplicate"]
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (streaming_dedup(stream).writeStream.foreachBatch(_sink)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    assert collected[0] is False and collected[1] is False
+    assert collected[2] is True  # duplicate of doc 0 within batch 1
+
+    # second drop: one repeat of batch-1 content, one new doc; the state
+    # store must remember batch-1 fingerprints across query restarts
+    collected.clear()
+    b2 = spark.createDataFrame(
+        [(3, "alpha"), (4, "gamma")], "doc_id long, text string"
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    assert collected == {3: True, 4: False}
