@@ -491,6 +491,32 @@ def q_data_type_conformance(spark: SparkSession, sf: str) -> DataFrame:
     return summary_df(_t(spark, sf, "events"), rules)
 
 
+def q_profile_delta_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's Δ-threshold drift comparison (profiler/
+    analyzer.py:370-443): profile two time slices in ONE conditional-agg
+    scan, flag when |Δ null%| or |Δ distinct%| exceeds 5 points."""
+    e = _t(spark, sf, "events")
+    base = (F.col("ts") < F.lit("2024-01-16")).cast("long")
+    cur = F.lit(1) - base
+
+    def stats(side: F.Column, c: str, tag: str):
+        n = F.sum(side)
+        nn = F.sum(side * F.col(c).isNotNull().cast("long"))
+        ndv = F.count_distinct(F.when(side == 1, F.col(c)))
+        return [
+            F.round((n - nn) * 100.0 / n, 4).alias(f"null_pct_{tag}"),
+            F.round(ndv * 100.0 / n, 4).alias(f"uniq_pct_{tag}"),
+        ]
+
+    out = e.agg(*stats(base, "value", "base"), *stats(cur, "value", "cur"))
+    return out.select(
+        F.lit("value").alias("column"),
+        "null_pct_base", "null_pct_cur", "uniq_pct_base", "uniq_pct_cur",
+        (F.abs(F.col("null_pct_cur") - F.col("null_pct_base")) > 5.0).cast("int").alias("null_drift"),
+        (F.abs(F.col("uniq_pct_cur") - F.col("uniq_pct_base")) > 5.0).cast("int").alias("uniq_drift"),
+    )
+
+
 def q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (§2.5 windows): sessions = runs of events
     per user with < 600s gaps; returns per-user session counts + the
@@ -575,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_type_conformance": q_data_type_conformance,
         "json_extract_stats": q_json_extract_stats,
         "sessionization": q_sessionization,
+        "profile_delta_drift": q_profile_delta_drift,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -878,6 +905,28 @@ per_rule AS (
 SELECT rule_id, "column", evaluated, violations, tot.total_rows,
        CASE WHEN evaluated > 0 THEN violations / evaluated ELSE 0.0 END AS violation_rate
 FROM per_rule, tot
+""",
+        "profile_delta_drift": """
+WITH s AS (
+  SELECT CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_b,
+         count(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value END) AS ndv_b,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c,
+         count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value END) AS ndv_c
+  FROM events
+),
+p AS (
+  SELECT round((n_b - nn_b) * 100.0 / n_b, 4) AS null_pct_base,
+         round(ndv_b * 100.0 / n_b, 4) AS uniq_pct_base,
+         round((n_c - nn_c) * 100.0 / n_c, 4) AS null_pct_cur,
+         round(ndv_c * 100.0 / n_c, 4) AS uniq_pct_cur
+  FROM s
+)
+SELECT 'value' AS column, null_pct_base, null_pct_cur, uniq_pct_base, uniq_pct_cur,
+       CAST(abs(null_pct_cur - null_pct_base) > 5.0 AS INT) AS null_drift,
+       CAST(abs(uniq_pct_cur - uniq_pct_base) > 5.0 AS INT) AS uniq_drift
+FROM p
 """,
         "sessionization": """
 WITH g AS (
