@@ -224,6 +224,35 @@ def q_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_anomaly_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Anomaly detection (reporting/analyzer.py:181-230): union of IQR
+    outliers and z-score>3 outliers, with the method(s) that flagged
+    each row. Bounds from one tiny agg, broadcast to a single filter
+    scan."""
+    c = _t(spark, sf, "customer")
+    b = c.agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_samp("c_acctbal").alias("sd"),
+    )
+    j = c.crossJoin(F.broadcast(b))
+    iqr = F.col("q3") - F.col("q1")
+    is_iqr = (F.col("c_acctbal") < F.col("q1") - 1.5 * iqr) | (
+        F.col("c_acctbal") > F.col("q3") + 1.5 * iqr
+    )
+    is_z = F.abs((F.col("c_acctbal") - F.col("mu")) / F.col("sd")) > 3.0
+    return (
+        j.where(is_iqr | is_z)
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            is_iqr.cast("int").alias("by_iqr"),
+            is_z.cast("int").alias("by_zscore"),
+        )
+    )
+
+
 def q_correlation(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
     return li.agg(
@@ -585,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness_events": q_completeness_events,
         "pattern_rates": q_pattern_rates,
         "iqr_outliers": q_iqr_outliers,
+        "anomaly_outliers": q_anomaly_outliers,
         "correlation": q_correlation,
         "distribution_shape": q_distribution_shape,
         "trend_slope": q_trend_slope,
@@ -830,6 +860,19 @@ WITH b AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1,
                   quantile_cont(c_acctbal, 0.75) AS q3 FROM customer)
 SELECT c_custkey, c_acctbal FROM customer, b
 WHERE c_acctbal < q1 - 1.5 * (q3 - q1) OR c_acctbal > q3 + 1.5 * (q3 - q1)
+""",
+        "anomaly_outliers": """
+WITH b AS (
+  SELECT quantile_cont(c_acctbal, 0.25) AS q1, quantile_cont(c_acctbal, 0.75) AS q3,
+         avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd
+  FROM customer
+)
+SELECT c_custkey, c_acctbal,
+       CAST(c_acctbal < q1 - 1.5*(q3-q1) OR c_acctbal > q3 + 1.5*(q3-q1) AS INT) AS by_iqr,
+       CAST(abs((c_acctbal - mu) / sd) > 3.0 AS INT) AS by_zscore
+FROM customer, b
+WHERE (c_acctbal < q1 - 1.5*(q3-q1) OR c_acctbal > q3 + 1.5*(q3-q1))
+   OR abs((c_acctbal - mu) / sd) > 3.0
 """,
         "correlation": """
 SELECT round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
