@@ -813,7 +813,7 @@ fr AS (
         "rules_summary": rules_summary,
         "profile_stats": profile_stats,
         "histogram_totalprice": """
-SELECT CAST(LEAST(FLOOR((o_totalprice - 0.0) / 50000.0), 9) AS BIGINT) AS bucket,
+SELECT CAST(GREATEST(LEAST(FLOOR((o_totalprice - 0.0) / 50000.0), 9), 0) AS BIGINT) AS bucket,
        count(*) AS cnt
 FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 """,

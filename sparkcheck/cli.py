@@ -71,7 +71,17 @@ def cmd_drift(args) -> int:
     raw["columns"] = {k: ColumnStatistics(**v) for k, v in raw["columns"].items()}
     field_names = {f.name for f in dc.fields(TableProfile)}
     baseline = TableProfile(**{k: v for k, v in raw.items() if k in field_names})
-    current = profile_table(spark.read.parquet(args.table), table_name=baseline.table)
+    # Re-bin the current table on the BASELINE's histogram edges so the
+    # PSI/KS comparison is over aligned bins.
+    bounds = {
+        c: (cs.histogram_lo, cs.histogram_hi)
+        for c, cs in baseline.columns.items()
+        if cs.histogram_lo is not None and cs.histogram_hi is not None
+    }
+    current = profile_table(
+        spark.read.parquet(args.table), table_name=baseline.table,
+        histogram_bounds=bounds or None,
+    )
     delta = compare_profiles(baseline, current)
     with open(args.out, "w") as f:
         json.dump(dc.asdict(delta), f, indent=2, default=str)

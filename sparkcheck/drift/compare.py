@@ -64,7 +64,16 @@ def compare_profiles(baseline: TableProfile, current: TableProfile) -> ProfileDe
         d_uniq = n.unique_percentage - b.unique_percentage
         if abs(d_uniq) > DELTA_THRESHOLD_PCT:
             changes["unique_pct_delta"] = d_uniq
-        if b.histogram and n.histogram and len(b.histogram) == len(n.histogram):
+        edges_align = (
+            b.histogram_lo is not None
+            and b.histogram_lo == n.histogram_lo
+            and b.histogram_hi == n.histogram_hi
+        )
+        # PSI/KS only over ALIGNED bins — profile the current table with
+        # histogram_bounds from the baseline (cli.py does) or the
+        # comparison is positional noise.
+        if (b.histogram and n.histogram and edges_align
+                and len(b.histogram) == len(n.histogram)):
             be = [h["count"] for h in b.histogram]
             ne = [h["count"] for h in n.histogram]
             try:

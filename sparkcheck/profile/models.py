@@ -34,6 +34,11 @@ class ColumnStatistics:
     avg_length: float | None = None
     top_values: list[dict[str, Any]] = field(default_factory=list)
     histogram: list[dict[str, Any]] = field(default_factory=list)
+    # Bin edges the histogram was computed over — drift PSI/KS is only
+    # meaningful when current counts are re-binned on the BASELINE's
+    # edges (compare.py guards on this).
+    histogram_lo: float | None = None
+    histogram_hi: float | None = None
     patterns: list[dict[str, Any]] = field(default_factory=list)
 
     @property

@@ -26,7 +26,7 @@ unchanged at 10^12 rows / 1000 executors.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -72,9 +72,15 @@ def profile_table(
     detect_patterns: bool = True,
     with_histograms: bool = True,
     with_top_k: bool = True,
+    histogram_bounds: Mapping[str, tuple[float, float]] | None = None,
 ) -> TableProfile:
     """Profile every (or selected) column in ONE fused aggregation pass,
-    plus one cheap pass per requested histogram / top-k."""
+    plus one cheap pass per requested histogram / top-k.
+
+    ``histogram_bounds``: per-column (lo, hi) overriding the snapshot's
+    own min/max as bin edges — REQUIRED when profiling the current table
+    for drift against a stored baseline, so PSI/KS compare aligned bins.
+    """
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = list(columns) if columns else list(fields)
 
@@ -150,14 +156,21 @@ def profile_table(
         for c in cols:
             if _kind(fields[c]) != "numeric":
                 continue
-            lo, hi = out[c].min_value, out[c].max_value
+            if histogram_bounds and c in histogram_bounds:
+                lo, hi = histogram_bounds[c]
+            else:
+                lo, hi = out[c].min_value, out[c].max_value
             if lo is None or hi is None or float(hi) == float(lo):
                 continue
             buckets = histogram(df, c, bins=histogram_bins,
                                 lo=float(lo), hi=float(hi)).collect()
+            counts = {r["bucket"]: r["bucket_count"] for r in buckets}
+            # dense bins (empty bins present) so PSI/KS align positionally
             out[c].histogram = [
-                {"bucket": r["bucket"], "count": r["bucket_count"]} for r in buckets
+                {"bucket": b, "count": int(counts.get(b, 0))}
+                for b in range(histogram_bins)
             ]
+            out[c].histogram_lo, out[c].histogram_hi = float(lo), float(hi)
 
     if with_top_k:
         for c in cols:
@@ -188,8 +201,12 @@ def histogram(
         src = df
         lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
     width = (hi_c - lo_c) / F.lit(float(bins))
-    bucket = F.least(
-        F.floor((col - lo_c) / width), F.lit(bins - 1)
+    # clamp BOTH ends: values above hi land in the last bin (reference
+    # db/base.py:510 semantics) and values below lo in the first — the
+    # below-lo case arises when re-binning current data on a stored
+    # baseline's edges for drift PSI.
+    bucket = F.greatest(
+        F.least(F.floor((col - lo_c) / width), F.lit(bins - 1)), F.lit(0)
     ).cast("int")
     return (
         src.where(col.isNotNull())

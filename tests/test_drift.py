@@ -73,3 +73,42 @@ def test_compare_profiles_schema_changes(spark):
     d = compare_profiles(pb, pc)
     assert d.added_columns == ["new_col"]
     assert d.removed_columns == ["old_col"]
+
+
+def test_psi_against_stored_baseline_detects_shift(spark):
+    """The north-rule drift path: baseline profile with stored bin edges;
+    current table re-binned on THOSE edges; PSI flags the shift."""
+    from pyspark.sql import functions as F
+    from sparkcheck.drift import compare_profiles
+    from sparkcheck.profile import profile_table
+
+    base = spark.range(5000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(5000).select(
+        ((F.col("id") % 100) * 0.3 + 65).cast("double").alias("v")
+    )
+    b = profile_table(base, table_name="t")
+    bounds = {"v": (b.columns["v"].histogram_lo, b.columns["v"].histogram_hi)}
+    cur = profile_table(shifted, table_name="t", histogram_bounds=bounds)
+    delta = compare_profiles(b, cur)
+    assert "psi" in delta.column_changes["v"]
+    assert delta.column_changes["v"]["psi"] > 0.25  # major shift
+    assert "v" in delta.drifted_columns
+
+    # same data re-binned on same edges ⇒ zero PSI, no drift
+    cur_same = profile_table(base, table_name="t", histogram_bounds=bounds)
+    d2 = compare_profiles(b, cur_same)
+    assert d2.column_changes.get("v", {}).get("psi", 0.0) < 1e-9
+    assert not d2.has_drift
+
+
+def test_psi_skipped_when_edges_misaligned(spark):
+    from pyspark.sql import functions as F
+    from sparkcheck.drift import compare_profiles
+    from sparkcheck.profile import profile_table
+
+    base = spark.range(1000).select((F.col("id") % 50).cast("double").alias("v"))
+    other = spark.range(1000).select((F.col("id") % 200).cast("double").alias("v"))
+    b = profile_table(base, table_name="t")
+    cur = profile_table(other, table_name="t")  # own edges — misaligned
+    delta = compare_profiles(b, cur)
+    assert "psi" not in delta.column_changes.get("v", {})
