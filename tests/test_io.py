@@ -145,3 +145,17 @@ def test_builtin_rules_and_data_type(spark):
     assert out["email_email"]["violations"] == 1        # not-an-email (null skipped)
     assert out["not_null_email"]["violations"] == 1     # the None
     assert out["num_is_numeric"]["violations"] == 1     # 'x9'
+
+
+def test_html_report(spark, tmp_path):
+    from sparkcheck.io.html_report import write_validation_html
+    from sparkcheck.rules import NullCheckRule, RuleSet
+    from sparkcheck.run import ValidationEngine
+
+    df = spark.createDataFrame([(1, None), (2, "x")], "id long, v string")
+    rs = RuleSet(name="r", rules=(NullCheckRule(name="nn_v", column="v"),))
+    report = ValidationEngine(spark).run(rs, {"t": df})
+    out = str(tmp_path / "report.html")
+    write_validation_html(report, out)
+    body = open(out).read()
+    assert "nn_v" in body and "SUITE FAILED" in body and "<table>" in body
