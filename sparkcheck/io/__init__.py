@@ -5,6 +5,8 @@ from sparkcheck.io.sources import (
     read_table,
 )
 from sparkcheck.io.sinks import write_report_json, write_violations
+from sparkcheck.io.bucketed import colocated_join, write_bucketed
+from sparkcheck.io.html_report import render_validation_html, write_validation_html
 
 __all__ = [
     "load_ruleset_yaml",
@@ -14,4 +16,8 @@ __all__ = [
     "generated_fixture",
     "write_violations",
     "write_report_json",
+    "write_bucketed",
+    "colocated_join",
+    "render_validation_html",
+    "write_validation_html",
 ]

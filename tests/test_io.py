@@ -159,3 +159,29 @@ def test_html_report(spark, tmp_path):
     write_validation_html(report, out)
     body = open(out).read()
     assert "nn_v" in body and "SUITE FAILED" in body and "<table>" in body
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: equally-bucketed tables join WITHOUT a shuffle —
+    the plan must contain no Exchange above either scan."""
+    from pyspark.sql import functions as F
+    from sparkcheck.io.bucketed import colocated_join, write_bucketed
+
+    left = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(left, "bkt_left", ["k"], num_buckets=8, sort_cols=["k"])
+    write_bucketed(right, "bkt_right", ["k"], num_buckets=8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would be broadcast (also shuffle-free, but not
+        # what we're proving); force the sort-merge path big tables take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "bkt_left", "bkt_right", on=["k"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
