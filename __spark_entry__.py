@@ -520,6 +520,22 @@ def q_data_type_conformance(spark: SparkSession, sf: str) -> DataFrame:
     return summary_df(_t(spark, sf, "events"), rules)
 
 
+def q_daily_event_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-bucketed aggregation (§2.8 date/time + §2.4): per-day event
+    counts, mean value, distinct users — the rollup shape of the
+    reference's trend analysis inputs. One shuffle on the day key."""
+    e = _t(spark, sf, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        e.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_profile_delta_drift(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's Δ-threshold drift comparison (profiler/
     analyzer.py:370-443): profile two time slices in ONE conditional-agg
@@ -632,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_stats": q_json_extract_stats,
         "sessionization": q_sessionization,
         "profile_delta_drift": q_profile_delta_drift,
+        "daily_event_stats": q_daily_event_stats,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -948,6 +965,13 @@ per_rule AS (
 SELECT rule_id, "column", evaluated, violations, tot.total_rows,
        CASE WHEN evaluated > 0 THEN violations / evaluated ELSE 0.0 END AS violation_rate
 FROM per_rule, tot
+""",
+        "daily_event_stats": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       round(avg(value), 4) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
 """,
         "profile_delta_drift": """
 WITH s AS (
