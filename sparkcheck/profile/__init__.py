@@ -1,4 +1,5 @@
 from sparkcheck.profile.models import ColumnStatistics, TableProfile
+from sparkcheck.profile.merge import merge_profiles
 from sparkcheck.profile.schema import SchemaDiff, schema_matches, schema_report
 from sparkcheck.profile.profiler import (
     PATTERNS,
@@ -16,6 +17,7 @@ __all__ = [
     "top_k",
     "pattern_match_rates",
     "PATTERNS",
+    "merge_profiles",
     "SchemaDiff",
     "schema_matches",
     "schema_report",

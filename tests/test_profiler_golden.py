@@ -59,3 +59,36 @@ def test_pattern_detection(spark):
     rates = {r["pattern"]: r["match_rate"] for r in pattern_match_rates(df, "email").collect()}
     assert abs(rates["email"] - 0.9) < 1e-12
     assert rates["uuid"] == 0.0
+
+
+def test_merge_profiles_matches_whole_table(spark):
+    """Profiling two halves and merging == profiling the whole (for the
+    mergeable statistics)."""
+    from pyspark.sql import functions as F
+    from sparkcheck.profile import profile_table
+    from sparkcheck.profile.merge import merge_profiles
+
+    df = spark.range(2000).select(
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.lit("s")).alias("s"),
+    )
+    a = df.where(F.col("v") < 50)
+    b = df.where(F.col("v") >= 50)
+    # merged histograms need identical edges — profile halves on the
+    # whole-table bounds (exactly the incremental-batch workflow)
+    whole = profile_table(df, table_name="t")
+    bounds = {"v": (whole.columns["v"].histogram_lo, whole.columns["v"].histogram_hi)}
+    merged = merge_profiles(
+        profile_table(a, table_name="t", histogram_bounds=bounds),
+        profile_table(b, table_name="t", histogram_bounds=bounds),
+    )
+    assert merged.total_rows == whole.total_rows
+    mv, wv = merged.columns["v"], whole.columns["v"]
+    assert (mv.null_count, mv.non_null_count) == (wv.null_count, wv.non_null_count)
+    assert (mv.min_value, mv.max_value) == (wv.min_value, wv.max_value)
+    assert abs(mv.mean - wv.mean) < 1e-9
+    assert abs(mv.stddev - wv.stddev) < 1e-9
+    assert [h["count"] for h in mv.histogram] == [h["count"] for h in wv.histogram]
+    ms, ws = merged.columns["s"], whole.columns["s"]
+    assert ms.null_count == ws.null_count == 200
+    assert mv.distinct_count is None and mv.quartiles is None  # honest non-merge
