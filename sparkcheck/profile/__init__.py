@@ -1,5 +1,6 @@
 from sparkcheck.profile.models import ColumnStatistics, TableProfile
 from sparkcheck.profile.merge import merge_profiles
+from sparkcheck.profile.sketches import merge_ndv_sketches, ndv_sketches
 from sparkcheck.profile.schema import SchemaDiff, schema_matches, schema_report
 from sparkcheck.profile.profiler import (
     PATTERNS,
@@ -18,6 +19,8 @@ __all__ = [
     "pattern_match_rates",
     "PATTERNS",
     "merge_profiles",
+    "ndv_sketches",
+    "merge_ndv_sketches",
     "SchemaDiff",
     "schema_matches",
     "schema_report",

@@ -92,3 +92,17 @@ def test_merge_profiles_matches_whole_table(spark):
     ms, ws = merged.columns["s"], whole.columns["s"]
     assert ms.null_count == ws.null_count == 200
     assert mv.distinct_count is None and mv.quartiles is None  # honest non-merge
+
+
+def test_hll_sketches_merge_across_batches(spark):
+    """Per-batch HLL sketches union to a corpus estimate within ~2% of
+    exact — the mergeable-ndv path merge_profiles points to."""
+    from pyspark.sql import functions as F
+    from sparkcheck.profile.sketches import merge_ndv_sketches, ndv_sketches
+
+    df = spark.range(10000).select((F.col("id") % 3333).alias("k"))
+    a = df.where(F.col("id") < 6000)
+    b = df.where(F.col("id") >= 6000)
+    batches = ndv_sketches(a, ["k"]).unionByName(ndv_sketches(b, ["k"]))
+    est = merge_ndv_sketches(batches, ["k"]).collect()[0]["k__ndv"]
+    assert abs(est - 3333) / 3333 < 0.02
