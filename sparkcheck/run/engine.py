@@ -189,6 +189,17 @@ class ValidationEngine:
                     severity=r.severity.value, elapsed_sec=time.monotonic() - t1,
                 )
             elif isinstance(r, ReferentialIntegrityRule):
+                # missing table ⇒ synthetic failure, never a crash
+                # (the table-level analog of the missing-column guard)
+                absent = [t for t in (r.child_table, r.parent_table) if t not in tables]
+                if absent:
+                    report.outcomes.append(RuleOutcome(
+                        rule_id=r.name, table=r.child_table, column=r.child_column,
+                        passed=False, violations=0, evaluated=0, total_rows=0,
+                        severity=r.severity.value, skipped=True,
+                        message=f"table_exists check failed: {absent} not provided",
+                    ))
+                    continue
                 child = tables[r.child_table]
                 parent = tables[r.parent_table]
                 s = orphan_summary(

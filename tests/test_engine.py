@@ -168,3 +168,21 @@ def test_checkpoint_resume(spark, tmp_path):
     other = [NullCheckRule(name="v_not_null", column="v", max_violations=5)]
     results2 = checkpointed_validate(spark, df, other, F.col("part"), store, suite_name="s")
     assert sum(r.resumed for r in results2) == 0
+
+
+def test_ri_rule_missing_table_is_synthetic_failure(spark):
+    from sparkcheck.rules import NullCheckRule, ReferentialIntegrityRule, RuleSet
+    from sparkcheck.run import ValidationEngine
+
+    df = spark.createDataFrame([(1,)], "id long")
+    rs = RuleSet(name="r", rules=(
+        NullCheckRule(name="nn", column="id"),
+        ReferentialIntegrityRule(
+            name="fk", child_table="missing_child", child_column="id",
+            parent_table="t", parent_column="id"),
+    ))
+    report = ValidationEngine(spark).run(rs, {"t": df})
+    by_id = {o.rule_id: o for o in report.outcomes}
+    assert by_id["nn"].passed
+    assert by_id["fk"].skipped and not by_id["fk"].passed
+    assert "missing_child" in by_id["fk"].message
