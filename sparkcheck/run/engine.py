@@ -244,10 +244,14 @@ class ValidationEngine:
         for row in rows:
             d = row.asDict()
             vc = d.get("violation_count")
+            try:
+                vc = int(vc) if vc is not None else None
+            except (TypeError, ValueError):
+                vc = None  # malformed count column ⇒ row counts as 1 violation
             extra = {k: v for k, v in d.items() if k not in recognized}
             if vc is not None and vc <= 0 and not extra:
                 continue  # passing row (engine.py:556-558)
-            violations += int(vc) if vc is not None else 1
+            violations += vc if vc is not None else 1
             if extra and len(samples) < 10:
                 samples.append(extra)
         return RuleOutcome(
