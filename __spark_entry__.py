@@ -616,6 +616,12 @@ def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return fingerprint(_t(spark, sf, "documents"))
 
 
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from sparkcheck.textstats.analysis import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rules_summary": q_rules_summary,
@@ -661,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -1199,5 +1206,26 @@ FROM h
 SELECT doc_id, md5(text) AS fp_raw,
        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
 FROM documents
+""",
+        "gopher_quality": f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS DOUBLE)
+               / len(string_split(text, ' ')), 4) AS mean_word_len,
+         round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+               / len(string_split(text, ' ')), 4) AS sym_ratio,
+         len(list_filter(string_split(text, ' '), x -> x IN {_EN})) AS stops
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len,
+       CAST(n_words < 5 OR n_words > 100000 AS INT) AS f_word_count,
+       CAST(mean_word_len < 2.0 OR mean_word_len > 12.0 AS INT) AS f_mean_word_len,
+       CAST(sym_ratio > 0.1 AS INT) AS f_symbol_ratio,
+       CAST(stops < 1 AS INT) AS f_no_stopword,
+       CAST(NOT ((n_words < 5 OR n_words > 100000)
+                 OR (mean_word_len < 2.0 OR mean_word_len > 12.0)
+                 OR sym_ratio > 0.1 OR stops < 1) AS INT) AS keep
+FROM q
 """,
     }

@@ -123,6 +123,52 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(*sel)
 
 
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words: int = 5, max_words: int = 100_000,
+    min_mean_word_len: float = 2.0, max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """Gopher-style quality filter battery (Rae et al. '21, §A1.1 rules,
+    simplified): per-doc boolean flags + a keep verdict. All codegen'd
+    Column work — at corpus scale this is THE pre-filter pass before any
+    expensive dedup, so it must stay map-only (it does: no shuffle).
+
+    Flags (True = rule violated):
+      f_word_count     — words outside [min_words, max_words]
+      f_mean_word_len  — mean word length outside [min, max]
+      f_symbol_ratio   — #/ellipsis symbol chars / words > max
+      f_no_stopword    — fewer than min_stop_hits english markers
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / n_words, 4,
+    )
+    symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), F.lit(0)))
+    stops = F.size(
+        F.filter(toks, lambda x: x.isin(*[F.lit(s) for s in STOPWORDS["en"]]))
+    )
+    f_wc = (n_words < min_words) | (n_words > max_words)
+    f_mwl = (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len)
+    f_sym = F.round(symbols.cast("double") / n_words, 4) > max_symbol_ratio
+    f_stop = stops < min_stop_hits
+    return df.select(
+        F.col(id_col),
+        F.col(text_col).isNotNull().alias("_nn"),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        f_wc.cast("int").alias("f_word_count"),
+        f_mwl.cast("int").alias("f_mean_word_len"),
+        f_sym.cast("int").alias("f_symbol_ratio"),
+        f_stop.cast("int").alias("f_no_stopword"),
+        (~(f_wc | f_mwl | f_sym | f_stop)).cast("int").alias("keep"),
+    ).drop("_nn")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of raw text and md5 of the normalized
     (lowercased, whitespace-collapsed, trimmed) text — the exact-dedup

@@ -80,3 +80,20 @@ def test_rolling_fingerprints_deterministic_and_shift_robust(spark):
     for r in again:
         fps2.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert fps == fps2
+
+
+def test_gopher_quality_flags(spark):
+    from sparkcheck.textstats.analysis import gopher_quality_flags
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),   # clean → keep
+        (1, "too short"),                                     # word count
+        (2, "# # # # # # # the a"),                           # symbol ratio
+        (3, "xyzzy plugh quux foobar bazqux"),                # no stopword
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert out[0]["keep"] == 1
+    assert out[1]["f_word_count"] == 1 and out[1]["keep"] == 0
+    assert out[2]["f_symbol_ratio"] == 1 and out[2]["keep"] == 0
+    assert out[3]["f_no_stopword"] == 1 and out[3]["keep"] == 0
