@@ -37,7 +37,14 @@ from sparkcheck.rules.models import (
     RegexRule,
 )
 from sparkcheck.similarity import cosine_topk_bruteforce, cosine_topk_bucketed
-from sparkcheck.textstats import STOPWORDS, fingerprint, lang_id, quality_score, token_stats
+from sparkcheck.textstats import (
+    STOPWORDS,
+    fingerprint,
+    gopher_quality_flags,
+    lang_id,
+    quality_score,
+    token_stats,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -617,8 +624,6 @@ def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
-    from sparkcheck.textstats.analysis import gopher_quality_flags
-
     return gopher_quality_flags(_t(spark, sf, "documents"))
 
 
@@ -1216,7 +1221,7 @@ WITH q AS (
          round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
                / len(string_split(text, ' ')), 4) AS sym_ratio,
          len(list_filter(string_split(text, ' '), x -> x IN {_EN})) AS stops
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, n_words, mean_word_len,
        CAST(n_words < 5 OR n_words > 100000 AS INT) AS f_word_count,

@@ -1,6 +1,7 @@
 from sparkcheck.textstats.analysis import (
     STOPWORDS,
     fingerprint,
+    gopher_quality_flags,
     lang_id,
     quality_score,
     rolling_fingerprints,
@@ -10,6 +11,7 @@ from sparkcheck.textstats.analysis import (
 __all__ = [
     "STOPWORDS",
     "fingerprint",
+    "gopher_quality_flags",
     "lang_id",
     "quality_score",
     "rolling_fingerprints",

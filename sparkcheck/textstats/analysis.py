@@ -43,6 +43,12 @@ def _tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+def _stop_hits(toks: Column, lang: str = "en") -> Column:
+    """Count of tokens in the language's marker set (shared by
+    quality_score, lang_id, and gopher_quality_flags)."""
+    return F.size(F.filter(toks, lambda x: x.isin(*[F.lit(s) for s in STOPWORDS[lang]])))
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc token counts: whitespace tokens, BPE-ish sub-tokens,
     distinct whitespace tokens, mean token length (rounded)."""
@@ -74,9 +80,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     n_tok = F.size(toks)
     n_chars = F.length(t).cast("double")
     punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).cast("double")
-    stops = F.size(
-        F.filter(toks, lambda x: x.isin(*[F.lit(s) for s in STOPWORDS["en"]]))
-    ).cast("double")
+    stops = _stop_hits(toks).cast("double")
     distinct = F.size(F.array_distinct(toks)).cast("double")
 
     # Components are rounded FIRST and the composite score computed from
@@ -107,10 +111,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     in its marker set; predict the argmax (ties broken by language code
     order, 'und' when no marker hits). One map-only pass."""
     toks = _tokens(F.col(text_col))
-    hits = {
-        lang: F.size(F.filter(toks, lambda x: x.isin(*[F.lit(w) for w in words])))
-        for lang, words in STOPWORDS.items()
-    }
+    hits = {lang: _stop_hits(toks, lang) for lang in STOPWORDS}
     best_n = F.greatest(*hits.values())
     # argmax with dict-order tie-break (en > es > fr > de > zh) — a plain
     # CASE chain, trivially mirrored by the SQL oracle
@@ -140,6 +141,10 @@ def gopher_quality_flags(
       f_mean_word_len  — mean word length outside [min, max]
       f_symbol_ratio   — #/ellipsis symbol chars / words > max
       f_no_stopword    — fewer than min_stop_hits english markers
+
+    NULL text is skipped (the engine-wide NULL-skip contract — pair it
+    with a null_check rule to reject null docs), which also keeps
+    pre-ANSI Spark (3.5, where size(split(NULL))=-1) oracle-identical.
     """
     t = F.col(text_col)
     toks = _tokens(t)
@@ -149,16 +154,13 @@ def gopher_quality_flags(
         / n_words, 4,
     )
     symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), F.lit(0)))
-    stops = F.size(
-        F.filter(toks, lambda x: x.isin(*[F.lit(s) for s in STOPWORDS["en"]]))
-    )
+    stops = _stop_hits(toks)
     f_wc = (n_words < min_words) | (n_words > max_words)
     f_mwl = (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len)
     f_sym = F.round(symbols.cast("double") / n_words, 4) > max_symbol_ratio
     f_stop = stops < min_stop_hits
-    return df.select(
+    return df.where(t.isNotNull()).select(
         F.col(id_col),
-        F.col(text_col).isNotNull().alias("_nn"),
         n_words.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         f_wc.cast("int").alias("f_word_count"),
@@ -166,7 +168,7 @@ def gopher_quality_flags(
         f_sym.cast("int").alias("f_symbol_ratio"),
         f_stop.cast("int").alias("f_no_stopword"),
         (~(f_wc | f_mwl | f_sym | f_stop)).cast("int").alias("keep"),
-    ).drop("_nn")
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -90,10 +90,14 @@ def test_gopher_quality_flags(spark):
         (1, "too short"),                                     # word count
         (2, "# # # # # # # the a"),                           # symbol ratio
         (3, "xyzzy plugh quux foobar bazqux"),                # no stopword
+        (4, "a b c d e f g h i j"),                           # mean word len < 2
+        (5, None),                                            # NULL text skipped
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
     assert out[0]["keep"] == 1
     assert out[1]["f_word_count"] == 1 and out[1]["keep"] == 0
     assert out[2]["f_symbol_ratio"] == 1 and out[2]["keep"] == 0
     assert out[3]["f_no_stopword"] == 1 and out[3]["keep"] == 0
+    assert out[4]["f_mean_word_len"] == 1 and out[4]["keep"] == 0
+    assert 5 not in out  # NULL-skip contract: pair with null_check to reject
