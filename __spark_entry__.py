@@ -1199,7 +1199,9 @@ WITH h AS (
   FROM documents
 )
 SELECT doc_id, hits_en, hits_es, hits_fr, hits_de, hits_zh,
-  CASE WHEN GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) = 0 THEN 'und'
+  -- COALESCE: NULL text ⇒ NULL hits ⇒ 'und' (matches the Spark side,
+  -- where when(NULL==0) skips every branch and falls to otherwise('und'))
+  CASE WHEN COALESCE(GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh), 0) = 0 THEN 'und'
        WHEN hits_en = GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'en'
        WHEN hits_es = GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'es'
        WHEN hits_fr = GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'fr'
