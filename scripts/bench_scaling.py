@@ -166,6 +166,8 @@ executor aggregates its partitions independently and the final merge is
 a tree-reduce; there is no single-point stage whose cost grows with
 data size.
 
+Skew-handling evidence: see BENCH/SKEW.md (`python scripts/bench_skew.py`).
+
 Reproduce: `python scripts/bench_scaling.py`
 """)
     print("wrote BENCH/BASELINE.md")

@@ -69,9 +69,9 @@ def main() -> None:
     }
     print(json.dumps(line))
 
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        f.write(f"""
-## Skew handling: salted two-phase aggregation
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
+        f.write(f"""# BENCH/SKEW — salted two-phase aggregation
 
 Exact distinct-URL count per url-host on {n:,} rows where one host owns
 40% of the corpus (every row a distinct url), local[{cpus}]:
@@ -86,7 +86,7 @@ Exact distinct-URL count per url-host on {n:,} rows where one host owns
 plan's hot reducer holds ~4x10^11 values — it does not finish; the salted
 plan is the only viable shape. Reproduce: `python scripts/bench_skew.py`.
 """)
-    print("appended skew section to BENCH/BASELINE.md")
+    print("wrote BENCH/SKEW.md")
 
 
 if __name__ == "__main__":
