@@ -527,6 +527,23 @@ def q_data_type_conformance(spark: SparkSession, sf: str) -> DataFrame:
     return summary_df(_t(spark, sf, "events"), rules)
 
 
+def q_category_set_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical value-set diff (§2.7 set ops; reporting/
+    analyzer.py:571-580 semantics): values present in the baseline slice
+    but missing from the current slice, and vice versa — exceptAll on
+    distinct-value frames (tiny after the distinct)."""
+    e = _t(spark, sf, "events")
+    base = e.select("event_type").distinct()
+    cur = e.where(F.col("value") > 480).select("event_type").distinct()
+    gone = base.exceptAll(cur).select(
+        F.col("event_type").alias("value"), F.lit("missing_in_current").alias("change")
+    )
+    new = cur.exceptAll(base).select(
+        F.col("event_type").alias("value"), F.lit("new_in_current").alias("change")
+    )
+    return gone.unionByName(new)
+
+
 def q_daily_event_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Time-bucketed aggregation (§2.8 date/time + §2.4): per-day event
     counts, mean value, distinct users — the rollup shape of the
@@ -660,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "profile_delta_drift": q_profile_delta_drift,
         "daily_event_stats": q_daily_event_stats,
+        "category_set_drift": q_category_set_drift,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -977,6 +995,15 @@ per_rule AS (
 SELECT rule_id, "column", evaluated, violations, tot.total_rows,
        CASE WHEN evaluated > 0 THEN violations / evaluated ELSE 0.0 END AS violation_rate
 FROM per_rule, tot
+""",
+        "category_set_drift": """
+WITH base AS (SELECT DISTINCT event_type FROM events),
+cur AS (SELECT DISTINCT event_type FROM events WHERE value > 480)
+SELECT event_type AS value, 'missing_in_current' AS change
+FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM cur)
+UNION ALL
+SELECT event_type, 'new_in_current'
+FROM (SELECT * FROM cur EXCEPT ALL SELECT * FROM base)
 """,
         "daily_event_stats": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
