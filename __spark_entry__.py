@@ -644,6 +644,27 @@ def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     return gopher_quality_flags(_t(spark, sf, "documents"))
 
 
+def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus n-gram statistics: top-20 word bigrams with doc frequency —
+    the standard corpus-inspection op (and the input to stopword-phrase
+    discovery for the LSH hot-bucket cap). One explode + one groupBy."""
+    from sparkcheck.dedup.jaccard import shingle_expr
+
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    grams = d.select(
+        F.col("doc_id"), F.explode(shingle_expr(F.col("text"), 2)).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rules_summary": q_rules_summary,
@@ -691,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "gopher_quality": q_gopher_quality,
+        "top_bigrams": q_top_bigrams,
     }
 
 
@@ -1240,6 +1262,19 @@ FROM h
 SELECT doc_id, md5(text) AS fp_raw,
        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
 FROM documents
+""",
+        "top_bigrams": """
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN len(arr) >= 2 THEN array_to_string(arr[i:i+1], ' ')
+              ELSE array_to_string(arr, ' ') END AS bigram
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        WHERE text IS NOT NULL) t,
+       unnest(generate_series(1, GREATEST(len(arr) - 1, 1))) AS u(i)
+)
+SELECT bigram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+FROM grams GROUP BY 1
+ORDER BY occurrences DESC, bigram ASC LIMIT 20
 """,
         "gopher_quality": f"""
 WITH q AS (
