@@ -116,6 +116,31 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["webtext_unique_url"] = round(best, 3)
 
+    # north-rule verdict contract at 8M: per-partition pass/fail verdicts
+    # + violation rows with lineage written to a parquet sink
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from sparkcheck.compile import partition_verdicts, violation_rows
+    from sparkcheck.webtext.generate import webtext_rules
+
+    wt_e = wt.withColumn("warc_ts_epoch", F2.unix_timestamp("warc_ts").cast("double"))
+    rules = webtext_rules()
+    sink = tempfile.mkdtemp(prefix="sparkcheck_viol_")
+    try:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            partition_verdicts(wt_e, rules).collect()
+            violation_rows(wt_e, rules, key_cols=["url"]).write.mode("overwrite").parquet(sink)
+            best = min(best, time.perf_counter() - t0)
+        timings["webtext_verdicts_and_sink"] = round(best, 3)
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+    spark.catalog.clearCache()
+
     # Arrow/pandas-UDF headline: byte-identity text re-extraction
     from sparkcheck.textextract.extract import extraction_mismatch_rows
 

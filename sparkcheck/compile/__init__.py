@@ -7,6 +7,7 @@ from sparkcheck.compile.compiler import (
     CompiledPredicate,
     compile_field_rule,
     fused_agg,
+    partition_verdicts,
     summary_df,
     violation_rows,
     plan_time_check,
@@ -16,6 +17,7 @@ __all__ = [
     "CompiledPredicate",
     "compile_field_rule",
     "fused_agg",
+    "partition_verdicts",
     "summary_df",
     "violation_rows",
     "plan_time_check",

@@ -248,6 +248,42 @@ def summary_df(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     )
 
 
+def partition_verdicts(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Per-PARTITION pass/fail verdicts — the north rule's verdict unit:
+    (partition_id, rule_id, evaluated, violations, passed) one row per
+    (input partition × rule).
+
+    Same fused conditional-sum shape as fused_agg but grouped on
+    ``spark_partition_id()``: map-side partials make the shuffle
+    O(#partitions × #rules) tiny rows. At 10^12 rows this is the frame a
+    cluster job appends to the verdict/checkpoint table so a re-run can
+    prune completed partitions.
+    """
+    compiled = compile_rules(rules)
+    aggs: list[Column] = []
+    for i, cp in enumerate(compiled):
+        aggs.append(F.coalesce(F.sum(cp.applicable.cast("long")), F.lit(0)).alias(f"ev_{i}"))
+        aggs.append(F.coalesce(F.sum(cp.violated.cast("long")), F.lit(0)).alias(f"vi_{i}"))
+    wide = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(*aggs)
+    )
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    pairs = ", ".join(
+        f"{_q(cp.rule.name)}, ev_{i}, vi_{i}" for i, cp in enumerate(compiled)
+    )
+    return wide.selectExpr(
+        "partition_id",
+        f"stack({len(compiled)}, {pairs}) as (rule_id, evaluated, violations)",
+    ).select(
+        "partition_id", "rule_id", "evaluated", "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
 def violation_rows(
     df: DataFrame,
     rules: Sequence[Rule],

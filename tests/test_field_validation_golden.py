@@ -116,3 +116,29 @@ def test_missing_column_guard(spark):
     ok, missing = plan_time_check(df, rules)
     assert [r.name for r in missing] == ["ghost"]
     assert len(ok) == len(RULES)
+
+
+def test_partition_verdicts_sum_to_global(spark):
+    """Per-partition verdicts partition the global counts exactly, and a
+    clean partition reads passed=True even when another fails."""
+    from pyspark.sql import functions as F
+    from sparkcheck.compile import partition_verdicts, summary_df
+    from sparkcheck.rules import NullCheckRule, RangeRule
+
+    df = spark.range(0, 1000, 1, 4).select(
+        F.when(F.col("id") % 250 == 0, None).otherwise(F.col("id")).alias("v")
+    )
+    rules = [NullCheckRule(name="nn", column="v"),
+             RangeRule(name="rg", column="v", min_value=0, max_value=2000)]
+    pv = partition_verdicts(df, rules).collect()
+    assert {r["partition_id"] for r in pv} == {0, 1, 2, 3}
+    glob = {r["rule_id"]: r for r in summary_df(df, rules).collect()}
+    for rid in ("nn", "rg"):
+        per = [r for r in pv if r["rule_id"] == rid]
+        assert sum(r["evaluated"] for r in per) == glob[rid]["evaluated"]
+        assert sum(r["violations"] for r in per) == glob[rid]["violations"]
+    # every 250th id null → one violation in each partition for nn
+    nn = {r["partition_id"]: r for r in pv if r["rule_id"] == "nn"}
+    assert all(not r["passed"] for r in nn.values())
+    rg = {r["partition_id"]: r for r in pv if r["rule_id"] == "rg"}
+    assert all(r["passed"] for r in rg.values())
