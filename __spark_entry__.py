@@ -1218,7 +1218,7 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{_BPE}')) AS BIGINT) AS n_subtokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
        round(CAST(len(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_token_len
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """,
         "quality_scores": f"""
 WITH q AS (
@@ -1230,7 +1230,7 @@ WITH q AS (
            / len(string_split(text, ' ')), 4) AS stop_ratio,
          round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
            / len(string_split(text, ' ')), 4) AS diversity
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, len_score, punct_ratio, stop_ratio, diversity,
        round(0.25 * len_score + 0.25 * (1.0 - LEAST(punct_ratio * 5, 1.0))
@@ -1245,12 +1245,11 @@ WITH h AS (
     CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','des','une'))) AS BIGINT) AS hits_fr,
     CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ein'))) AS BIGINT) AS hits_de,
     CAST(len(list_filter(string_split(text,' '), x -> x IN ('的','是','了','在','我'))) AS BIGINT) AS hits_zh
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, hits_en, hits_es, hits_fr, hits_de, hits_zh,
-  -- COALESCE: NULL text ⇒ NULL hits ⇒ 'und' (matches the Spark side,
-  -- where when(NULL==0) skips every branch and falls to otherwise('und'))
-  CASE WHEN COALESCE(GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh), 0) = 0 THEN 'und'
+  -- NULL text rows are filtered on both sides (NULL-skip contract)
+  CASE WHEN GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) = 0 THEN 'und'
        WHEN hits_en = GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'en'
        WHEN hits_es = GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'es'
        WHEN hits_fr = GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'fr'

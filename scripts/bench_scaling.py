@@ -5,7 +5,9 @@ same job runs at two parallelism levels on the IDENTICAL materialized
 webtext parquet (per driver instruction: "N and 4N cores"), each level
 in a FRESH JVM. Default pair is local[2] vs local[8]: a raw-hardware
 calibration (pure multiprocessing CPU burn, no Spark) shows this box
-scales ~0.99 efficient from 2→8 busy cores but only ~0.53 from 8→32 —
+scales near-linearly from 2→8 busy cores but degrades sharply 8→32
+(measured calibration is printed in the generated BENCH/BASELINE.md;
+last committed run: 0.856 for 2→8, 0.318 for 8→32) —
 the host throttles above ~8 busy cores, so 8→32 measures the hypervisor,
 not the engine. Both pairs are run and reported; the calibration is
 printed alongside so the ceiling is attributable.
@@ -122,7 +124,8 @@ grow N -> 4N. No real cluster exists in this sandbox, so (per driver
 instruction) the SAME job — the full webtext rule-suite fused single-pass
 validation (`sparkcheck.compile.fused_agg` over `webtext_rules()`) — runs
 at two parallelism levels on the IDENTICAL materialized parquet input,
-each in a fresh JVM; best-of-3 timed runs after a warmup scan.
+each in a fresh JVM; best-of-5 timed runs per JVM, two interleaved
+spawn rounds per level (best kept) after a warmup scan.
 
 ## Result: N=2 -> 4N=8 cores
 

@@ -56,21 +56,27 @@ def main() -> int:
             print(f"weak  {name}: no oracle; spark rows={len(srows)}")
             continue
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            # fetchall() (NOT fetchdf) preserves SQL NULL as None and NaN as
+            # float('nan') — pandas would render both as NaN, silently
+            # passing a Spark-NULL vs oracle-NaN mismatch. Same norm() both
+            # sides: None→None, NaN→"NaN".
+            cur = con.execute(oracles[name])
+            ocols_raw = [d[0] for d in cur.description]
+            oraw = cur.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
-        ocols = sorted(odf.columns)
+        ocols = sorted(ocols_raw)
         if ocols != scols:
             print(f"FAIL  {name}: columns spark={scols} oracle={ocols}")
             failures += 1
             continue
+        perm = [ocols_raw.index(c) for c in ocols]
         orows = sorted(
-            tuple(norm(None if (isinstance(v, float) and math.isnan(v)) or v is None
-                       or str(v) == "NaT" else (v.item() if hasattr(v, "item") else v))
-                  for v in row)
-            for row in odf[scols].itertuples(index=False, name=None)
+            tuple(norm(row[i].item() if hasattr(row[i], "item") else row[i])
+                  for i in perm)
+            for row in oraw
         )
         if len(orows) != len(sset):
             print(f"FAIL  {name}: rows spark={len(sset)} oracle={len(orows)}")

@@ -35,6 +35,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pin ANSI semantics (default-on in Spark 4, off in 3.5) so
+        # NULL-propagation of size()/split() etc. is version-independent.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARKCHECK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -47,9 +47,40 @@ def train_centroids(
 
 def _assign(df: DataFrame, centroids: DataFrame, vec_alias: str, id_alias: str,
             n_lists: int = 1) -> DataFrame:
-    """Assign each vector to its ``n_lists`` nearest centroids (by
-    negative dot on normalized vectors ≈ cosine): broadcast crossJoin +
-    ranked filter. Map-only over the big side."""
+    """Assign each vector to its ``n_lists`` nearest centroids (by cosine
+    on normalized vectors).
+
+    n_lists == 1 (the corpus side, the big one): the k centroids are packed
+    into ONE array-of-structs row and broadcast; the argmax is a struct-max
+    over that array — a pure projection, genuinely map-only. No k× row
+    blow-up and, critically, no window shuffle of the corpus (the previous
+    Window.partitionBy(id) exchanged the whole corpus×k frame — a
+    data-proportional shuffle at 10^12 rows).
+
+    n_lists > 1 (the query side, tiny): broadcast crossJoin + ranked window
+    — fine, the frame is |queries|×k rows.
+    """
+    if n_lists == 1:
+        packed = centroids.agg(
+            F.collect_list(F.struct("centroid_id", "centroid")).alias("_cents")
+        )
+        # struct comparison is lexicographic by field: max ⇒ highest _sim,
+        # ties ⇒ highest -centroid_id ⇒ LOWEST centroid_id (same tie-break
+        # as the window's desc(_sim), asc(centroid_id)).
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (_dot(F.col(vec_alias), c["centroid"])
+                 / (F.col("_n") * _norm(c["centroid"]))).alias("_sim"),
+                (-c["centroid_id"]).alias("_neg_id"),
+                c["centroid_id"].alias("centroid_id"),
+            ),
+        )
+        return (
+            df.crossJoin(F.broadcast(packed))
+            .withColumn("centroid_id", F.array_max(scored)["centroid_id"])
+            .drop("_cents")
+        )
     scored = df.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim",
         _dot(F.col(vec_alias), F.col("centroid"))

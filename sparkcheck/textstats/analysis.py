@@ -54,7 +54,10 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     distinct whitespace tokens, mean token length (rounded)."""
     t = F.col(text_col)
     toks = _tokens(t)
-    return df.select(
+    # NULL text is skipped (engine-wide NULL-skip contract); this also
+    # de-couples the result from spark.sql.ansi.enabled — pre-ANSI Spark
+    # returns size(split(NULL))=-1 which would corrupt the counts.
+    return df.where(t.isNotNull()).select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(BPE_ISH), F.lit(0))).alias("n_subtokens"),
@@ -96,7 +99,8 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.lit(0.25) * F.least(stop_ratio * 5, F.lit(1.0))
         + F.lit(0.25) * diversity
     )
-    return df.select(
+    # NULL-skip contract (see token_stats) — keeps pre-ANSI Spark identical.
+    return df.where(t.isNotNull()).select(
         F.col(id_col),
         len_score.alias("len_score"),
         punct_ratio.alias("punct_ratio"),
@@ -109,7 +113,10 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-stopword language ID: per language, count tokens that are
     in its marker set; predict the argmax (ties broken by language code
-    order, 'und' when no marker hits). One map-only pass."""
+    order, 'und' when no marker hits). One map-only pass. NULL text is
+    skipped (NULL-skip contract; also keeps pre-ANSI Spark — where
+    size(split(NULL)) is -1, not NULL — from misclassifying NULL as 'en')."""
+    df = df.where(F.col(text_col).isNotNull())
     toks = _tokens(F.col(text_col))
     hits = {lang: _stop_hits(toks, lang) for lang in STOPWORDS}
     best_n = F.greatest(*hits.values())
