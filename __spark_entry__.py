@@ -665,6 +665,86 @@ def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sql_testsuite(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL unit-test framework e2e (the reference's namesake feature,
+    sql_testing/executor.py + fixtures.py + assertions/engine.py): a
+    5-test suite over parquet + inline fixtures — row_count, is_unique,
+    in_range, schema_matches, tolerance-equals, and a deliberately
+    failing is_empty — executed by SparkTestRunner with per-test session
+    isolation; emits one verdict row per test. The oracle recomputes
+    every assertion in ANSI SQL."""
+    from sparkcheck.testing import (
+        SparkTestRunner,
+        SQLTestCase,
+        SQLTestSuite,
+        TestAssertion,
+        TestFixture,
+    )
+
+    pq = lambda tbl: TestFixture(  # noqa: E731
+        name=tbl, table_name=f"_sx_{tbl}", fixture_type="parquet",
+        data_source=f"{sf}/{tbl}.parquet",
+    )
+    users = TestFixture(
+        name="users", table_name="_sx_users", fixture_type="inline",
+        data_source=[{"id": 1, "age": 30}, {"id": 2, "age": 25}, {"id": 3, "age": 35}],
+        schema="id int, age int",
+    )
+    suite = SQLTestSuite(
+        name="driver_contract_suite",
+        tests=(
+            SQLTestCase(
+                name="region_row_count",
+                sql="SELECT r_regionkey, r_name FROM _sx_region",
+                fixtures=(pq("region"),),
+                assertions=(
+                    TestAssertion("row_count", params={"expected_count": 5}),
+                    TestAssertion("is_unique", params={"column": "r_regionkey"}),
+                    TestAssertion("schema_matches",
+                                  params={"expected_columns": ["r_regionkey", "r_name"]}),
+                ),
+            ),
+            SQLTestCase(
+                name="orders_pk_unique",
+                sql="SELECT o_orderkey FROM _sx_orders",
+                fixtures=(pq("orders"),),
+                assertions=(
+                    TestAssertion("is_unique", params={"column": "o_orderkey"}),
+                    TestAssertion("row_count", params={"min_count": 1}),
+                ),
+            ),
+            SQLTestCase(
+                name="totalprice_range",
+                sql="SELECT o_totalprice FROM _sx_orders",
+                fixtures=(pq("orders"),),
+                assertions=(TestAssertion(
+                    "in_range", params={"column": "o_totalprice", "min": 0, "max": 1000000}),),
+            ),
+            SQLTestCase(
+                name="inline_users_avg",
+                sql="SELECT AVG(age) AS avg_age FROM _sx_users",
+                fixtures=(users,),
+                assertions=(TestAssertion("equals", expected=30.0, tolerance=0.001),),
+            ),
+            SQLTestCase(
+                name="orders_expected_empty",  # deliberately FAILS
+                sql="SELECT o_orderkey FROM _sx_orders LIMIT 10",
+                fixtures=(pq("orders"),),
+                assertions=(TestAssertion("is_empty"),),
+            ),
+        ),
+    )
+    res = SparkTestRunner(spark).execute_suite(suite)
+    rows = [
+        (r.test_name, r.status.value, len(r.assertion_results),
+         sum(1 for a in r.assertion_results if a.passed))
+        for r in res.test_results
+    ]
+    return spark.createDataFrame(
+        rows, "test_name string, status string, n_assertions bigint, n_passed bigint"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rules_summary": q_rules_summary,
@@ -713,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "gopher_quality": q_gopher_quality,
         "top_bigrams": q_top_bigrams,
+        "sql_testsuite": q_sql_testsuite,
     }
 
 
@@ -1295,5 +1376,49 @@ SELECT doc_id, n_words, mean_word_len,
                  OR (mean_word_len < 2.0 OR mean_word_len > 12.0)
                  OR sym_ratio > 0.1 OR stops < 1) AS INT) AS keep
 FROM q
+""",
+        # Recompute each SparkTestRunner assertion verdict in ANSI SQL:
+        # one row per test, status = all-assertions-passed.
+        "sql_testsuite": """
+SELECT 'region_row_count' AS test_name,
+       CASE WHEN count(*) = 5
+                 AND count(r_regionkey) = count(DISTINCT r_regionkey)
+            THEN 'passed' ELSE 'failed' END AS status,
+       CAST(3 AS BIGINT) AS n_assertions,
+       CAST(CASE WHEN count(*) = 5 THEN 1 ELSE 0 END
+            + CASE WHEN count(r_regionkey) = count(DISTINCT r_regionkey)
+                   THEN 1 ELSE 0 END
+            + 1 AS BIGINT) AS n_passed  -- schema_matches: static, passes
+FROM region
+UNION ALL
+SELECT 'orders_pk_unique',
+       CASE WHEN count(o_orderkey) = count(DISTINCT o_orderkey)
+                 AND count(*) >= 1 THEN 'passed' ELSE 'failed' END,
+       CAST(2 AS BIGINT),
+       CAST(CASE WHEN count(o_orderkey) = count(DISTINCT o_orderkey)
+                 THEN 1 ELSE 0 END
+            + CASE WHEN count(*) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'totalprice_range',
+       CASE WHEN min(o_totalprice) >= 0 AND max(o_totalprice) <= 1000000
+            THEN 'passed' ELSE 'failed' END,
+       CAST(1 AS BIGINT),
+       CAST(CASE WHEN min(o_totalprice) >= 0 AND max(o_totalprice) <= 1000000
+                 THEN 1 ELSE 0 END AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'inline_users_avg',
+       CASE WHEN abs((30 + 25 + 35) / 3.0 - 30.0) <= 0.001
+            THEN 'passed' ELSE 'failed' END,
+       CAST(1 AS BIGINT),
+       CAST(CASE WHEN abs((30 + 25 + 35) / 3.0 - 30.0) <= 0.001
+                 THEN 1 ELSE 0 END AS BIGINT)
+UNION ALL
+SELECT 'orders_expected_empty',
+       CASE WHEN count(*) = 0 THEN 'passed' ELSE 'failed' END,
+       CAST(1 AS BIGINT),
+       CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT)
+FROM (SELECT * FROM orders LIMIT 10)
 """,
     }

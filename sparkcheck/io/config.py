@@ -56,6 +56,41 @@ from sparkcheck.rules.models import (
 )
 
 _ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
+_INCLUDE_RE = re.compile(r"^\s*!include\s+[\"']?([^\"'\n]+?)[\"']?\s*$", re.MULTILINE)
+
+
+class IncludeError(ValueError):
+    pass
+
+
+def load_yaml_with_includes(path: str, _stack: tuple[str, ...] = (), _root: str | None = None) -> Any:
+    """Load a YAML file processing whole-line ``!include other.yaml``
+    directives (reference business_rules/config_loader.py:235-285
+    semantics: textual substitution of the included document, circular-
+    include detection). Path-traversal-safe: includes resolve relative to
+    the INCLUDING file and must stay under the root file's directory —
+    absolute paths and ``..`` escapes are rejected."""
+    apath = os.path.realpath(path)
+    root = _root or os.path.dirname(apath)
+    if apath in _stack:
+        chain = " -> ".join([*_stack, apath])
+        raise IncludeError(f"circular include detected: {chain}")
+    with open(apath, encoding="utf-8") as f:
+        content = f.read()
+
+    def _sub(m: re.Match) -> str:
+        inc = m.group(1).strip()
+        if os.path.isabs(inc):
+            raise IncludeError(f"absolute !include paths are not allowed: {inc!r}")
+        resolved = os.path.realpath(os.path.join(os.path.dirname(apath), inc))
+        if not (resolved + os.sep).startswith(root + os.sep) and resolved != root:
+            raise IncludeError(
+                f"!include {inc!r} escapes the config root {root!r}")
+        data = load_yaml_with_includes(resolved, (*_stack, apath), root)
+        return yaml.safe_dump(data or {}, default_flow_style=False, indent=2)
+
+    content = _INCLUDE_RE.sub(_sub, content)
+    return yaml.safe_load(content)
 
 
 def _interp(val: Any) -> Any:
@@ -160,5 +195,4 @@ def load_ruleset_yaml(
     path: str,
     custom_registry: Mapping[str, Callable] | None = None,
 ) -> dict[str, RuleSet]:
-    with open(path) as f:
-        return load_rulesets(yaml.safe_load(f), custom_registry)
+    return load_rulesets(load_yaml_with_includes(path), custom_registry)

@@ -55,7 +55,10 @@ def inline_fixture(
 ) -> DataFrame:
     """List-of-dicts fixture (fixtures.py:126-142)."""
     if schema:
-        ordered = [tuple(r.get(f.split(":")[0].strip()) for f in schema.split(",")) for r in rows]
+        # field names from either DDL ("id int, v string") or colon
+        # ("id: int") schema syntax
+        names = [f.strip().split(":")[0].split()[0] for f in schema.split(",")]
+        ordered = [tuple(r.get(n) for n in names) for r in rows]
         return spark.createDataFrame(ordered, schema)
     return spark.createDataFrame([dict(r) for r in rows])
 

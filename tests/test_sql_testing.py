@@ -1,0 +1,454 @@
+"""End-to-end tests for the SQL unit-testing framework, mirroring the
+reference's integration scenarios (tests/sql_testing/test_integration.py:
+user-count/avg-age/user-exists suite over an inline users fixture) plus
+the Spark-specific surfaces: session isolation, SQL-script fixtures,
+parallel suites, the fluent expect() API, and YAML loading with
+!include."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from sparkcheck.io.config import IncludeError, load_yaml_with_includes
+from sparkcheck.testing import (
+    FixtureType,
+    SQLTestCase,
+    SQLTestSuite,
+    SparkAssertionError,
+    SparkTestRunner,
+    TestAssertion,
+    TestFixture,
+    TestStatus,
+    expect,
+    load_suite_yaml,
+    run_assertion,
+    run_sql_statements,
+    split_sql_statements,
+)
+
+USERS = TestFixture(
+    name="test_users",
+    table_name="users",
+    fixture_type=FixtureType.INLINE,
+    data_source=[
+        {"id": 1, "name": "Alice", "age": 30},
+        {"id": 2, "name": "Bob", "age": 25},
+        {"id": 3, "name": "Charlie", "age": 35},
+    ],
+    schema="id int, name string, age int",
+)
+
+
+# ---------------------------------------------------------------------------
+# reference integration scenario (test_integration.py: user_tests suite)
+
+def test_reference_user_suite(spark):
+    suite = SQLTestSuite(
+        name="user_tests",
+        tests=(
+            SQLTestCase(
+                name="test_user_count",
+                sql="SELECT COUNT(*) AS count FROM users",
+                fixtures=(USERS,),
+                assertions=(TestAssertion("equals", expected=[{"count": 3}]),),
+            ),
+            SQLTestCase(
+                name="test_average_age",
+                sql="SELECT AVG(age) AS avg_age FROM users",
+                fixtures=(USERS,),
+                assertions=(
+                    TestAssertion(
+                        "custom",
+                        custom_function=lambda df: {
+                            "passed": abs(df.first()["avg_age"] - 30) < 0.1,
+                            "actual": df.first()["avg_age"],
+                        },
+                    ),
+                ),
+            ),
+            SQLTestCase(
+                name="test_user_exists",
+                sql="SELECT * FROM users WHERE name = 'Alice'",
+                fixtures=(USERS,),
+                assertions=(
+                    TestAssertion("contains", expected={"name": "Alice", "age": 30}),
+                    TestAssertion("row_count", params={"expected_count": 1}),
+                ),
+            ),
+        ),
+    )
+    result = SparkTestRunner(spark).execute_suite(suite)
+    assert result.total_tests == 3
+    assert result.passed_tests == 3, [
+        (r.test_name, r.error_message, [a.as_dict() for a in r.assertion_results])
+        for r in result.test_results
+    ]
+    assert result.success_rate == 1.0
+
+
+def test_failed_assertion_and_statuses(spark):
+    suite = SQLTestSuite(
+        name="mixed",
+        tests=(
+            SQLTestCase(
+                name="wrong_count",
+                sql="SELECT COUNT(*) AS count FROM users",
+                fixtures=(USERS,),
+                assertions=(TestAssertion("equals", expected=[{"count": 99}]),),
+            ),
+            SQLTestCase(
+                name="bad_sql",
+                sql="SELECT * FROM table_that_does_not_exist_xyz",
+            ),
+            SQLTestCase(name="disabled", sql="SELECT 1", enabled=False),
+            SQLTestCase(
+                name="dependent_on_missing",
+                sql="SELECT 1",
+                depends_on=("never_ran",),
+            ),
+        ),
+    )
+    res = SparkTestRunner(spark).execute_suite(suite)
+    by = {r.test_name: r for r in res.test_results}
+    assert by["wrong_count"].status == TestStatus.FAILED
+    assert by["wrong_count"].assertion_results[0].passed is False
+    assert by["bad_sql"].status == TestStatus.ERROR
+    assert "disabled" not in by  # filtered by enabled_tests()
+    assert by["dependent_on_missing"].status == TestStatus.SKIPPED
+
+
+def test_dependency_ordering_and_execution(spark):
+    """depends_on tests run after their dependency (executor.py:351-384)."""
+    order: list[str] = []
+    suite = SQLTestSuite(
+        name="deps",
+        tests=(
+            SQLTestCase(
+                name="b_child",
+                sql="SELECT 1 AS one",
+                depends_on=("a_parent",),
+                assertions=(TestAssertion(
+                    "custom", custom_function=lambda df: order.append("b_child") or True),),
+            ),
+            SQLTestCase(
+                name="a_parent",
+                sql="SELECT 1 AS one",
+                assertions=(TestAssertion(
+                    "custom", custom_function=lambda df: order.append("a_parent") or True),),
+            ),
+        ),
+    )
+    res = SparkTestRunner(spark).execute_suite(suite)
+    assert all(r.status == TestStatus.PASSED for r in res.test_results)
+    assert order == ["a_parent", "b_child"]
+
+
+def test_session_isolation(spark):
+    """A fixture view registered in one isolated test is invisible to the
+    next test and to the parent session (Spark analog of transaction
+    isolation, executor.py:447-510)."""
+    t1 = SQLTestCase(
+        name="register", sql="SELECT COUNT(*) AS n FROM users", fixtures=(USERS,),
+        assertions=(TestAssertion("equals", expected=3),),
+    )
+    t2 = SQLTestCase(name="cannot_see", sql="SELECT COUNT(*) AS n FROM users")
+    runner = SparkTestRunner(spark)
+    r1 = runner.execute_test(t1)
+    r2 = runner.execute_test(t2)
+    assert r1.status == TestStatus.PASSED
+    assert r2.status == TestStatus.ERROR  # users view not in this session
+    assert "users" not in [v.name for v in spark.catalog.listTables()]
+
+
+def test_setup_teardown_and_multistatement_sql(spark):
+    t = SQLTestCase(
+        name="setup_teardown",
+        setup_sql="CREATE OR REPLACE TEMP VIEW doubled AS SELECT id * 2 AS v FROM src",
+        sql=textwrap.dedent("""
+            CREATE OR REPLACE TEMP VIEW capped AS SELECT v FROM doubled WHERE v <= 4;
+            SELECT SUM(v) AS total FROM capped
+        """),
+        teardown_sql="DROP VIEW IF EXISTS capped; DROP VIEW IF EXISTS doubled",
+        fixtures=(TestFixture(
+            name="src", table_name="src", fixture_type="inline",
+            data_source=[{"id": 1}, {"id": 2}, {"id": 3}], schema="id int"),),
+        assertions=(TestAssertion("equals", expected=6),),
+    )
+    r = SparkTestRunner(spark).execute_test(t)
+    assert r.status == TestStatus.PASSED, (r.error_message, r.assertion_results)
+
+
+def test_sql_script_fixture(spark, tmp_path):
+    """.sql fixture file executed statement-by-statement; last SELECT
+    becomes the fixture table (fixtures.py:110-124)."""
+    script = tmp_path / "orders_fixture.sql"
+    script.write_text(
+        "-- seed data; semicolons inside 'quoted; strings' are preserved\n"
+        "CREATE OR REPLACE TEMP VIEW _raw AS SELECT * FROM VALUES"
+        " (1, 'a;b'), (2, 'c') AS t(id, tag);\n"
+        "SELECT id, upper(tag) AS tag FROM _raw;\n"
+    )
+    t = SQLTestCase(
+        name="script_fixture",
+        sql="SELECT COUNT(*) AS n, MAX(tag) AS mx FROM fixture_orders",
+        fixtures=(TestFixture(
+            name="fixture_orders", table_name="fixture_orders",
+            fixture_type="sql", data_source=str(script)),),
+        assertions=(TestAssertion("equals", expected=[{"n": 2, "mx": "C"}]),),
+    )
+    r = SparkTestRunner(spark).execute_test(t)
+    assert r.status == TestStatus.PASSED, (r.error_message, r.assertion_results)
+
+
+def test_parallel_suite_runs_all(spark):
+    tests = tuple(
+        SQLTestCase(
+            name=f"p{i}",
+            sql=f"SELECT {i} AS v",
+            assertions=(TestAssertion("equals", expected=i),),
+        )
+        for i in range(6)
+    )
+    suite = SQLTestSuite(name="par", tests=tests, parallel=True, max_workers=4)
+    res = SparkTestRunner(spark).execute_suite(suite)
+    assert res.passed_tests == 6
+
+
+def test_fail_fast_stops_suite(spark):
+    suite = SQLTestSuite(
+        name="ff",
+        fail_fast=True,
+        tests=(
+            SQLTestCase(name="a_fails", sql="SELECT 1 AS v",
+                        assertions=(TestAssertion("equals", expected=2),)),
+            SQLTestCase(name="b_never", sql="SELECT 1 AS v"),
+        ),
+    )
+    res = SparkTestRunner(spark).execute_suite(suite)
+    assert [r.test_name for r in res.test_results] == ["a_fails"]
+    assert res.failed_tests == 1
+
+
+# ---------------------------------------------------------------------------
+# assertion engine: all 26 reference types (assertions/engine.py:32-59)
+
+def test_assertion_engine_all_types(spark):
+    df = spark.createDataFrame(
+        [(1, "alice@x.com", 30.0), (2, "bob@y.org", 25.0), (3, "carol@z.io", 35.0)],
+        "id int, email string, score double",
+    )
+    one = spark.sql("SELECT 30.0 AS v")
+    nul = spark.sql("SELECT CAST(NULL AS INT) AS v")
+    empty = df.where("id < 0")
+
+    cases = [
+        (TestAssertion("equals", expected=30.0), one, True),
+        (TestAssertion("not_equals", expected=31.0), one, True),
+        (TestAssertion("greater_than", expected=29), one, True),
+        (TestAssertion("less_than", expected=29), one, False),
+        (TestAssertion("greater_equal", expected=30.0), one, True),
+        (TestAssertion("less_equal", expected=30.0), one, True),
+        (TestAssertion("contains", expected={"id": 2, "email": "bob@y.org"}), df, True),
+        (TestAssertion("not_contains", expected={"id": 9}), df, True),
+        (TestAssertion("starts_with", expected="3"), one, True),
+        (TestAssertion("ends_with", expected=".0"), one, True),
+        (TestAssertion("matches_regex", expected="^3\\d", params={}), one, True),
+        (TestAssertion("matches_regex", expected="^[a-z]+@[a-z.]+$",
+                       params={"column": "email"}), df, True),
+        (TestAssertion("is_null"), nul, True),
+        (TestAssertion("is_not_null"), one, True),
+        (TestAssertion("is_empty"), empty, True),
+        (TestAssertion("is_not_empty"), df, True),
+        (TestAssertion("has_length", expected=4), one, True),   # "30.0"
+        (TestAssertion("has_min_length", expected=2), one, True),
+        (TestAssertion("has_max_length", expected=3), one, False),
+        (TestAssertion("in_range", params={"min": 20, "max": 40}), one, True),
+        (TestAssertion("not_in_range", params={"min": 50, "max": 60}), one, True),
+        (TestAssertion("in_range", params={"column": "score", "min": 20, "max": 40}), df, True),
+        (TestAssertion("is_unique", params={"column": "id"}), df, True),
+        (TestAssertion("has_duplicates", params={"column": "id"}), df, False),
+        (TestAssertion("row_count", params={"expected_count": 3}), df, True),
+        (TestAssertion("row_count", params={"min_count": 1, "max_count": 2}), df, False),
+        (TestAssertion("column_count", params={"expected_count": 3}), df, True),
+        (TestAssertion("schema_matches", params={
+            "expected_columns": ["id", "email"],
+            "expected_types": {"score": "double"}}), df, True),
+        (TestAssertion("schema_matches", params={
+            "expected_columns": ["id", "email", "score"],
+            "allow_extra_columns": False, "strict_order": True}), df, True),
+        (TestAssertion("custom", custom_function=lambda d: d.count() == 3), df, True),
+    ]
+    for assertion, frame, want in cases:
+        out = run_assertion(assertion, frame)
+        assert out.passed is want, (assertion.assertion_type, out.as_dict())
+        assert out.error is None, out.as_dict()
+
+
+def test_equals_tolerance_and_order(spark):
+    df = spark.createDataFrame([(1, 0.30000001), (2, 0.7)], "id int, p double")
+    out = run_assertion(
+        TestAssertion("equals", tolerance=1e-6, ignore_order=True,
+                      expected=[{"id": 2, "p": 0.7}, {"id": 1, "p": 0.3}]),
+        df,
+    )
+    assert out.passed, out.as_dict()
+    strict = run_assertion(
+        TestAssertion("equals", expected=[{"id": 1, "p": 0.3}, {"id": 2, "p": 0.7}]),
+        df,
+    )
+    assert not strict.passed  # no tolerance → float mismatch
+
+
+# ---------------------------------------------------------------------------
+# fluent expect() API (reference testing/assertions.py:147-246)
+
+def test_fluent_expect_chain(spark):
+    df = spark.createDataFrame(
+        [(1, "a@x.com", 10), (2, "b@y.org", 20)], "id int, email string, n int"
+    )
+    (
+        expect(df)
+        .row_count(equals=2)
+        .column_count(3)
+        .is_not_empty()
+        .schema_matches(columns=["id", "email", "n"], types={"id": "int"})
+        .contains({"id": 1, "n": 10})
+        .column("id").is_unique().has_no_nulls().in_range(1, 2)
+        .expect()
+        .column("email").matches_regex("^[ab]@").expect()
+        .column("n").is_in([10, 20])
+    )
+    with pytest.raises(SparkAssertionError, match="row_count"):
+        expect(df).row_count(equals=5)
+    with pytest.raises(SparkAssertionError, match="custom msg"):
+        expect(df).with_message("custom msg").row_count(at_least=3)
+
+
+def test_fluent_query_equals_distributed(spark):
+    a = spark.range(100).withColumnRenamed("id", "v")
+    b = spark.range(100).withColumnRenamed("id", "v")
+    expect(a).query_equals(b)
+    with pytest.raises(SparkAssertionError):
+        expect(a).query_equals(b.where("v < 99"))
+
+
+def test_scalar_extraction(spark):
+    assert expect(spark.sql("SELECT 42 AS v")).scalar() == 42
+    expect(spark.sql("SELECT 42 AS v")).scalar_equals(42)
+
+
+# ---------------------------------------------------------------------------
+# YAML loading (+ !include, env interpolation, no-inline-code policy)
+
+SUITE_YAML = """\
+name: yaml_suite
+description: loaded from yaml
+fixtures:
+  - name: test_users
+    table_name: users
+    fixture_type: inline
+    data_source:
+      - {id: 1, name: Alice, age: 30}
+      - {id: 2, name: Bob, age: 25}
+      - {id: 3, name: Charlie, age: 35}
+    schema: "id int, name string, age int"
+tests:
+  - name: test_user_count
+    sql: SELECT COUNT(*) AS count FROM users
+    fixtures: [test_users]
+    assertions:
+      - {type: equals, expected: [{count: 3}]}
+    isolation_level: transaction   # reference level -> session analog
+  - name: test_age_range
+    sql: SELECT * FROM users
+    fixtures: [test_users]
+    assertions:
+      - {type: in_range, column: age, min: 20, max: 40}
+      - {type: is_unique, column: id}
+      - {type: schema_match, expected_columns: [id, name, age]}
+"""
+
+
+def test_yaml_suite_end_to_end(spark, tmp_path):
+    p = tmp_path / "suite.yaml"
+    p.write_text(SUITE_YAML)
+    suite = load_suite_yaml(str(p))
+    assert suite.name == "yaml_suite"
+    assert suite.tests[0].isolation.value == "session"
+    res = SparkTestRunner(spark).execute_suite(suite)
+    assert res.passed_tests == 2, [
+        (r.test_name, r.error_message, [a.as_dict() for a in r.assertion_results])
+        for r in res.test_results
+    ]
+
+
+def test_yaml_include(tmp_path):
+    (tmp_path / "fixtures.yaml").write_text(
+        "fixtures:\n"
+        "  - {name: t, table_name: t, fixture_type: inline,"
+        " data_source: [{id: 1}]}\n"
+    )
+    (tmp_path / "suite.yaml").write_text(
+        "!include fixtures.yaml\n"
+        "name: inc\n"
+        "tests:\n"
+        "  - {name: t1, sql: SELECT 1 AS v, fixtures: [t]}\n"
+    )
+    suite = load_suite_yaml(str(tmp_path / "suite.yaml"))
+    assert suite.name == "inc"
+    assert suite.tests[0].fixtures[0].name == "t"
+
+
+def test_yaml_include_traversal_blocked(tmp_path):
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (tmp_path / "outside.yaml").write_text("x: 1\n")
+    (sub / "suite.yaml").write_text("!include ../outside.yaml\nname: bad\ntests: []\n")
+    with pytest.raises(IncludeError, match="escapes"):
+        load_yaml_with_includes(str(sub / "suite.yaml"))
+
+
+def test_yaml_include_circular_blocked(tmp_path):
+    (tmp_path / "a.yaml").write_text("!include b.yaml\n")
+    (tmp_path / "b.yaml").write_text("!include a.yaml\n")
+    with pytest.raises(IncludeError, match="circular"):
+        load_yaml_with_includes(str(tmp_path / "a.yaml"))
+
+
+def test_yaml_custom_assertion_requires_registry(tmp_path):
+    p = tmp_path / "s.yaml"
+    p.write_text(
+        "name: s\ntests:\n"
+        "  - name: t1\n    sql: SELECT 1 AS v\n    assertions:\n"
+        "      - {type: custom, custom_function: nope}\n"
+    )
+    with pytest.raises(KeyError, match="unregistered"):
+        load_suite_yaml(str(p))
+    suite = load_suite_yaml(str(p), custom_registry={"nope": lambda df: True})
+    assert suite.tests[0].assertions[0].custom_function is not None
+
+
+# ---------------------------------------------------------------------------
+# SQL statement splitter
+
+def test_split_sql_statements():
+    script = (
+        "SELECT 'a;b' AS x; -- trailing; comment\n"
+        'SELECT ";" AS y;\n'
+        "/* block; comment */ SELECT 3"
+    )
+    stmts = split_sql_statements(script)
+    assert len(stmts) == 3
+    assert stmts[0] == "SELECT 'a;b' AS x"
+    assert stmts[1].startswith("-- trailing; comment")
+
+
+def test_run_sql_statements_lazy_last_select(spark):
+    df = run_sql_statements(
+        spark,
+        "CREATE OR REPLACE TEMP VIEW _tt AS SELECT 1 AS v; SELECT v + 1 AS w FROM _tt",
+    )
+    assert df.collect()[0]["w"] == 2
+    spark.catalog.dropTempView("_tt")
