@@ -1,5 +1,5 @@
 from sparkcheck.dedup.exact import drop_exact_duplicates, exact_duplicate_groups
-from sparkcheck.dedup.jaccard import jaccard_pairs, shingles
+from sparkcheck.dedup.jaccard import jaccard_for_pairs, jaccard_pairs, shingles
 from sparkcheck.dedup.minhash import (
     lsh_candidate_pairs,
     minhash_near_duplicates,
@@ -12,6 +12,7 @@ __all__ = [
     "drop_exact_duplicates",
     "exact_duplicate_groups",
     "shingles",
+    "jaccard_for_pairs",
     "jaccard_pairs",
     "minhash_signatures",
     "lsh_candidate_pairs",

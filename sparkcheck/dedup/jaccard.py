@@ -91,3 +91,53 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard computed ONLY for the given candidate
+    pairs (columns id_a, id_b) — the scale-safe verify stage for LSH.
+
+    Intersections are counted by routing id_a's shingles THROUGH the
+    pair frame and equi-joining to id_b's shingles on (id_b, shingle):
+
+        pairs ⋈ shingles(id_a)            → (id_a, id_b, shingle)   [|A| rows/pair]
+              ⋈ shingles  on (id_b, shingle) → intersection rows    [|A∩B| rows/pair]
+
+    Because id_b is part of the second join key, a boilerplate shingle
+    shared by h candidate docs matches exactly once per pair instead of
+    re-emitting h² rows — the all-pairs quadratic (jaccard_pairs'
+    self-join on shingle alone) cannot re-grow here, no matter how
+    near-dup-heavy the candidate set is. Work is Σ_pairs |A| + |A∩B|,
+    i.e. linear in candidate-pair shingle mass. Pairs with empty
+    intersection fall out (their Jaccard is 0 < threshold).
+    """
+    sh = shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    p = pairs.select("id_a", "id_b")
+    a_sh = p.join(sh.withColumnRenamed("id", "id_a"), "id_a").select(
+        "id_a", "id_b", "shingle"
+    )
+    inter = (
+        a_sh.join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -13,7 +13,8 @@ Pipeline and its shuffle budget:
   2. groupBy(doc).agg(min(h_i) × H)         — 1 shuffle on doc id (uniform)
   3. bands: concat r signature slots        — map-only
   4. groupBy(band value) → candidate pairs  — 1 shuffle on band hash
-  5. exact-Jaccard verify of candidates     — joins on id (uniform)
+  5. exact-Jaccard verify of candidates     — pair-restricted joins
+     (keyed by (id, shingle); linear in candidate-pair shingle mass)
 
 Hot bands (boilerplate-heavy corpora) make step 4 skew: a band bucket of
 h docs yields h² pairs, so buckets larger than ``max_bucket`` are dropped
@@ -28,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from sparkcheck.dedup.jaccard import jaccard_pairs, shingles
+from sparkcheck.dedup.jaccard import jaccard_for_pairs, shingles
 
 
 def _hash_col(i: int):
@@ -105,14 +106,15 @@ def minhash_near_duplicates(
     max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Full pipeline: LSH candidates → exact shingle-Jaccard verify →
-    pairs (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    pairs (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    The verify stage is PAIR-restricted (jaccard_for_pairs): shingles of
+    id_a are routed through the candidate-pair frame and equi-joined to
+    shingles of id_b on (id_b, shingle), so intersection counting is
+    linear in candidate-pair shingle mass. The earlier shape — semi-join
+    the corpus to candidate *ids* then all-pairs Jaccard on the subset —
+    re-grew the h² self-join blowup on boilerplate shingles whenever the
+    candidate subset was large (near-dup-heavy crawls)."""
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, rows_per_band, max_bucket)
-    # Verify ONLY candidate pairs: semi-join the shingle table down to
-    # candidate ids first, then exact Jaccard on that (tiny) subset.
-    ids = cands.select(F.col("id_a").alias("id")).union(
-        cands.select(F.col("id_b").alias("id"))
-    ).distinct()
-    sub = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
-    verified = jaccard_pairs(sub, text_col, id_col, k, threshold)
-    return verified.join(cands, ["id_a", "id_b"], "left_semi")
+    return jaccard_for_pairs(df, cands, text_col, id_col, k, threshold)

@@ -120,3 +120,32 @@ def test_embedding_near_duplicates_bucketed_finds_same_sign_pairs(vecs):
              embedding_near_duplicates(vecs, threshold=0.95, bucketed=True,
                                        n_bucket_dims=2).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_jaccard_for_pairs_matches_allpairs(docs):
+    """Pair-restricted verify must equal the all-pairs result restricted
+    to the same pairs (the scale fix must not change values)."""
+    from sparkcheck.dedup import jaccard_for_pairs
+
+    spark = docs.sparkSession
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs, threshold=0.0).collect()}
+    assert full, "fixture should produce at least one pair"
+    pairs = spark.createDataFrame(sorted(full), ["id_a", "id_b"])
+    restricted = {(r["id_a"], r["id_b"]): r["jaccard"]
+                  for r in jaccard_for_pairs(docs, pairs, threshold=0.0).collect()}
+    assert restricted == full
+    # and a proper subset of pairs returns exactly that subset
+    some = sorted(full)[:2]
+    sub = spark.createDataFrame(some, ["id_a", "id_b"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_for_pairs(docs, sub, threshold=0.0).collect()}
+    assert got == {p: full[p] for p in some}
+
+
+def test_jaccard_for_pairs_zero_intersection_dropped(spark):
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd"), (1, "ee ff gg hh")], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    from sparkcheck.dedup import jaccard_for_pairs
+    assert jaccard_for_pairs(df, pairs, threshold=0.0).count() == 0
