@@ -213,6 +213,33 @@ def q_pattern_rates(spark: SparkSession, sf: str) -> DataFrame:
     return one.selectExpr(f"stack({len(PATTERNS)}, {stack}) as (pattern, match_rate)")
 
 
+def q_pattern_examples(spark: SparkSession, sf: str) -> DataFrame:
+    """Pattern detection WITH example values (profiler/analyzer.py:
+    172-208: 3 sample matched values + confidence per detected pattern).
+    The pattern-bearing column is derived deterministically from customer
+    keys (25% emails, 25% urls, 50% plain names) so two patterns clear
+    the 10% detection gate; examples are the 3 smallest distinct matches
+    (salted two-phase bottom-k — no single-reducer sort)."""
+    from sparkcheck.profile.profiler import pattern_examples
+
+    c = _t(spark, sf, "customer")
+    key = F.col("c_custkey")
+    v = (
+        F.when(key % 4 == 0,
+               F.concat(F.lit("user"), key.cast("string"), F.lit("@example.com")))
+        .when(key % 4 == 1,
+              F.concat(F.lit("https://ex.com/p/"), key.cast("string")))
+        .otherwise(F.col("c_name"))
+    )
+    out = pattern_examples(c.select(v.alias("v")), "v", k=3)
+    return out.select(
+        "pattern",
+        F.round("match_rate", 6).alias("match_rate"),
+        F.col("example_rank").cast("long").alias("example_rank"),
+        "example_value",
+    )
+
+
 def q_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """IQR outlier rows (profiler/analyzer.py:122-128): values outside
     [q1-1.5*IQR, q3+1.5*IQR] over customer acctbal."""
@@ -758,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_lineitem_part": q_orphan_lineitem_part,
         "completeness_events": q_completeness_events,
         "pattern_rates": q_pattern_rates,
+        "pattern_examples": q_pattern_examples,
         "iqr_outliers": q_iqr_outliers,
         "anomaly_outliers": q_anomaly_outliers,
         "correlation": q_correlation,
@@ -930,6 +958,40 @@ round(COALESCE(avg(CASE WHEN regexp_matches(CAST(c_name AS VARCHAR), '{p}')
         for name, p in PATTERNS.items()
     )
 
+    _pat_src = """src AS (
+  SELECT CASE WHEN c_custkey % 4 = 0
+              THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+              WHEN c_custkey % 4 = 1
+              THEN 'https://ex.com/p/' || CAST(c_custkey AS VARCHAR)
+              ELSE c_name END AS v
+  FROM customer)"""
+    _pat_rates = " UNION ALL ".join(
+        f"""SELECT '{name}' AS pattern,
+round(avg(CASE WHEN regexp_matches(v, '{p}') THEN 1 ELSE 0 END), 6) AS match_rate
+FROM src"""
+        for name, p in PATTERNS.items()
+    )
+    _pat_matches = " UNION ALL ".join(
+        f"""SELECT DISTINCT '{name}' AS pattern, v AS example_value
+FROM src WHERE regexp_matches(v, '{p}')"""
+        for name, p in PATTERNS.items()
+    )
+    pattern_examples_sql = f"""
+WITH {_pat_src},
+rates AS ({_pat_rates}),
+matches AS ({_pat_matches}),
+ranked AS (
+  SELECT pattern, example_value,
+         row_number() OVER (PARTITION BY pattern ORDER BY example_value)
+           AS example_rank
+  FROM matches
+)
+SELECT r.pattern, t.match_rate, CAST(r.example_rank AS BIGINT) AS example_rank,
+       r.example_value
+FROM ranked r JOIN rates t USING (pattern)
+WHERE t.match_rate >= 0.10 AND r.example_rank <= 3
+"""
+
     binned = """
 pts AS (
   SELECT CASE WHEN event_type = 'click' THEN 'e' ELSE 'a' END AS slice,
@@ -1005,6 +1067,7 @@ SELECT count(*) AS total_rows,
 FROM events
 """,
         "pattern_rates": pattern_rates,
+        "pattern_examples": pattern_examples_sql,
         "iqr_outliers": """
 WITH b AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1,
                   quantile_cont(c_acctbal, 0.75) AS q3 FROM customer)

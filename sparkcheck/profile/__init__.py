@@ -4,10 +4,13 @@ from sparkcheck.profile.sketches import merge_ndv_sketches, ndv_sketches
 from sparkcheck.profile.schema import SchemaDiff, schema_matches, schema_report
 from sparkcheck.profile.profiler import (
     PATTERNS,
+    fused_histograms,
     histogram,
+    pattern_examples,
     pattern_match_rates,
     profile_table,
     top_k,
+    top_k_all,
 )
 
 __all__ = [
@@ -16,6 +19,9 @@ __all__ = [
     "profile_table",
     "histogram",
     "top_k",
+    "top_k_all",
+    "fused_histograms",
+    "pattern_examples",
     "pattern_match_rates",
     "PATTERNS",
     "merge_profiles",

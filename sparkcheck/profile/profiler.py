@@ -16,19 +16,28 @@ column at once — no sampling split, no per-row Python:
 - string length stats            → F.min/max/avg(F.length)
 - pattern match-rates            → F.avg(rlike(p).cast int), fused in
 
-Only top-k (a groupBy per column, tiny shuffle) and histograms (need
-min/max first ⇒ a second cheap pass) are separate jobs.
+A full profile is exactly THREE jobs regardless of column count:
+
+  1. the fused stats agg above (also yields histogram bounds),
+  2. ONE conditional-agg pass computing every numeric column's histogram
+     (bins × columns sum-of-indicator expressions, map-side combined),
+  3. ONE explode + salted two-phase groupBy computing every categorical
+     column's exact top-k.
+
+The reference launched one query per column per artifact (analyzer.py);
+the round-1 repo still ran ~2 jobs/column — on a 100-column 100 TB table
+that is ~200 redundant scans. Fused, the scan count is constant.
 
 Aggregation without grouping keys is a tree-reduce: shuffle volume is
-O(#columns) per partition, independent of table size ⇒ this holds
-unchanged at 10^12 rows / 1000 executors.
+O(#columns × #bins) per partition, independent of table size ⇒ this
+holds unchanged at 10^12 rows / 1000 executors.
 """
 
 from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from sparkcheck.profile.models import ColumnStatistics, TableProfile
@@ -153,6 +162,7 @@ def profile_table(
         out[c] = cs
 
     if with_histograms:
+        specs: dict[str, tuple[float, float]] = {}
         for c in cols:
             if _kind(fields[c]) != "numeric":
                 continue
@@ -162,26 +172,100 @@ def profile_table(
                 lo, hi = out[c].min_value, out[c].max_value
             if lo is None or hi is None or float(hi) == float(lo):
                 continue
-            buckets = histogram(df, c, bins=histogram_bins,
-                                lo=float(lo), hi=float(hi)).collect()
-            counts = {r["bucket"]: r["bucket_count"] for r in buckets}
+            specs[c] = (float(lo), float(hi))
+        for c, counts in fused_histograms(df, specs, bins=histogram_bins).items():
             # dense bins (empty bins present) so PSI/KS align positionally
             out[c].histogram = [
-                {"bucket": b, "count": int(counts.get(b, 0))}
-                for b in range(histogram_bins)
+                {"bucket": b, "count": int(n)} for b, n in enumerate(counts)
             ]
-            out[c].histogram_lo, out[c].histogram_hi = float(lo), float(hi)
+            out[c].histogram_lo, out[c].histogram_hi = specs[c]
 
     if with_top_k:
-        for c in cols:
-            if _kind(fields[c]) not in ("string", "boolean"):
-                continue
-            rows = top_k(df, c, k=top_k_k).collect()
-            out[c].top_values = [
-                {"value": r["value"], "count": r["value_count"]} for r in rows
-            ]
+        cat_cols = [c for c in cols if _kind(fields[c]) in ("string", "boolean")]
+        if cat_cols:
+            by_col: dict[str, list] = {c: [] for c in cat_cols}
+            for r in top_k_all(df, cat_cols, k=top_k_k).collect():
+                v = r["value"]
+                if isinstance(fields[r["column"]], T.BooleanType):
+                    v = v == "true"
+                by_col[r["column"]].append({"value": v, "count": r["value_count"]})
+            for c, vals in by_col.items():
+                out[c].top_values = vals
 
     return TableProfile(table=table_name, total_rows=total, columns=out)
+
+
+def fused_histograms(
+    df: DataFrame, specs: Mapping[str, tuple[float, float]], bins: int = 10
+) -> dict[str, list[int]]:
+    """Equi-width histograms for MANY columns in ONE aggregation pass:
+    bins × columns conditional sums (sum of bucket-indicator), map-side
+    combined by whole-stage codegen — the fix for the round-1 per-column
+    histogram job loop. Same bucket semantics as ``histogram()`` (floor
+    bucketing, both ends clamped, NULLs dropped)."""
+    if not specs:
+        return {}
+    exprs = []
+    for c, (lo, hi) in specs.items():
+        col = F.col(c).cast("double")
+        width = (hi - lo) / float(bins)
+        bucket = F.greatest(
+            F.least(F.floor((col - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)),
+            F.lit(0),
+        )
+        for b in range(bins):
+            exprs.append(
+                F.sum((col.isNotNull() & (bucket == b)).cast("long")).alias(f"{c}__h{b}")
+            )
+    row = df.agg(*exprs).collect()[0]
+    return {c: [int(row[f"{c}__h{b}"] or 0) for b in range(bins)] for c in specs}
+
+
+def top_k_all(
+    df: DataFrame,
+    columns: Sequence[str],
+    k: int = 10,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact top-k frequent values for MANY columns in ONE job:
+    (column, value, value_count, rn ≤ k).
+
+    Shape: explode each row into (column, value) pairs (map-only, ×|cols|),
+    ONE groupBy (column, value) for exact counts, then a salted two-phase
+    top-k: per-(column, salt) local top-k (parallel windows) → global
+    top-k over the ≤ salt_buckets×k survivors per column. Exact because a
+    value lives in exactly one salt bucket, so every global top-k value
+    is in its bucket's local top-k. No single-reducer sort of a
+    high-cardinality column's distinct values (the naive window
+    partitionBy(column) would funnel e.g. every distinct url through one
+    task). Values are cast to string for the union (callers convert
+    booleans back); tie-break is (count desc, value asc) as in top_k()."""
+    structs = F.array(*[
+        F.struct(F.lit(c).alias("column"), F.col(c).cast("string").alias("value"))
+        for c in columns
+    ])
+    counted = (
+        df.select(F.explode(structs).alias("s"))
+        .select("s.column", "s.value")
+        .where(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("value_count"))
+    )
+    salt = F.pmod(F.xxhash64("value"), F.lit(salt_buckets))
+    w_local = Window.partitionBy("column", "_salt").orderBy(
+        F.desc("value_count"), F.asc("value")
+    )
+    w_global = Window.partitionBy("column").orderBy(
+        F.desc("value_count"), F.asc("value")
+    )
+    return (
+        counted.withColumn("_salt", salt)
+        .withColumn("_r", F.row_number().over(w_local))
+        .where(F.col("_r") <= k)
+        .withColumn("rn", F.row_number().over(w_global))
+        .where(F.col("rn") <= k)
+        .drop("_salt", "_r")
+    )
 
 
 def histogram(
@@ -244,4 +328,53 @@ def pattern_match_rates(df: DataFrame, column: str) -> DataFrame:
     pairs = ", ".join(f"'{name}', {name}" for name in PATTERNS)
     return agg.selectExpr(
         f"stack({len(PATTERNS)}, {pairs}) as (pattern, match_rate)"
+    )
+
+
+def pattern_examples(
+    df: DataFrame,
+    column: str,
+    k: int = 3,
+    min_rate: float = 0.10,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """The k smallest DISTINCT matching values per DETECTED pattern
+    (match-rate ≥ min_rate) — the reference reports 3 example values +
+    confidence per detected pattern (profiler/analyzer.py:172-208); min-k
+    by value makes the examples deterministic at any parallelism.
+
+    Output: (pattern, match_rate, example_rank, example_value).
+
+    Two jobs total, both scale-safe: the rate agg (one fused pass), then
+    explode → distinct (pattern, value) matches → salted two-phase
+    bottom-k (per-(pattern, salt) local min-k, then global min-k over
+    ≤ salt_buckets × k survivors — exact for the same one-bucket-per-value
+    argument as top_k_all, no single-reducer sort of a pattern's distinct
+    matches)."""
+    col = F.col(column)
+    rates = pattern_match_rates(df, column).where(F.col("match_rate") >= min_rate)
+    structs = F.array(*[
+        F.struct(F.lit(name).alias("pattern"),
+                 F.when(col.rlike(pat), col).alias("example_value"))
+        for name, pat in PATTERNS.items()
+    ])
+    matches = (
+        df.where(col.isNotNull())
+        .select(F.explode(structs).alias("s"))
+        .select("s.pattern", "s.example_value")
+        .where(F.col("example_value").isNotNull())
+        .distinct()
+    )
+    w_local = Window.partitionBy("pattern", "_salt").orderBy("example_value")
+    w_global = Window.partitionBy("pattern").orderBy("example_value")
+    bottom = (
+        matches.withColumn("_salt", F.pmod(F.xxhash64("example_value"), F.lit(salt_buckets)))
+        .withColumn("_r", F.row_number().over(w_local))
+        .where(F.col("_r") <= k)
+        .withColumn("example_rank", F.row_number().over(w_global))
+        .where(F.col("example_rank") <= k)
+        .drop("_salt", "_r")
+    )
+    return bottom.join(F.broadcast(rates), "pattern").select(
+        "pattern", "match_rate", "example_rank", "example_value"
     )

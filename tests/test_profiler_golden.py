@@ -106,3 +106,61 @@ def test_hll_sketches_merge_across_batches(spark):
     batches = ndv_sketches(a, ["k"]).unionByName(ndv_sketches(b, ["k"]))
     est = merge_ndv_sketches(batches, ["k"]).collect()[0]["k__ndv"]
     assert abs(est - 3333) / 3333 < 0.02
+
+
+def test_profile_is_three_actions_regardless_of_columns(spark):
+    """The fused profiler runs a CONSTANT number of jobs (3 actions:
+    stats agg, fused histograms, fused top-k) no matter how many columns
+    — the round-1 shape ran ~2 jobs per column (≥40 for this table)."""
+    import pyspark.sql.functions as F
+
+    n_num, n_str = 10, 10
+    df = spark.range(500).select(
+        *[(F.col("id") * (i + 1)).cast("double").alias(f"num{i}") for i in range(n_num)],
+        *[F.concat(F.lit(f"v{i}_"), (F.col("id") % 7).cast("string")).alias(f"str{i}")
+          for i in range(n_str)],
+    )
+    st = spark.sparkContext.statusTracker()
+    all_jobs_before = max(st.getJobIdsForGroup() or [-1])
+    p = profile_table(df, detect_patterns=False)
+    all_jobs_after = max(st.getJobIdsForGroup() or [-1])
+    njobs = all_jobs_after - all_jobs_before
+    assert njobs <= 12, f"expected ≤12 Spark jobs (3 actions + AQE stages), got {njobs}"
+    # and the fused results are complete + correct
+    assert all(p.columns[f"num{i}"].histogram for i in range(n_num))
+    assert all(len(p.columns[f"str{i}"].top_values) == 7 for i in range(n_str))
+    assert sum(b["count"] for b in p.columns["num0"].histogram) == 500
+
+
+def test_top_k_all_matches_per_column_top_k(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 13).cast("string").alias("a"),
+        (F.col("id") % 3 == 0).alias("b"),
+    )
+    fused = {}
+    from sparkcheck.profile import top_k_all
+    for r in top_k_all(df, ["a", "b"], k=5).collect():
+        fused.setdefault(r["column"], []).append((r["value"], r["value_count"]))
+    for c in ["a", "b"]:
+        single = [(str(r["value"]).lower() if c == "b" else r["value"], r["value_count"])
+                  for r in top_k(df, c, k=5).collect()]
+        assert fused[c] == single, c
+
+
+def test_pattern_examples_deterministic_min3(spark):
+    import pyspark.sql.functions as F
+    from sparkcheck.profile import pattern_examples
+
+    rows = [(f"user{i:02d}@ex.com",) for i in range(20)] + [("not-an-email",)] * 5
+    df = spark.createDataFrame(rows, ["v"])
+    got = pattern_examples(df, "v", k=3).orderBy("pattern", "example_rank").collect()
+    assert [r["pattern"] for r in got] == ["email"] * 3
+    assert [r["example_value"] for r in got] == [
+        "user00@ex.com", "user01@ex.com", "user02@ex.com"]
+    assert all(abs(r["match_rate"] - 0.8) < 1e-9 for r in got)
+    # below the 10% gate ⇒ no examples
+    sparse = spark.createDataFrame(
+        [("a@b.co",)] + [("plain",)] * 99, ["v"])
+    assert pattern_examples(sparse, "v", k=3).count() == 0
