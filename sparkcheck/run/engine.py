@@ -9,7 +9,11 @@ business_rules/engine.py:615-697):
 3. FUSE all row-predicate rules per table into ONE agg pass
    (sparkcheck.compile.fused_agg) — the reference's "rule batching"
    upgraded to a single scan
-4. uniqueness / referential rules run as their dedicated join jobs
+4. uniqueness / referential rules run as their dedicated join jobs —
+   submitted CONCURRENTLY per dependency wave (futures + a FAIR
+   scheduler pool, ruleset.max_concurrent driver threads), so
+   independent small join jobs overlap their scans instead of running
+   one .collect() at a time; outcomes stay in topo order
 5. SqlRule runs via spark.sql with the reference's violation-row
    contract (business_rules/engine.py:516-574): each returned row is one
    violation; recognized columns violation_count / message / table_name /
@@ -23,8 +27,9 @@ business_rules/engine.py:615-697):
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Any, Mapping
+from typing import Any, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -109,6 +114,24 @@ def split_rules(rules) -> tuple[list[Rule], list[Rule]]:
     return row_rules, other_rules
 
 
+def _dependency_waves(rules: Sequence[Rule]) -> list[list[Rule]]:
+    """Group topo-ordered rules into waves: wave i holds rules whose
+    deepest in-group dependency chain has length i. Rules within a wave
+    are independent of each other ⇒ safe to run concurrently; waves run
+    in order so depends_on is honored. Deps on rules outside the group
+    (e.g. fused row rules, which always run first) are already satisfied."""
+    names = {r.name for r in rules}
+    level: dict[str, int] = {}
+    waves: list[list[Rule]] = []
+    for r in rules:  # topo order: deps precede dependents
+        lv = 1 + max((level[d] for d in r.depends_on if d in names), default=-1)
+        level[r.name] = lv
+        while len(waves) <= lv:
+            waves.append([])
+        waves[lv].append(r)
+    return waves
+
+
 def _threshold_pass(rule: Rule, violations: int) -> bool:
     if rule.expected_violations is not None:
         return violations == rule.expected_violations
@@ -175,62 +198,89 @@ class ValidationEngine:
             report.elapsed_sec = time.monotonic() - t0
             return report
 
-        # ---- dedicated jobs ----
-        for r in other_rules:
-            t1 = time.monotonic()
-            if isinstance(r, UniqueRule):
-                tbl = tables.get(getattr(r, "table", ""), df)
-                s = uniqueness_summary(tbl, list(r.key_columns), approx=False).collect()[0]
-                viol = s["duplicate_excess"]
-                out = RuleOutcome(
-                    rule_id=r.name, table=table_name, column=",".join(r.key_columns),
-                    passed=_threshold_pass(r, viol), violations=viol,
-                    evaluated=s["total_keys"], total_rows=s["total_keys"],
-                    severity=r.severity.value, elapsed_sec=time.monotonic() - t1,
-                )
-            elif isinstance(r, ReferentialIntegrityRule):
-                # missing table ⇒ synthetic failure, never a crash
-                # (the table-level analog of the missing-column guard)
-                absent = [t for t in (r.child_table, r.parent_table) if t not in tables]
-                if absent:
-                    report.outcomes.append(RuleOutcome(
-                        rule_id=r.name, table=r.child_table, column=r.child_column,
-                        passed=False, violations=0, evaluated=0, total_rows=0,
-                        severity=r.severity.value, skipped=True,
-                        message=f"table_exists check failed: {absent} not provided",
-                    ))
-                    continue
-                child = tables[r.child_table]
-                parent = tables[r.parent_table]
-                s = orphan_summary(
-                    child, r.child_column, parent, r.parent_column,
-                    broadcast_parent=r.broadcast_parent,
-                ).collect()[0]
-                viol = s["orphan_count"]
-                out = RuleOutcome(
-                    rule_id=r.name, table=r.child_table,
-                    column=r.child_column,
-                    passed=_threshold_pass(r, viol), violations=viol,
-                    evaluated=viol, total_rows=viol,
-                    severity=r.severity.value, elapsed_sec=time.monotonic() - t1,
-                    message=f"distinct orphan keys: {s['distinct_orphan_keys']}",
-                )
-            elif isinstance(r, SqlRule):
-                out = self._run_sql_rule(r, table_name)
-                out.elapsed_sec = time.monotonic() - t1
+        # ---- dedicated jobs, concurrent per dependency wave ----
+        # Rules with all deps satisfied run together: each wave's jobs
+        # are submitted from ruleset.max_concurrent driver threads into a
+        # FAIR pool (the reference ran rules in a thread pool,
+        # business_rules/engine.py:615-697 — here concurrency overlaps
+        # SPARK JOB scans, which is where the time goes on a cluster).
+        sc = self.spark.sparkContext
+        for wave in _dependency_waves(other_rules):
+            def _one(r: Rule) -> RuleOutcome:
+                sc.setLocalProperty("spark.scheduler.pool", "sparkcheck-rules")
+                try:
+                    return self._run_other_rule(r, tables, table_name, df)
+                finally:
+                    sc.setLocalProperty("spark.scheduler.pool", None)
+
+            if len(wave) == 1 or ruleset.max_concurrent <= 1:
+                outs = [_one(r) for r in wave]
             else:
-                out = RuleOutcome(
-                    rule_id=r.name, table=table_name, column="",
-                    passed=False, violations=0, evaluated=0, total_rows=0,
-                    severity=r.severity.value, skipped=True,
-                    message=f"unsupported rule type {type(r).__name__}",
-                )
-            report.outcomes.append(out)
-            if ruleset.fail_fast and not out.passed and out.severity == Severity.ERROR.value:
+                with ThreadPoolExecutor(max_workers=ruleset.max_concurrent) as pool:
+                    outs = list(pool.map(_one, wave))
+            report.outcomes.extend(outs)  # topo/wave order, not completion order
+            if ruleset.fail_fast and any(
+                not o.passed and o.severity == Severity.ERROR.value for o in outs
+            ):
                 break
 
         report.elapsed_sec = time.monotonic() - t0
         return report
+
+    def _run_other_rule(
+        self,
+        r: Rule,
+        tables: Mapping[str, DataFrame],
+        table_name: str,
+        df: DataFrame,
+    ) -> RuleOutcome:
+        t1 = time.monotonic()
+        if isinstance(r, UniqueRule):
+            tbl = tables.get(getattr(r, "table", ""), df)
+            s = uniqueness_summary(tbl, list(r.key_columns), approx=False).collect()[0]
+            viol = s["duplicate_excess"]
+            return RuleOutcome(
+                rule_id=r.name, table=table_name, column=",".join(r.key_columns),
+                passed=_threshold_pass(r, viol), violations=viol,
+                evaluated=s["total_keys"], total_rows=s["total_keys"],
+                severity=r.severity.value, elapsed_sec=time.monotonic() - t1,
+            )
+        if isinstance(r, ReferentialIntegrityRule):
+            # missing table ⇒ synthetic failure, never a crash
+            # (the table-level analog of the missing-column guard)
+            absent = [t for t in (r.child_table, r.parent_table) if t not in tables]
+            if absent:
+                return RuleOutcome(
+                    rule_id=r.name, table=r.child_table, column=r.child_column,
+                    passed=False, violations=0, evaluated=0, total_rows=0,
+                    severity=r.severity.value, skipped=True,
+                    message=f"table_exists check failed: {absent} not provided",
+                )
+            child = tables[r.child_table]
+            parent = tables[r.parent_table]
+            s = orphan_summary(
+                child, r.child_column, parent, r.parent_column,
+                broadcast_parent=r.broadcast_parent,
+            ).collect()[0]
+            viol = s["orphan_count"]
+            return RuleOutcome(
+                rule_id=r.name, table=r.child_table,
+                column=r.child_column,
+                passed=_threshold_pass(r, viol), violations=viol,
+                evaluated=viol, total_rows=viol,
+                severity=r.severity.value, elapsed_sec=time.monotonic() - t1,
+                message=f"distinct orphan keys: {s['distinct_orphan_keys']}",
+            )
+        if isinstance(r, SqlRule):
+            out = self._run_sql_rule(r, table_name)
+            out.elapsed_sec = time.monotonic() - t1
+            return out
+        return RuleOutcome(
+            rule_id=r.name, table=table_name, column="",
+            passed=False, violations=0, evaluated=0, total_rows=0,
+            severity=r.severity.value, skipped=True,
+            message=f"unsupported rule type {type(r).__name__}",
+        )
 
     def _run_sql_rule(self, rule: SqlRule, table_name: str) -> RuleOutcome:
         """spark.sql + the reference's violation contract

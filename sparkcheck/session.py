@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARKCHECK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # FAIR scheduling so concurrently-submitted rule/test jobs share
+        # executors instead of queueing behind one long scan (the engine
+        # and test runner submit independent jobs from driver threads).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
     if extra_conf:

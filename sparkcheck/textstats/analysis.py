@@ -203,17 +203,45 @@ def rolling_fingerprints(
     in each sliding window of ``window`` hashes → a sparse, position-
     robust fingerprint set per doc.
 
-    The rolling recurrence is inherently sequential per document, so this
-    is the one text op that uses Python — an Arrow-batched pandas UDF
-    (per-batch vectorized numpy, never per-row Spark Python). Output:
-    (id, fingerprint) exploded rows.
+    Fully VECTORIZED inside the Arrow batch (no per-byte Python): the
+    k-gram polynomial hash is computed as k numpy passes of
+    Mersenne-prime modular arithmetic (M = 2^61−1, so reduction is
+    shift-and-add: 2^61 ≡ 1), and the window minimum uses a zero-copy
+    sliding_window_view. Values are bit-identical to the scalar
+    recurrence h = (h·B + byte) mod M — both evaluate the same
+    polynomial Σ byte[i+j]·B^{k−1−j} mod M.
     """
     import numpy as np
 
     B, M = 257, (1 << 61) - 1
+    POWS = [pow(B, k - 1 - j, M) for j in range(k)]  # B^{k-1-j} mod M
+    LOW53 = (1 << 53) - 1
+
+    def _gram_hashes(b: "np.ndarray") -> "np.ndarray":
+        """h[i] = Σ_j b[i+j]·POWS[j] mod M, vectorized over all i.
+        Each term b·p (b < 2^8, p < 2^61) is reduced without overflow by
+        splitting p = p_hi·2^53 + p_lo and folding 2^61 ≡ 1 (mod M)."""
+        n = len(b) - k + 1
+        acc = np.zeros(n, dtype=np.uint64)
+        for j, p in enumerate(POWS):
+            bj = b[j : j + n].astype(np.uint64)
+            p_hi, p_lo = p >> 53, p & LOW53
+            t = bj * np.uint64(p_hi)                    # < 2^16
+            term = (
+                bj * np.uint64(p_lo)                    # < 2^61
+                + (t >> np.uint64(8))                   # t2: 2^61 folds to 1
+                + ((t & np.uint64(0xFF)) << np.uint64(53))  # t1·2^53 < 2^61
+            )
+            acc += term                                 # ≤ ~3·2^61 + acc < 2^64
+            acc = (acc >> np.uint64(61)) + (acc & np.uint64(M))
+        acc = (acc >> np.uint64(61)) + (acc & np.uint64(M))
+        acc[acc >= M] -= np.uint64(M)
+        return acc
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _winnow(texts: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
         out = []
         for s in texts:
             if s is None or len(s) < k:
@@ -223,36 +251,12 @@ def rolling_fingerprints(
             if len(b) < k:
                 out.append([])
                 continue
-            # rolling hash over byte k-grams, vectorized with object-free
-            # modular arithmetic via Python ints per step on the hash
-            # chain but numpy for the gram matrix when short enough
-            n = len(b) - k + 1
-            h = np.zeros(n, dtype=np.uint64)
-            cur = 0
-            bk = pow(B, k - 1, M)
-            for i in range(k):
-                cur = (cur * B + int(b[i])) % M
-            h[0] = cur
-            for i in range(1, n):
-                cur = ((cur - int(b[i - 1]) * bk) * B + int(b[i + k - 1])) % M
-                h[i] = cur
-            if n <= window:
+            h = _gram_hashes(b)
+            if len(h) <= window:
                 out.append([int(h.min())])
                 continue
-            # winnow: min of each window, dedup consecutive picks
-            picks = set()
-            from collections import deque
-
-            dq: deque[int] = deque()
-            for i in range(n):
-                while dq and h[dq[-1]] >= h[i]:
-                    dq.pop()
-                dq.append(i)
-                if dq[0] <= i - window:
-                    dq.popleft()
-                if i >= window - 1:
-                    picks.add(int(h[dq[0]]))
-            out.append(sorted(picks))
+            mins = sliding_window_view(h, window).min(axis=1)
+            out.append(np.unique(mins).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(

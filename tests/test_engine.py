@@ -186,3 +186,40 @@ def test_ri_rule_missing_table_is_synthetic_failure(spark):
     assert by_id["nn"].passed
     assert by_id["fk"].skipped and not by_id["fk"].passed
     assert "missing_child" in by_id["fk"].message
+
+
+def test_independent_rules_run_concurrently(spark):
+    """≥3 independent non-fused rules must overlap their Spark jobs:
+    suite wall time < sum of per-rule wall times (each rule's job is a
+    single 1-task sleep, so sequential execution would be ~additive)."""
+    import time as _time
+
+    from sparkcheck.run.engine import ValidationEngine, _dependency_waves
+
+    spark.udf.register("sc_slow_id", lambda x: _time.sleep(0.1) or x, "long")
+    spark.range(1).createOrReplaceTempView("eng_conc_tiny")
+
+    def slow_rule(name, deps=()):
+        # 10 rows × 0.1 s in ONE task ⇒ ~1 s of genuinely serial job time
+        return SqlRule(
+            name=name,
+            sql="SELECT count(*) AS violation_count FROM "
+                "(SELECT sc_slow_id(id) AS s FROM range(0, 10, 1, 1)) WHERE s < 0",
+            depends_on=tuple(deps),
+        )
+
+    rules = (slow_rule("r1"), slow_rule("r2"), slow_rule("r3"),
+             slow_rule("r4_dep", deps=["r1"]))
+    waves = _dependency_waves(list(rules))
+    assert [sorted(r.name for r in w) for w in waves] == [
+        ["r1", "r2", "r3"], ["r4_dep"]]
+
+    rs = RuleSet(name="conc", rules=rules, max_concurrent=4)
+    rep = ValidationEngine(spark).run(
+        rs, {"eng_conc_tiny": spark.table("eng_conc_tiny")})
+    assert all(o.passed for o in rep.outcomes), [o.message for o in rep.outcomes]
+    assert [o.rule_id for o in rep.outcomes] == ["r1", "r2", "r3", "r4_dep"]
+    per_rule = sum(o.elapsed_sec for o in rep.outcomes)
+    # wave 1 overlaps its three ~1 s jobs; wave 2 adds ~1 s. Sequential
+    # would be ≥ per_rule (~4 s); require clear overlap with noise margin.
+    assert rep.elapsed_sec < per_rule * 0.75, (rep.elapsed_sec, per_rule)

@@ -101,3 +101,61 @@ def test_gopher_quality_flags(spark):
     assert out[3]["f_no_stopword"] == 1 and out[3]["keep"] == 0
     assert out[4]["f_mean_word_len"] == 1 and out[4]["keep"] == 0
     assert 5 not in out  # NULL-skip contract: pair with null_check to reject
+
+
+def test_rolling_fingerprints_bit_identical_to_scalar_reference(spark):
+    """The vectorized Mersenne-modular gram hash must reproduce the
+    scalar rolling recurrence h = (h*B + byte) mod M byte-for-byte
+    (round-1 implementation semantics), including the winnowed pick set."""
+    import random
+
+    B, M = 257, (1 << 61) - 1
+
+    def scalar_winnow(s: str, k: int, window: int) -> list[int]:
+        from collections import deque
+
+        b = s.encode("utf-8", "surrogatepass")
+        if len(s) < k or len(b) < k:
+            return []
+        n = len(b) - k + 1
+        h = []
+        cur = 0
+        bk = pow(B, k - 1, M)
+        for i in range(k):
+            cur = (cur * B + b[i]) % M
+        h.append(cur)
+        for i in range(1, n):
+            cur = ((cur - b[i - 1] * bk) * B + b[i + k - 1]) % M
+            h.append(cur)
+        if n <= window:
+            return [min(h)]
+        picks = set()
+        dq: deque[int] = deque()
+        for i in range(n):
+            while dq and h[dq[-1]] >= h[i]:
+                dq.pop()
+            dq.append(i)
+            if dq[0] <= i - window:
+                dq.popleft()
+            if i >= window - 1:
+                picks.add(h[dq[0]])
+        return sorted(picks)
+
+    rng = random.Random(7)
+    docs = [
+        "",
+        "short",
+        "a" * 50,                                  # degenerate: equal hashes
+        "the quick brown fox jumps over the lazy dog",
+        "héllo wörld — unicode ✓ bytes beyond ascii " * 3,
+        "".join(chr(rng.randrange(32, 0x2FF)) for _ in range(400)),
+        "".join(chr(rng.randrange(97, 123)) for _ in range(1000)),
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               ["doc_id", "text"])
+    for k, window in [(8, 4), (5, 3), (4, 10)]:
+        got: dict[int, list[int]] = {i: [] for i in range(len(docs))}
+        for r in rolling_fingerprints(df, k=k, window=window).collect():
+            got[r["doc_id"]].append(r["fingerprint"])
+        for i, d in enumerate(docs):
+            assert sorted(got[i]) == scalar_winnow(d, k, window), (i, k, window)
