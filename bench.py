@@ -117,13 +117,15 @@ def main() -> None:
     timings["webtext_unique_url"] = round(best, 3)
 
     # north-rule verdict contract at 8M: per-partition pass/fail verdicts
-    # + violation rows with lineage written to a parquet sink
+    # + violation rows with lineage written to a parquet sink — from ONE
+    # shared scan (verdicts_and_sink persists the input, the verdict agg
+    # fills the cache, the sink write reads it back)
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F2
 
-    from sparkcheck.compile import partition_verdicts, violation_rows
+    from sparkcheck.compile import verdicts_and_sink
     from sparkcheck.webtext.generate import webtext_rules
 
     wt_e = wt.withColumn("warc_ts_epoch", F2.unix_timestamp("warc_ts").cast("double"))
@@ -133,8 +135,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            partition_verdicts(wt_e, rules).collect()
-            violation_rows(wt_e, rules, key_cols=["url"]).write.mode("overwrite").parquet(sink)
+            verdicts_and_sink(wt_e, rules, key_cols=["url"], sink_path=sink)
             best = min(best, time.perf_counter() - t0)
         timings["webtext_verdicts_and_sink"] = round(best, 3)
     finally:

@@ -8,6 +8,7 @@ from sparkcheck.compile.compiler import (
     compile_field_rule,
     fused_agg,
     partition_verdicts,
+    verdicts_and_sink,
     summary_df,
     violation_rows,
     plan_time_check,
@@ -18,6 +19,7 @@ __all__ = [
     "compile_field_rule",
     "fused_agg",
     "partition_verdicts",
+    "verdicts_and_sink",
     "summary_df",
     "violation_rows",
     "plan_time_check",

@@ -323,3 +323,60 @@ def violation_rows(
             .drop("rn")
         )
     return out
+
+
+def verdicts_and_sink(
+    df: DataFrame,
+    rules: Sequence[Rule],
+    key_cols: Sequence[str],
+    sink_path: str,
+    mode: str = "overwrite",
+    sink_format: str = "parquet",
+    storage_level=None,
+) -> list:
+    """The north-rule output contract — per-partition pass/fail verdicts
+    PLUS the violation-row sink — over a shared, rule-pruned projection.
+
+    Both outputs read ONLY the columns the rules and lineage keys touch
+    (the explicit select below); on a columnar source each pass is a
+    pruned scan of that handful of columns, never the wide row (e.g. raw
+    html bytes stay untouched).
+
+    ``storage_level=None`` (default): the two outputs are two pruned
+    scans. Measured on the 8M-doc webtext bench, this beats persisting:
+    re-decoding 4 pruned parquet columns costs ~8 s total while
+    materializing the same rows into the block-store cache costs ~16 s
+    best-case (85 s cold) — a decoded row cache is BIGGER and slower
+    than the compressed columnar source it came from.
+
+    Pass a ``pyspark.StorageLevel`` (e.g. DISK_ONLY) to share one scan
+    through a cache instead — the right choice when the source is
+    expensive to re-read (remote object store without page cache, a
+    non-columnar format, or an upstream transform worth reusing). A
+    cache also pins ONE partitioning for both outputs, making the
+    sink's ``partition_id`` lineage provably the partitions the
+    verdicts scored; without it, both passes read the same file splits
+    (deterministic for file sources, but not contractual).
+
+    Returns the collected verdict rows (driver-sized:
+    #partitions × #rules)."""
+    needed: list[str] = list(key_cols)
+    for r in rules:
+        col = getattr(r, "column", None)
+        if col and col not in needed:
+            needed.append(col)
+        for col in getattr(r, "required_columns", ()):  # CompletenessRule
+            if col not in needed:
+                needed.append(col)
+    pruned = df.select(*needed)
+    cached = pruned.persist(storage_level) if storage_level is not None else pruned
+    try:
+        verdicts = partition_verdicts(cached, rules).collect()
+        (
+            violation_rows(cached, rules, key_cols)
+            .write.mode(mode).format(sink_format).save(sink_path)
+        )
+        return verdicts
+    finally:
+        if storage_level is not None:
+            cached.unpersist()

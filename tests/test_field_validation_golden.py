@@ -142,3 +142,54 @@ def test_partition_verdicts_sum_to_global(spark):
     assert all(not r["passed"] for r in nn.values())
     rg = {r["partition_id"]: r for r in pv if r["rule_id"] == "rg"}
     assert all(r["passed"] for r in rg.values())
+
+
+def test_verdicts_and_sink_single_scan_matches_two_pass(spark, tmp_path):
+    """verdicts_and_sink must return the same verdict rows and write the
+    same violation rows as the separate two-scan computation, from one
+    cached pass."""
+    import pyspark.sql.functions as F
+
+    from sparkcheck.compile import partition_verdicts, verdicts_and_sink, violation_rows
+    from sparkcheck.rules import NullCheckRule, RangeRule
+
+    df = spark.range(0, 1000, 1, 4).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id")).alias("v"),
+    ).persist()
+    df.count()
+    rules = [NullCheckRule(name="nn_v", column="v"),
+             RangeRule(name="rg_v", column="v", min_value=0, max_value=900)]
+    sink = str(tmp_path / "sink")
+    verdicts = verdicts_and_sink(df, rules, key_cols=["id"], sink_path=sink)
+
+    expected_v = partition_verdicts(df, rules).collect()
+    key = lambda r: (r["partition_id"], r["rule_id"])  # noqa: E731
+    assert sorted([tuple(r) for r in verdicts]) == sorted([tuple(r) for r in expected_v])
+    assert sum(r["violations"] for r in verdicts) == 10 + 99  # nulls + >900
+
+    got = {(r["id"], tuple(r["failed_rules"])) for r in spark.read.parquet(sink).collect()}
+    want = {(r["id"], tuple(r["failed_rules"]))
+            for r in violation_rows(df, rules, key_cols=["id"]).collect()}
+    assert got == want and len(got) == 109
+    df.unpersist()
+
+
+def test_verdicts_and_sink_with_cache_mode(spark, tmp_path):
+    """storage_level= shares one scan through a cache; outputs identical."""
+    import pyspark.sql.functions as F
+    from pyspark import StorageLevel
+
+    from sparkcheck.compile import verdicts_and_sink
+    from sparkcheck.rules import NullCheckRule
+
+    df = spark.range(0, 100, 1, 2).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+        F.col("id"),
+    )
+    rules = [NullCheckRule(name="nn", column="v")]
+    sink = str(tmp_path / "s2")
+    verdicts = verdicts_and_sink(df, rules, key_cols=["id"], sink_path=sink,
+                                 storage_level=StorageLevel.MEMORY_AND_DISK)
+    assert sum(r["violations"] for r in verdicts) == 10
+    assert spark.read.parquet(sink).count() == 10
