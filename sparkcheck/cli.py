@@ -4,7 +4,13 @@
 
     python -m sparkcheck profile  --table <parquet> [--columns a,b] --out profile.json
     python -m sparkcheck validate --table <parquet> --rules rules.yaml --out report.json
+                                  [--html report.html] [--csv outcomes.csv]
+                                  [--history history.jsonl]
     python -m sparkcheck drift    --table <parquet> --baseline profile.json --out drift.json
+    python -m sparkcheck report   --report report.json [--history history.jsonl]
+                                  [--drift drift.json] --out report.html
+                                  [--csv outcomes.csv]      # reference cli report.py
+    python -m sparkcheck init     --dir ./checks            # reference cli init.py scaffolding
 
 Each subcommand builds one SparkSession, runs the corresponding engine
 path, writes JSON, prints a one-line summary, and exits non-zero when
@@ -53,6 +59,21 @@ def cmd_validate(args) -> int:
     df = spark.read.parquet(args.table)
     report = ValidationEngine(spark).run(ruleset, {"table": df})
     write_report_json(report, args.out)
+    if getattr(args, "history", None):
+        from sparkcheck.io.html_report import append_history
+
+        append_history(report, args.history)
+    if getattr(args, "html", None):
+        from sparkcheck.io.html_report import load_history, render_full_html
+
+        hist = load_history(args.history) if getattr(args, "history", None) else None
+        with open(args.html, "w") as f:
+            f.write(render_full_html(report, history=hist,
+                                     title=f"sparkcheck — {ruleset.name}"))
+    if getattr(args, "csv", None):
+        from sparkcheck.io.html_report import write_outcomes_csv
+
+        write_outcomes_csv(report, args.csv)
     print(json.dumps({"ruleset": ruleset.name, "passed": report.passed,
                       "violations": report.total_violations, "out": args.out}))
     return 0 if report.passed else 2
@@ -89,6 +110,101 @@ def cmd_drift(args) -> int:
     return 3 if delta.has_drift else 0
 
 
+def cmd_report(args) -> int:
+    """Compose report JSON + run history + drift delta into one HTML page
+    (+ optional CSV export) — the analog of the reference's `sqltest
+    report` (cli/commands/report.py). Pure driver-side: no SparkSession."""
+    from sparkcheck.io.html_report import (
+        load_history,
+        render_full_html,
+        write_outcomes_csv,
+    )
+
+    report = None
+    if args.report:
+        with open(args.report) as f:
+            report = json.load(f)
+    hist = load_history(args.history) if args.history else None
+    drift = None
+    if args.drift:
+        with open(args.drift) as f:
+            drift = json.load(f)
+    html_doc = render_full_html(report, history=hist, drift=drift, title=args.title)
+    with open(args.out, "w") as f:
+        f.write(html_doc)
+    if args.csv and report is not None:
+        write_outcomes_csv(report, args.csv)
+    print(json.dumps({"out": args.out,
+                      "sections": {"outcomes": report is not None,
+                                   "trend": bool(hist and len(hist) > 1),
+                                   "drift": drift is not None}}))
+    return 0
+
+
+_INIT_RULES_YAML = """\
+# sparkcheck rule suite — edit table/column names for your data.
+# Run: python -m sparkcheck validate --table <parquet> --rules rules.yaml \\
+#        --out report.json --html report.html --history history.jsonl
+rule_sets:
+  - name: example_checks
+    fail_fast: false
+    rules:
+      - {name: id_not_null, type: null_check, column: id}
+      - {name: id_unique, type: unique, columns: [id]}
+      - {name: value_range, type: range, column: value, min: 0, max: 1000000}
+      - {name: status_enum, type: enum, column: status, values: [active, inactive]}
+      - {name: email_format, type: regex, column: email,
+         pattern: "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", severity: warning}
+      - {name: complete, type: completeness, columns: [id, value]}
+"""
+
+_INIT_SUITE_YAML = """\
+# sparkcheck SQL unit-test suite — run with sparkcheck.testing:
+#   from sparkcheck.session import get_spark
+#   from sparkcheck.testing import load_suite_yaml, SparkTestRunner
+#   res = SparkTestRunner(get_spark()).execute_suite(load_suite_yaml("suite.yaml"))
+name: example_suite
+fixtures:
+  - name: users
+    table_name: users
+    fixture_type: inline
+    data_source:
+      - {id: 1, name: Alice}
+      - {id: 2, name: Bob}
+    schema: "id int, name string"
+tests:
+  - name: user_count
+    sql: SELECT COUNT(*) AS n FROM users
+    fixtures: [users]
+    assertions:
+      - {type: equals, expected: [{n: 2}]}
+  - name: ids_unique
+    sql: SELECT id FROM users
+    fixtures: [users]
+    assertions:
+      - {type: is_unique, column: id}
+"""
+
+
+def cmd_init(args) -> int:
+    """Scaffold a checks directory (reference cli/commands/init.py):
+    a starter rules.yaml + SQL-test suite.yaml, never overwriting."""
+    import os
+
+    os.makedirs(args.dir, exist_ok=True)
+    written = []
+    for fname, content in [("rules.yaml", _INIT_RULES_YAML),
+                           ("suite.yaml", _INIT_SUITE_YAML)]:
+        path = os.path.join(args.dir, fname)
+        if os.path.exists(path):
+            continue
+        with open(path, "w") as f:
+            f.write(content)
+        written.append(fname)
+    print(json.dumps({"dir": args.dir, "written": written}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="sparkcheck")
     ap.add_argument("--cpus", default=None, help="local[N] override")
@@ -105,6 +221,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--rules", required=True)
     v.add_argument("--ruleset", default=None)
     v.add_argument("--out", required=True)
+    v.add_argument("--html", default=None, help="also render an HTML report")
+    v.add_argument("--csv", default=None, help="also export outcomes CSV")
+    v.add_argument("--history", default=None,
+                   help="append this run to a JSONL history (enables trends)")
     v.set_defaults(fn=cmd_validate)
 
     d = sub.add_parser("drift", help="compare table vs stored baseline profile")
@@ -112,6 +232,19 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--baseline", required=True)
     d.add_argument("--out", required=True)
     d.set_defaults(fn=cmd_drift)
+
+    r = sub.add_parser("report", help="render HTML/CSV from stored artifacts")
+    r.add_argument("--report", default=None, help="report JSON from validate")
+    r.add_argument("--history", default=None, help="history JSONL (trend section)")
+    r.add_argument("--drift", default=None, help="drift JSON (comparison section)")
+    r.add_argument("--out", required=True, help="output HTML path")
+    r.add_argument("--csv", default=None, help="also export outcomes CSV")
+    r.add_argument("--title", default="sparkcheck report")
+    r.set_defaults(fn=cmd_report)
+
+    i = sub.add_parser("init", help="scaffold rules.yaml + suite.yaml")
+    i.add_argument("--dir", default=".")
+    i.set_defaults(fn=cmd_init)
 
     args = ap.parse_args(argv)
     return args.fn(args)

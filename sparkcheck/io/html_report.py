@@ -1,16 +1,31 @@
-"""Self-contained HTML report — the compact analog of the reference's
-reporting/generators/html_generator.py (907 LoC of Chart.js dashboards).
+"""Self-contained HTML + CSV reporting — the analog of the reference's
+reporting stack (generators/html_generator.py:907 dashboard sections,
+generators/csv_generator.py export, interactive.py trend charts).
+
+Sections covered:
+- rule-outcome table with pass/fail badges and violation-rate meters
+- per-rule TREND over stored run history (inline SVG sparklines — the
+  reference embedded Chart.js; here zero external assets)
+- profile-comparison (drift) section over a ProfileDelta: per-column
+  PSI/KS/null-delta with drift badges
+- CSV export of outcomes (csv_generator.py semantics: one row per rule)
+- run-history store: JSONL appender/loader (the durable analog of the
+  reference's report scheduler storage, reporting/scheduler.py — cron
+  itself is infra, not engine, and is deliberately out of scope)
 
 Driver-side rendering over already-collected summaries (never touches
 row data), so it costs nothing at any scale. Zero external assets: one
-HTML file with inline CSS and pure-HTML bar meters, viewable anywhere.
+HTML file with inline CSS/SVG, viewable anywhere.
 """
 
 from __future__ import annotations
 
+import csv
 import html
+import json
+import os
 import time
-from typing import Any
+from typing import Any, Iterable, Mapping, Sequence
 
 _CSS = """
 body{font-family:system-ui,sans-serif;margin:2rem;color:#1a1a2e}
@@ -30,8 +45,29 @@ def _bar(rate: float) -> str:
     return f'<div class="bar"><div style="width:{pct:.2f}%"></div></div>'
 
 
+def _as_report(report: Any) -> Any:
+    """Accept a ValidationReport object OR its asdict()/JSON form."""
+    if not isinstance(report, Mapping):
+        return report
+    from types import SimpleNamespace
+
+    outcomes = [
+        SimpleNamespace(**{"message": "", "skipped": False, "sample_values": [], **o})
+        for o in report.get("outcomes", [])
+    ]
+    return SimpleNamespace(
+        ruleset=report.get("ruleset", "?"),
+        outcomes=outcomes,
+        elapsed_sec=float(report.get("elapsed_sec", 0.0)),
+        passed=all(o.passed or o.severity != "error" for o in outcomes),
+        total_violations=sum(int(o.violations) for o in outcomes),
+    )
+
+
 def render_validation_html(report: Any, title: str = "sparkcheck report") -> str:
-    """Render a ValidationReport (run/engine.py) to one HTML page."""
+    """Render a ValidationReport (run/engine.py, object or asdict form)
+    to one HTML page."""
+    report = _as_report(report)
     rows = []
     for o in report.outcomes:
         status = '<span class="pass">PASS</span>' if o.passed else '<span class="fail">FAIL</span>'
@@ -62,3 +98,178 @@ def render_validation_html(report: Any, title: str = "sparkcheck report") -> str
 def write_validation_html(report: Any, path: str, title: str = "sparkcheck report") -> None:
     with open(path, "w") as f:
         f.write(render_validation_html(report, title))
+
+
+# ---------------------------------------------------------------------------
+# CSV export (reference reporting/generators/csv_generator.py semantics:
+# one row per rule outcome, stable column order)
+
+OUTCOME_FIELDS = ("rule_id", "table", "column", "passed", "violations",
+                  "evaluated", "total_rows", "severity", "skipped",
+                  "message", "elapsed_sec")
+
+
+def write_outcomes_csv(report: Any, path: str) -> None:
+    """Export rule outcomes to CSV. Accepts a ValidationReport or any
+    object/dict with an ``outcomes`` list of outcome objects/dicts."""
+    outcomes = report["outcomes"] if isinstance(report, Mapping) else report.outcomes
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=OUTCOME_FIELDS, extrasaction="ignore")
+        w.writeheader()
+        for o in outcomes:
+            d = o if isinstance(o, Mapping) else {k: getattr(o, k, "") for k in OUTCOME_FIELDS}
+            w.writerow({k: d.get(k, "") for k in OUTCOME_FIELDS})
+
+
+# ---------------------------------------------------------------------------
+# run history (JSONL) + per-rule trends
+
+def append_history(report: Any, path: str, run_ts: float | None = None) -> None:
+    """Append one run's per-rule counters to a JSONL history file — the
+    durable input of the trend section."""
+    outcomes = report["outcomes"] if isinstance(report, Mapping) else report.outcomes
+    rec = {
+        "ts": run_ts if run_ts is not None else time.time(),
+        "ruleset": report["ruleset"] if isinstance(report, Mapping) else report.ruleset,
+        "rules": {
+            (o["rule_id"] if isinstance(o, Mapping) else o.rule_id): {
+                "violations": o["violations"] if isinstance(o, Mapping) else o.violations,
+                "passed": bool(o["passed"] if isinstance(o, Mapping) else o.passed),
+            }
+            for o in outcomes
+        },
+    }
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def load_history(path: str) -> list[dict[str, Any]]:
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return sorted(out, key=lambda r: r.get("ts", 0))
+
+
+def _sparkline(values: Sequence[float], width: int = 220, height: int = 36) -> str:
+    """Inline SVG polyline sparkline (no external chart lib)."""
+    if not values:
+        return ""
+    vmax = max(max(values), 1)
+    n = len(values)
+    pts = []
+    for i, v in enumerate(values):
+        x = 4 + (width - 8) * (i / max(n - 1, 1))
+        y = height - 4 - (height - 8) * (v / vmax)
+        pts.append(f"{x:.1f},{y:.1f}")
+    dots = "".join(
+        f'<circle cx="{p.split(",")[0]}" cy="{p.split(",")[1]}" r="2" fill="#5561d8"/>'
+        for p in pts
+    )
+    return (
+        f'<svg width="{width}" height="{height}" role="img">'
+        f'<polyline points="{" ".join(pts)}" fill="none" stroke="#5561d8" '
+        f'stroke-width="1.5"/>{dots}</svg>'
+    )
+
+
+def render_trend_section(history: Iterable[Mapping[str, Any]]) -> str:
+    """Per-rule violation trend over stored runs (interactive.py's trend
+    charts, Chart.js → inline SVG sparklines)."""
+    history = list(history)
+    if len(history) < 2:
+        return ""
+    rule_ids: list[str] = []
+    for rec in history:
+        for rid in rec.get("rules", {}):
+            if rid not in rule_ids:
+                rule_ids.append(rid)
+    rows = []
+    for rid in rule_ids:
+        series = [float(rec.get("rules", {}).get(rid, {}).get("violations", 0))
+                  for rec in history]
+        last = history[-1].get("rules", {}).get(rid, {})
+        badge = ('<span class="pass">PASS</span>' if last.get("passed", True)
+                 else '<span class="fail">FAIL</span>')
+        direction = "↑" if len(series) > 1 and series[-1] > series[-2] else (
+            "↓" if len(series) > 1 and series[-1] < series[-2] else "→")
+        rows.append(
+            f"<tr><td>{html.escape(rid)}</td><td>{badge}</td>"
+            f"<td>{int(series[-1]):,} {direction}</td><td>{_sparkline(series)}</td></tr>"
+        )
+    return (
+        f"<h2>Per-rule trend ({len(history)} runs)</h2>"
+        "<table><tr><th>rule</th><th>last status</th>"
+        "<th>last violations</th><th>violations over runs</th></tr>"
+        f"{''.join(rows)}</table>"
+    )
+
+
+def render_drift_section(delta: Mapping[str, Any] | Any) -> str:
+    """Profile-comparison section over a ProfileDelta (drift/compare.py)
+    or its asdict()."""
+    if not isinstance(delta, Mapping):
+        import dataclasses
+
+        delta = dataclasses.asdict(delta)
+    drifted = set(delta.get("drifted_columns", []))
+    rows = []
+    for col, ch in sorted(delta.get("column_changes", {}).items()):
+        badge = ('<span class="fail">DRIFT</span>' if col in drifted
+                 else '<span class="pass">ok</span>')
+        def fmt(key: str) -> str:
+            v = ch.get(key)
+            return f"{v:.4f}" if isinstance(v, (int, float)) else "—"
+        rows.append(
+            f"<tr><td>{html.escape(col)}</td><td>{badge}</td>"
+            f"<td>{fmt('psi')}</td><td>{fmt('ks')}</td>"
+            f"<td>{fmt('null_pct_delta')}</td><td>{fmt('unique_pct_delta')}</td></tr>"
+        )
+    schema_bits = []
+    if delta.get("added_columns"):
+        schema_bits.append("added: " + ", ".join(delta["added_columns"]))
+    if delta.get("removed_columns"):
+        schema_bits.append("removed: " + ", ".join(delta["removed_columns"]))
+    schema = (f'<p class="meta">schema drift — {html.escape("; ".join(schema_bits))}</p>'
+              if schema_bits else "")
+    stability = delta.get("stability_score")
+    meta = (f'<p class="meta">rows {delta.get("baseline_rows", 0):,} → '
+            f'{delta.get("current_rows", 0):,} · stability '
+            f'{stability:.2f}</p>' if stability is not None else "")
+    if not rows and not schema_bits:
+        return "<h2>Profile comparison</h2><p>No drift detected.</p>"
+    return (
+        "<h2>Profile comparison (baseline vs current)</h2>"
+        f"{meta}{schema}"
+        "<table><tr><th>column</th><th>status</th><th>PSI</th><th>KS</th>"
+        "<th>Δnull%</th><th>Δunique%</th></tr>"
+        f"{''.join(rows)}</table>"
+    )
+
+
+def render_full_html(
+    report: Any = None,
+    history: Iterable[Mapping[str, Any]] | None = None,
+    drift: Mapping[str, Any] | Any | None = None,
+    title: str = "sparkcheck report",
+) -> str:
+    """Compose rule outcomes + trend + drift sections into one page."""
+    body: list[str] = []
+    if report is not None:
+        page = render_validation_html(report, title)
+        body.append(page[page.index("<body>") + 6 : page.rindex("</body>")])
+    else:
+        body.append(f"<h1>{html.escape(title)}</h1>")
+    if history:
+        body.append(render_trend_section(history))
+    if drift is not None:
+        body.append(render_drift_section(drift))
+    return (
+        f'<!doctype html><html><head><meta charset="utf-8">'
+        f"<title>{html.escape(title)}</title><style>{_CSS}</style></head>"
+        f"<body>{''.join(body)}</body></html>"
+    )

@@ -36,3 +36,58 @@ def test_cli_profile_validate_drift_roundtrip(spark, tmp_path):
     drift = str(tmp_path / "drift.json")
     assert main(["drift", "--table", DOCS, "--baseline", prof, "--out", drift]) == 0
     assert json.load(open(drift))["drifted_columns"] == []
+
+
+def test_cli_report_and_init(spark, tmp_path):
+    """validate --html/--csv/--history, then standalone `report` composing
+    trend + drift sections, and `init` scaffolding."""
+    rules = tmp_path / "rules.yaml"
+    rules.write_text(
+        "rule_sets:\n"
+        "  - name: docs\n"
+        "    rules:\n"
+        "      - {name: nn, type: null_check, column: text}\n"
+        "      - {name: bad_enum, type: enum, column: lang, values: [xx]}\n"
+    )
+    rep = str(tmp_path / "rep.json")
+    hist = str(tmp_path / "hist.jsonl")
+    page = str(tmp_path / "rep.html")
+    csvp = str(tmp_path / "out.csv")
+    # two runs -> history has a trend
+    for _ in range(2):
+        rc = main(["validate", "--table", DOCS, "--rules", str(rules),
+                   "--out", rep, "--history", hist, "--html", page,
+                   "--csv", csvp])
+        assert rc == 2  # bad_enum fails by design
+    html_doc = open(page).read()
+    assert "Per-rule trend (2 runs)" in html_doc
+    assert "bad_enum" in html_doc and "<svg" in html_doc
+    import csv as _csv
+    rows = list(_csv.DictReader(open(csvp)))
+    assert {r["rule_id"] for r in rows} == {"nn", "bad_enum"}
+    assert any(r["passed"] == "False" for r in rows)
+
+    # drift artifact + standalone report command over stored JSONs
+    prof = str(tmp_path / "prof.json")
+    drift = str(tmp_path / "drift.json")
+    assert main(["profile", "--table", DOCS, "--out", prof]) == 0
+    assert main(["drift", "--table", DOCS, "--baseline", prof,
+                 "--out", drift]) == 0  # same table -> no drift
+    page2 = str(tmp_path / "full.html")
+    rc = main(["report", "--report", rep, "--history", hist,
+               "--drift", drift, "--out", page2])
+    assert rc == 0
+    doc2 = open(page2).read()
+    assert "Profile comparison" in doc2 and "Per-rule trend" in doc2
+
+    # init scaffolding (never overwrites)
+    assert main(["init", "--dir", str(tmp_path / "checks")]) == 0
+    from sparkcheck.io.config import load_ruleset_yaml
+    rs = load_ruleset_yaml(str(tmp_path / "checks" / "rules.yaml"))
+    assert "example_checks" in rs and len(rs["example_checks"].rules) == 6
+    from sparkcheck.testing import load_suite_yaml
+    suite = load_suite_yaml(str(tmp_path / "checks" / "suite.yaml"))
+    assert len(suite.tests) == 2
+    (tmp_path / "checks" / "rules.yaml").write_text("sentinel: true\n")
+    assert main(["init", "--dir", str(tmp_path / "checks")]) == 0
+    assert "sentinel" in (tmp_path / "checks" / "rules.yaml").read_text()
