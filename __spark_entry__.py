@@ -772,6 +772,61 @@ def q_sql_testsuite(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _planted_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents with deterministically planted PII (the synthetic corpus
+    contains none): emails on doc_id%5, SSNs on %7, IPs on %11."""
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    key = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(key % 5 == 0,
+               F.concat(F.lit(" contact user"), key.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(key % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(key % 11 == 0, F.lit(" from 10.0.0.1")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", t2.alias("text"))
+
+
+def q_pii_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc PII detection counts (email/ssn/phone/ip) — map-only,
+    the audit stage of corpus scrubbing."""
+    from sparkcheck.textstats import pii_stats
+
+    return pii_stats(_planted_pii(spark, sf))
+
+
+def q_pii_redacted(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-verifiable PII redaction: md5 of the scrubbed text per doc."""
+    from sparkcheck.textstats import pii_redact
+
+    return pii_redact(_planted_pii(spark, sf)).select("doc_id", "redacted_md5")
+
+
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical dedup: keep the best doc per exact-text group (struct-max
+    groupBy, no window). Duplicate copies are planted for doc_id%10 with
+    shifted quality so both kept-original and kept-copy paths occur."""
+    from sparkcheck.dedup import keep_best_per_group
+
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    base = d.select(
+        F.col("doc_id"), F.md5("text").alias("grp"),
+        F.col("n_chars").cast("long").alias("quality"),
+    )
+    copies = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.md5("text").alias("grp"),
+        (F.col("n_chars") + F.when(F.col("doc_id") % 20 == 0, 10).otherwise(-10))
+        .cast("long").alias("quality"),
+    )
+    out = keep_best_per_group(base.unionByName(copies), "grp", "quality")
+    return out.select(
+        "group_key", "kept_id", "best_quality",
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rules_summary": q_rules_summary,
@@ -822,6 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "top_bigrams": q_top_bigrams,
         "sql_testsuite": q_sql_testsuite,
+        "pii_stats": q_pii_stats,
+        "pii_redacted": q_pii_redacted,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -958,6 +1016,60 @@ round(COALESCE(avg(CASE WHEN regexp_matches(CAST(c_name AS VARCHAR), '{p}')
         for name, p in PATTERNS.items()
     )
 
+    from sparkcheck.textstats.pii import PII_PATTERNS
+
+    _pii_src = """pii_src AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.0.1' ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL)"""
+    _pii_counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{name}"
+        for name, p in PII_PATTERNS.items()
+    )
+    _pii_total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    pii_stats_sql = f"""
+WITH {_pii_src},
+counts AS (SELECT doc_id, {_pii_counts} FROM pii_src)
+SELECT doc_id, {', '.join('n_' + n for n in PII_PATTERNS)},
+       CAST({_pii_total} AS BIGINT) AS n_pii_total,
+       CAST(({_pii_total}) > 0 AS INT) AS any_pii
+FROM counts
+"""
+    _red = "text"
+    for p in PII_PATTERNS.values():
+        _red = f"regexp_replace({_red}, '{p}', '[PII]', 'g')"
+    pii_redacted_sql = f"""
+WITH {_pii_src}
+SELECT doc_id, md5({_red}) AS redacted_md5 FROM pii_src
+"""
+
+    dedup_keep_best_sql = """
+WITH base AS (
+  SELECT doc_id, md5(text) AS group_key, CAST(n_chars AS BIGINT) AS q
+  FROM documents WHERE text IS NOT NULL
+),
+copies AS (
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS group_key,
+         CAST(n_chars + CASE WHEN doc_id % 20 = 0 THEN 10 ELSE -10 END AS BIGINT) AS q
+  FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+ranked AS (
+  SELECT group_key, doc_id, q,
+         row_number() OVER (PARTITION BY group_key ORDER BY q DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY group_key) AS grp_n
+  FROM allr
+)
+SELECT group_key, doc_id AS kept_id, q AS best_quality,
+       CAST(grp_n AS BIGINT) AS group_size
+FROM ranked WHERE rn = 1
+"""
+
     _pat_src = """src AS (
   SELECT CASE WHEN c_custkey % 4 = 0
               THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.com'
@@ -1068,6 +1180,9 @@ FROM events
 """,
         "pattern_rates": pattern_rates,
         "pattern_examples": pattern_examples_sql,
+        "pii_stats": pii_stats_sql,
+        "pii_redacted": pii_redacted_sql,
+        "dedup_keep_best": dedup_keep_best_sql,
         "iqr_outliers": """
 WITH b AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1,
                   quantile_cont(c_acctbal, 0.75) AS q3 FROM customer)

@@ -7,6 +7,7 @@ from sparkcheck.dedup.minhash import (
 )
 from sparkcheck.dedup.simhash import simhash, simhash_near_duplicates
 from sparkcheck.dedup.embedding import embedding_near_duplicates
+from sparkcheck.dedup.canonical import drop_duplicates_keep_best, keep_best_per_group
 
 __all__ = [
     "drop_exact_duplicates",
@@ -20,4 +21,6 @@ __all__ = [
     "simhash",
     "simhash_near_duplicates",
     "embedding_near_duplicates",
+    "keep_best_per_group",
+    "drop_duplicates_keep_best",
 ]

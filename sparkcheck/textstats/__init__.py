@@ -7,6 +7,7 @@ from sparkcheck.textstats.analysis import (
     rolling_fingerprints,
     token_stats,
 )
+from sparkcheck.textstats.pii import PII_PATTERNS, pii_redact, pii_stats
 
 __all__ = [
     "STOPWORDS",
@@ -16,4 +17,7 @@ __all__ = [
     "quality_score",
     "rolling_fingerprints",
     "token_stats",
+    "PII_PATTERNS",
+    "pii_stats",
+    "pii_redact",
 ]

@@ -149,3 +149,20 @@ def test_jaccard_for_pairs_zero_intersection_dropped(spark):
     pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
     from sparkcheck.dedup import jaccard_for_pairs
     assert jaccard_for_pairs(df, pairs, threshold=0.0).count() == 0
+
+
+def test_keep_best_per_group(spark):
+    from sparkcheck.dedup import drop_duplicates_keep_best, keep_best_per_group
+
+    rows = [
+        (1, "g1", 10), (2, "g1", 30), (3, "g1", 30),   # tie on 30 -> min id 2
+        (4, "g2", 5),                                   # singleton
+        (5, "g3", 7), (6, "g3", 2),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "q"])
+    got = {r["group_key"]: (r["kept_id"], r["best_quality"], r["group_size"])
+           for r in keep_best_per_group(df, "grp", "q").collect()}
+    assert got == {"g1": (2, 30, 3), "g2": (4, 5, 1), "g3": (5, 7, 2)}
+    kept = {r["doc_id"] for r in
+            drop_duplicates_keep_best(df, "grp", "q").collect()}
+    assert kept == {2, 4, 5}

@@ -159,3 +159,28 @@ def test_rolling_fingerprints_bit_identical_to_scalar_reference(spark):
             got[r["doc_id"]].append(r["fingerprint"])
         for i, d in enumerate(docs):
             assert sorted(got[i]) == scalar_winnow(d, k, window), (i, k, window)
+
+
+def test_pii_stats_and_redact(spark):
+    from sparkcheck.textstats import pii_redact, pii_stats
+
+    rows = [
+        (0, "mail me at a.b+c@ex-site.org or x@y.io thanks"),
+        (1, "ssn is 123-45-6789 and phone (415) 555-0101"),
+        (2, "server 192.168.0.1 clean text"),
+        (3, "nothing sensitive here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert set(s) == {0, 1, 2, 3}  # NULL skipped
+    assert s[0]["n_email"] == 2 and s[0]["any_pii"] == 1
+    assert s[1]["n_ssn"] == 1 and s[1]["n_phone_us"] == 1
+    assert s[2]["n_ip_address"] == 1
+    assert s[3]["n_pii_total"] == 0 and s[3]["any_pii"] == 0
+
+    red = {r["doc_id"]: r["redacted_text"] for r in pii_redact(df).collect()}
+    assert red[0] == "mail me at [PII] or [PII] thanks"
+    assert red[1] == "ssn is [PII] and phone [PII]"
+    assert red[2] == "server [PII] clean text"
+    assert red[3] == "nothing sensitive here"
