@@ -62,6 +62,34 @@ def validate_stream(
     return writer.start()
 
 
+def subscribe_changes(
+    stream_df: DataFrame,
+    on_change: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    where: F.Column | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """CDC-style change subscription — the working counterpart of the
+    reference's subscribe/callback stub (db/data_operations.py:204-270,
+    which registered callbacks but polled nothing). Each micro-batch of
+    new rows (optionally filtered by ``where``) is delivered to
+    ``on_change(batch_df, batch_id)``; the checkpoint makes delivery
+    resume-exactly-where-it-left-off across restarts. Point it at a file/
+    Kafka/Delta-CDF source; with CDF the operation column comes through
+    as data."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        on_change(batch_df.where(where) if where is not None else batch_df, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_rule_counts(
     stream_df: DataFrame,
     violated: F.Column,

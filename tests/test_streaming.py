@@ -110,3 +110,34 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     b2.coalesce(1).write.mode("append").parquet(src)
     run_once()
     assert collected == {3: True, 4: False}
+
+
+def test_subscribe_changes_cdc_resume(spark, tmp_path):
+    """CDC-style subscription: callback sees new rows only; a restart
+    from the same checkpoint delivers ONLY data that arrived since."""
+    from sparkcheck.streaming import subscribe_changes
+
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    spark.range(0, 50).selectExpr("id", "id % 2 = 0 AS flagged").write.parquet(src)
+    stream = spark.readStream.schema("id long, flagged boolean").parquet(src)
+
+    seen: list[int] = []
+
+    def on_change(batch_df, batch_id):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    q = subscribe_changes(stream, on_change, ckpt,
+                          where=F.col("flagged"), trigger_once=True)
+    q.awaitTermination(120)
+    assert sorted(seen) == list(range(0, 50, 2))
+
+    # second drop + restart from checkpoint: only the new file arrives
+    spark.range(50, 60).selectExpr("id", "id % 2 = 0 AS flagged").write.mode(
+        "append").parquet(src)
+    seen.clear()
+    stream2 = spark.readStream.schema("id long, flagged boolean").parquet(src)
+    q2 = subscribe_changes(stream2, on_change, ckpt,
+                           where=F.col("flagged"), trigger_once=True)
+    q2.awaitTermination(120)
+    assert sorted(seen) == list(range(50, 60, 2))
