@@ -692,6 +692,14 @@ def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher repetition rule: top-bigram fraction per doc + flag
+    (textstats.repetition_stats) — the boilerplate/spam pre-filter."""
+    from sparkcheck.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"), n=2)
+
+
 def q_sql_testsuite(spark: SparkSession, sf: str) -> DataFrame:
     """SQL unit-test framework e2e (the reference's namesake feature,
     sql_testing/executor.py + fixtures.py + assertions/engine.py): a
@@ -880,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": q_pii_stats,
         "pii_redacted": q_pii_redacted,
         "dedup_keep_best": q_dedup_keep_best,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1533,6 +1542,27 @@ WITH grams AS (
 SELECT bigram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
 FROM grams GROUP BY 1
 ORDER BY occurrences DESC, bigram ASC LIMIT 20
+""",
+        "repetition_stats": """
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN len(arr) >= 2 THEN array_to_string(arr[i:i+1], ' ')
+              ELSE array_to_string(arr, ' ') END AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        WHERE text IS NOT NULL) t,
+       unnest(generate_series(1, GREATEST(len(arr) - 1, 1))) AS u(i)
+),
+counts AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(max(c) AS BIGINT) AS top_gram_n
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n_grams, top_gram_n,
+       round(CAST(top_gram_n AS DOUBLE) / n_grams, 4) AS top_gram_frac,
+       CAST(round(CAST(top_gram_n AS DOUBLE) / n_grams, 4) > 0.18 AS INT)
+         AS f_repetitive
+FROM per_doc
 """,
         "gopher_quality": f"""
 WITH q AS (

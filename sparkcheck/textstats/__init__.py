@@ -1,9 +1,11 @@
 from sparkcheck.textstats.analysis import (
     STOPWORDS,
+    duplicate_segment_stats,
     fingerprint,
     gopher_quality_flags,
     lang_id,
     quality_score,
+    repetition_stats,
     rolling_fingerprints,
     token_stats,
 )
@@ -15,6 +17,8 @@ __all__ = [
     "gopher_quality_flags",
     "lang_id",
     "quality_score",
+    "repetition_stats",
+    "duplicate_segment_stats",
     "rolling_fingerprints",
     "token_stats",
     "PII_PATTERNS",

@@ -178,6 +178,60 @@ def gopher_quality_flags(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_top_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. '21, §A1.1 "repetition
+    removal"): the fraction of a doc's n-grams taken by its single most
+    frequent n-gram. Boilerplate/spam pages repeat one phrase; a doc is
+    flagged when top_frac > max_top_frac (Gopher uses 0.18 for 2-grams).
+
+    Shape: explode n-grams → count per (doc, gram) → per-doc max/total.
+    Both shuffles are keyed by doc id (uniform), so this scales like any
+    keyed agg; no all-pairs anything. Output:
+    (id, n_grams, top_gram_n, top_gram_frac, f_repetitive)."""
+    from sparkcheck.dedup.jaccard import shingle_expr
+
+    grams = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(shingle_expr(F.col(text_col), n)).alias("gram")
+    )
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"), F.max("c").alias("top_gram_n")
+    )
+    frac = F.round(F.col("top_gram_n") / F.col("n_grams"), 4)
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("top_gram_n").cast("long").alias("top_gram_n"),
+        frac.alias("top_gram_frac"),
+        (frac > max_top_frac).cast("int").alias("f_repetitive"),
+    )
+
+
+def duplicate_segment_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Gopher duplicate-line/paragraph fraction: 1 − distinct segments /
+    segments (segments = text split on ``delimiter``). Pure map-only
+    Column work — no shuffle at all."""
+    segs = F.split(F.col(text_col), delimiter)
+    n = F.size(segs)
+    dups = F.round(F.lit(1.0) - F.size(F.array_distinct(segs)) / n, 4)
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        n.cast("long").alias("n_segments"),
+        dups.alias("dup_segment_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of raw text and md5 of the normalized
     (lowercased, whitespace-collapsed, trimmed) text — the exact-dedup

@@ -184,3 +184,29 @@ def test_pii_stats_and_redact(spark):
     assert red[1] == "ssn is [PII] and phone [PII]"
     assert red[2] == "server [PII] clean text"
     assert red[3] == "nothing sensitive here"
+
+
+def test_repetition_and_duplicate_segments(spark):
+    from sparkcheck.textstats import duplicate_segment_stats, repetition_stats
+
+    rows = [
+        (0, "buy now buy now buy now buy now"),   # bigram "buy now" dominates
+        (1, "each of these twelve little words appears exactly once in this sentence"),
+        (2, "short"),                              # < n words -> whole text gram
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = {x["doc_id"]: x for x in repetition_stats(df, n=2).collect()}
+    assert set(r) == {0, 1, 2}
+    assert r[0]["top_gram_n"] == 4 and r[0]["f_repetitive"] == 1  # 4/7 "buy now"
+    assert r[1]["top_gram_n"] == 1 and r[1]["f_repetitive"] == 0
+    assert r[2]["n_grams"] == 1 and r[2]["top_gram_frac"] == 1.0
+
+    seg = [
+        (0, "line a\nline b\nline a\nline c"),
+        (1, "u1\nu2\nu3"),
+    ]
+    sdf = spark.createDataFrame(seg, ["doc_id", "text"])
+    d = {x["doc_id"]: x for x in duplicate_segment_stats(sdf).collect()}
+    assert d[0]["n_segments"] == 4 and abs(d[0]["dup_segment_frac"] - 0.25) < 1e-9
+    assert d[1]["dup_segment_frac"] == 0.0
