@@ -30,6 +30,11 @@ from sparkcheck.testing.models import (
     TestStatus,
     split_sql_statements,
 )
+from sparkcheck.testing.report import (
+    render_suite_html,
+    suite_to_junit_xml,
+    write_junit_xml,
+)
 from sparkcheck.testing.runner import (
     SparkTestRunner,
     register_fixture,
@@ -57,6 +62,9 @@ __all__ = [
     "load_suite_yaml",
     "load_suites_yaml",
     "register_fixture",
+    "render_suite_html",
+    "suite_to_junit_xml",
+    "write_junit_xml",
     "run_assertion",
     "run_sql_script",
     "run_sql_statements",

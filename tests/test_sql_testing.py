@@ -452,3 +452,41 @@ def test_run_sql_statements_lazy_last_select(spark):
     )
     assert df.collect()[0]["w"] == 2
     spark.catalog.dropTempView("_tt")
+
+
+def test_junit_xml_and_suite_html(spark, tmp_path):
+    """JUnit XML artifact (reference ci_cd_integration.py test-results.xml)
+    + suite HTML page render all four statuses."""
+    import xml.etree.ElementTree as ET
+
+    from sparkcheck.testing import render_suite_html, write_junit_xml
+
+    suite = SQLTestSuite(
+        name="ci_suite",
+        tests=(
+            SQLTestCase(name="ok", sql="SELECT 1 AS v",
+                        assertions=(TestAssertion("equals", expected=1),)),
+            SQLTestCase(name="fails", sql="SELECT 1 AS v",
+                        assertions=(TestAssertion("equals", expected=2),)),
+            SQLTestCase(name="errors", sql="SELECT * FROM missing_tbl_xyz"),
+            SQLTestCase(name="skipped_dep", sql="SELECT 1",
+                        depends_on=("nonexistent",)),
+        ),
+    )
+    res = SparkTestRunner(spark).execute_suite(suite)
+    xml_path = str(tmp_path / "test-results.xml")
+    write_junit_xml(res, xml_path)
+    root = ET.parse(xml_path).getroot()
+    ts = root.find("testsuite")
+    assert ts.get("tests") == "4" and ts.get("failures") == "1"
+    assert ts.get("errors") == "1" and ts.get("skipped") == "1"
+    by_name = {tc.get("name"): tc for tc in ts.findall("testcase")}
+    assert by_name["fails"].find("failure") is not None
+    assert "expected 2" in by_name["fails"].find("failure").get("message")
+    assert by_name["errors"].find("error") is not None
+    assert by_name["skipped_dep"].find("skipped") is not None
+    assert by_name["ok"].find("failure") is None
+
+    page = render_suite_html(res)
+    assert "SUITE FAILED" in page and "ci_suite" in page
+    assert "expected 2" in page and "SKIP" in page
