@@ -120,3 +120,32 @@ def test_vectorized_udf_matches_pure_function(spark):
            df.select("i", extract_text_udf(F.col("html")).alias("t")).collect()}
     for i, c in enumerate(cases):
         assert got[i] == extract_text_py(c), f"case {i} diverged"
+
+
+def test_fused_suite_plan_prunes_heavy_columns(spark, tmp_path):
+    """The fused rule pass must read ONLY rule columns from parquet —
+    ReadSchema in the scan node excludes html (the heavy payload); and
+    violation_rows' scan must also stay pruned. The 100 TB invariant:
+    heavy bytes never leave the scan."""
+    from sparkcheck.compile import fused_agg, violation_rows
+    from sparkcheck.webtext.generate import webtext_rules, webtext_table
+
+    path = str(tmp_path / "wt")
+    webtext_table(spark, 2000, num_partitions=2).write.parquet(path)
+    df = spark.read.parquet(path).withColumn(
+        "warc_ts_epoch", F.unix_timestamp("warc_ts").cast("double"))
+    rules = webtext_rules()
+
+    def scan_schema(frame):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        import re
+        m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+        assert m, plan
+        return m.group(1)
+
+    agg_schema = scan_schema(fused_agg(df, rules))
+    assert "html" not in agg_schema, agg_schema
+    assert "url" in agg_schema and "text" in agg_schema
+
+    viol_schema = scan_schema(violation_rows(df, rules, key_cols=["url"]))
+    assert "html" not in viol_schema, viol_schema
