@@ -81,6 +81,36 @@ def main() -> None:
     write_validation_html(report, out)
     print(f"   suite passed={report.passed} → {out}")
 
+    print("== 8. SQL unit tests (fluent + suite)")
+    from sparkcheck.testing import (
+        SparkTestRunner, SQLTestCase, SQLTestSuite, TestAssertion, TestFixture,
+        expect,
+    )
+
+    expect(docs).row_count(at_least=1).column("doc_id").is_unique()
+    suite = SQLTestSuite(name="doc_contract", tests=(
+        SQLTestCase(
+            name="docs_nonempty",
+            sql="SELECT COUNT(*) AS n FROM d",
+            fixtures=(TestFixture(name="d", table_name="d",
+                                  fixture_type="parquet",
+                                  data_source=f"{sf}/documents.parquet"),),
+            assertions=(TestAssertion("greater_than", expected=0),),
+        ),
+    ))
+    res = SparkTestRunner(spark).execute_suite(suite)
+    print(f"   tests: {res.passed_tests}/{res.total_tests} passed")
+
+    print("== 9. PII scrub + canonical dedup")
+    from sparkcheck.dedup import keep_best_per_group
+    from sparkcheck.textstats import pii_stats
+
+    pii_stats(docs).agg(F.sum("n_pii_total").alias("pii_hits")).show()
+    keep_best_per_group(
+        docs.select("doc_id", F.md5("text").alias("grp"), "n_chars"),
+        "grp", "n_chars",
+    ).agg(F.count(F.lit(1)).alias("kept_groups")).show()
+
 
 if __name__ == "__main__":
     main()
