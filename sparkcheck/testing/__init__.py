@@ -30,6 +30,12 @@ from sparkcheck.testing.models import (
     TestStatus,
     split_sql_statements,
 )
+from sparkcheck.testing.benchmark import (
+    BenchmarkResult,
+    benchmark_concurrent,
+    benchmark_query,
+    regression_gate,
+)
 from sparkcheck.testing.report import (
     render_suite_html,
     suite_to_junit_xml,
@@ -44,6 +50,10 @@ from sparkcheck.testing.runner import (
 
 __all__ = [
     "AssertionOutcome",
+    "BenchmarkResult",
+    "benchmark_concurrent",
+    "benchmark_query",
+    "regression_gate",
     "Expectation",
     "FixtureType",
     "IsolationLevel",

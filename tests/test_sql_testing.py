@@ -490,3 +490,29 @@ def test_junit_xml_and_suite_html(spark, tmp_path):
     page = render_suite_html(res)
     assert "SUITE FAILED" in page and "ci_suite" in page
     assert "expected 2" in page and "SKIP" in page
+
+
+def test_benchmark_query_and_regression_gate(spark, tmp_path):
+    from sparkcheck.testing import benchmark_concurrent, benchmark_query, regression_gate
+
+    res = benchmark_query(
+        spark, lambda: spark.range(10_000).selectExpr("sum(id) AS s"),
+        name="sum_range", reps=3, warmup=1)
+    assert res.rows == 1 and res.reps == 3 and len(res.samples) == 3
+    assert res.best_sec <= res.p50_sec <= res.p95_sec
+
+    base = str(tmp_path / "bench_baseline.json")
+    ok, ratio = regression_gate(res, base)          # first run seeds baseline
+    assert ok and ratio == 1.0
+    ok2, ratio2 = regression_gate(res, base, tolerance=1000.0)
+    assert ok2 and ratio2 > 0
+    # a fabricated 10x slower result trips the gate
+    import dataclasses
+    slow = dataclasses.replace(res, p50_sec=res.p50_sec * 10)
+    ok3, ratio3 = regression_gate(slow, base, tolerance=1.5)
+    assert not ok3 and ratio3 > 5
+
+    load = benchmark_concurrent(
+        spark, [lambda: spark.range(5000).selectExpr("count(*) AS c")] * 4,
+        workers=4)
+    assert load["n_queries"] == 4 and load["overlap_factor"] >= 1.0
