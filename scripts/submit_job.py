@@ -41,7 +41,17 @@ def main() -> None:
         from sparkcheck.io.config import load_ruleset_yaml
     from sparkcheck.run.engine import ValidationEngine
 
-    spark = SparkSession.builder.appName("sparkcheck-validate").getOrCreate()
+    # Under spark-submit the driver JVM is already up and these configs
+    # are inert (memory comes from --driver-memory / the cluster
+    # manager). For LOCAL python runs they apply at JVM launch — the
+    # 1g default heap OOMs on multi-million-row shuffles.
+    spark = (
+        SparkSession.builder.appName("sparkcheck-validate")
+        .config("spark.driver.memory", os.environ.get("SPARKCHECK_DRIVER_MEM", "8g"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     rulesets = load_ruleset_yaml(args.rules)
     ruleset = rulesets[args.ruleset] if args.ruleset else next(iter(rulesets.values()))
     df = spark.read.parquet(args.table)
