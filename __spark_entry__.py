@@ -692,6 +692,22 @@ def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-host skew analytics (the north rule's named skew surface):
+    per-host doc counts + EXACT distinct-url counts via the salted
+    two-phase aggregation. The url column is derived deterministically
+    with a planted hot host (50% of docs) so the skew path is exercised."""
+    from sparkcheck.webtext import host_stats
+
+    d = _t(spark, sf, "documents")
+    key = F.col("doc_id")
+    host = F.when(key % 2 == 0, F.lit("hot.example")).otherwise(
+        F.concat(F.lit("h"), (key % 37).cast("string"), F.lit(".example"))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), key.cast("string"))
+    return host_stats(d.select(url.alias("url")), k=10, salted=True)
+
+
 def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition rule: top-bigram fraction per doc + flag
     (textstats.repetition_stats) — the boilerplate/spam pre-filter."""
@@ -889,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redacted": q_pii_redacted,
         "dedup_keep_best": q_dedup_keep_best,
         "repetition_stats": q_repetition_stats,
+        "host_stats": q_host_stats,
     }
 
 
@@ -1192,6 +1209,25 @@ FROM events
         "pii_stats": pii_stats_sql,
         "pii_redacted": pii_redacted_sql,
         "dedup_keep_best": dedup_keep_best_sql,
+        "host_stats": r"""
+WITH urls AS (
+  SELECT 'https://'
+         || CASE WHEN doc_id % 2 = 0 THEN 'hot.example'
+                 ELSE 'h' || CAST(doc_id % 37 AS VARCHAR) || '.example' END
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+hosts AS (
+  SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host,
+         url
+  FROM urls WHERE url IS NOT NULL
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+FROM hosts WHERE host <> ''
+GROUP BY host
+ORDER BY n_docs DESC, host ASC LIMIT 10
+""",
         "iqr_outliers": """
 WITH b AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1,
                   quantile_cont(c_acctbal, 0.75) AS q3 FROM customer)

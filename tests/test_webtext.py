@@ -149,3 +149,26 @@ def test_fused_suite_plan_prunes_heavy_columns(spark, tmp_path):
 
     viol_schema = scan_schema(violation_rows(df, rules, key_cols=["url"]))
     assert "html" not in viol_schema, viol_schema
+
+
+def test_host_stats_salted_matches_plain(spark):
+    """Salted two-phase per-host distinct-url counts must equal the plain
+    plan; host extraction handles ports, query strings, and missing
+    schemes."""
+    from sparkcheck.webtext import host_stats, url_host
+
+    rows = (
+        [(f"https://hot.example/p/{i}",) for i in range(50)]
+        + [(f"https://hot.example/p/{i}",) for i in range(10)]   # dup urls
+        + [(f"http://h{i}.example:8080/a?q={i}",) for i in range(5)]
+        + [("not a url",), (None,)]
+    )
+    df = spark.createDataFrame(rows, ["url"])
+    plain = {r["host"]: (r["n_docs"], r["n_urls"])
+             for r in host_stats(df, salted=False, k=None).collect()}
+    salted = {r["host"]: (r["n_docs"], r["n_urls"])
+              for r in host_stats(df, salted=True, salt_buckets=8, k=None).collect()}
+    assert plain == salted
+    assert plain["hot.example"] == (60, 50)
+    assert plain["h0.example:8080"] == (1, 1)
+    assert "not a url" not in plain and "" not in plain
