@@ -116,6 +116,16 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["webtext_unique_url"] = round(best, 3)
 
+    # skew headline: per-host doc counts + salted exact distinct urls
+    from sparkcheck.webtext import host_stats
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        host_stats(wt, k=20, salted=True).collect()
+        best = min(best, time.perf_counter() - t0)
+    timings["webtext_host_stats"] = round(best, 3)
+
     # north-rule verdict contract at 8M: per-partition pass/fail verdicts
     # + violation rows with lineage written to a parquet sink — from ONE
     # shared scan (verdicts_and_sink persists the input, the verdict agg

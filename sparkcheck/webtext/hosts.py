@@ -12,8 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from sparkcheck.integrity.uniqueness import distinct_count_by_key
-
 HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 
 
@@ -33,24 +31,42 @@ def host_stats(
     """Per-host doc counts + EXACT distinct-url counts, top-k by volume:
     (host, n_docs, n_urls).
 
-    n_docs is a plain keyed count (map-side partials absorb any skew);
-    n_urls is the skew-prone count_distinct → salted two-phase when
-    ``salted``. The join between the two per-host frames is tiny
-    (#hosts rows)."""
-    hosts = (
-        df.where(F.col(url_col).isNotNull())
-        .select(url_host(F.col(url_col)).alias("host"), F.col(url_col).alias("_url"))
-        .where(F.col("host") != "")
+    ONE scan, one aggregation tree for BOTH stats (a join of two
+    per-host aggregates would rescan the input and re-run the regexp):
+
+        salted:  phase 1 groupBy(host, salt=hash(url)%S)
+                          → (partial count, partial count_distinct)
+                 phase 2 groupBy(host) → sums
+        plain:   groupBy(host) → (count, count_distinct)
+
+    Both sums are exact: counts partition trivially; distinct urls
+    partition because the salt is a function of the url, so a url never
+    appears under two salts of the same host (same argument as
+    integrity.uniqueness.distinct_count_by_key)."""
+    # No per-row filter on the computed host: Catalyst inlines the alias
+    # into a pushed-down filter and the regexp runs TWICE per row (seen
+    # in the plan). Malformed-url groups ('' host) are dropped AFTER
+    # aggregation, where the frame is #hosts rows.
+    hosts = df.where(F.col(url_col).isNotNull()).select(
+        url_host(F.col(url_col)).alias("host"), F.col(url_col).alias("_url")
     )
-    n_docs = hosts.groupBy("host").agg(F.count(F.lit(1)).alias("n_docs"))
-    n_urls = distinct_count_by_key(
-        hosts, "host", "_url", salted=salted, salt_buckets=salt_buckets
-    ).withColumnRenamed("ndv", "n_urls")
-    out = n_docs.join(n_urls, "host").select(
-        "host",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("n_urls").cast("long").alias("n_urls"),
-    )
+    if salted:
+        partial = hosts.groupBy(
+            "host", F.pmod(F.xxhash64("_url"), F.lit(salt_buckets)).alias("_salt")
+        ).agg(
+            F.count(F.lit(1)).alias("_docs"),
+            F.count_distinct("_url").alias("_ndv"),
+        )
+        out = partial.groupBy("host").agg(
+            F.sum("_docs").cast("long").alias("n_docs"),
+            F.sum("_ndv").cast("long").alias("n_urls"),
+        )
+    else:
+        out = hosts.groupBy("host").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("_url").cast("long").alias("n_urls"),
+        )
+    out = out.where(F.col("host") != "")
     if k is not None:
         out = out.orderBy(F.desc("n_docs"), F.asc("host")).limit(k)
     return out
