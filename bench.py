@@ -127,9 +127,9 @@ def main() -> None:
     timings["webtext_host_stats"] = round(best, 3)
 
     # north-rule verdict contract at 8M: per-partition pass/fail verdicts
-    # + violation rows with lineage written to a parquet sink — from ONE
-    # shared scan (verdicts_and_sink persists the input, the verdict agg
-    # fills the cache, the sink write reads it back)
+    # + violation rows with lineage written to a parquet sink, over a
+    # shared rule-pruned projection (two pruned columnar scans — measured
+    # faster than a shared-scan cache, see BENCH/VERDICTS_SINK.md)
     import shutil
     import tempfile
 

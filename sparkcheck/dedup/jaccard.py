@@ -120,7 +120,10 @@ def jaccard_for_pairs(
     """
     sh = shingles(df, text_col, id_col, k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    p = pairs.select("id_a", "id_b")
+    # distinct: a duplicated pair row would double-count every
+    # intersection shingle and inflate jaccard (possibly above 1.0) —
+    # cheap insurance, the pair frame is the small side by construction
+    p = pairs.select("id_a", "id_b").distinct()
     a_sh = p.join(sh.withColumnRenamed("id", "id_a"), "id_a").select(
         "id_a", "id_b", "shingle"
     )

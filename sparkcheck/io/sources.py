@@ -55,12 +55,32 @@ def inline_fixture(
 ) -> DataFrame:
     """List-of-dicts fixture (fixtures.py:126-142)."""
     if schema:
-        # field names from either DDL ("id int, v string") or colon
-        # ("id: int") schema syntax
-        names = [f.strip().split(":")[0].split()[0] for f in schema.split(",")]
+        names = _ddl_field_names(schema)
         ordered = [tuple(r.get(n) for n in names) for r in rows]
         return spark.createDataFrame(ordered, schema)
     return spark.createDataFrame([dict(r) for r in rows])
+
+
+def _ddl_field_names(schema: str) -> list[str]:
+    """Top-level field names from a DDL ("id int, price decimal(10,2)",
+    "m map<string,int>") or colon ("id: int") schema string — commas
+    inside (), <> nesting are NOT field separators."""
+    fields: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    for ch in schema:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        fields.append("".join(buf))
+    return [f.strip().split(":")[0].split()[0] for f in fields]
 
 
 def generated_fixture(

@@ -214,15 +214,29 @@ class ValidationEngine:
                     sc.setLocalProperty("spark.scheduler.pool", None)
 
             if len(wave) == 1 or ruleset.max_concurrent <= 1:
-                outs = [_one(r) for r in wave]
+                # sequential path keeps the strict fail_fast contract:
+                # stop IMMEDIATELY after a failing error-severity rule
+                # (never start the next scan)
+                stop = False
+                for r in wave:
+                    o = _one(r)
+                    report.outcomes.append(o)
+                    if (ruleset.fail_fast and not o.passed
+                            and o.severity == Severity.ERROR.value):
+                        stop = True
+                        break
+                if stop:
+                    break
             else:
+                # parallel wave: jobs are in flight together, so fail_fast
+                # gates BETWEEN waves (documented semantics)
                 with ThreadPoolExecutor(max_workers=ruleset.max_concurrent) as pool:
                     outs = list(pool.map(_one, wave))
-            report.outcomes.extend(outs)  # topo/wave order, not completion order
-            if ruleset.fail_fast and any(
-                not o.passed and o.severity == Severity.ERROR.value for o in outs
-            ):
-                break
+                report.outcomes.extend(outs)  # topo/wave order
+                if ruleset.fail_fast and any(
+                    not o.passed and o.severity == Severity.ERROR.value for o in outs
+                ):
+                    break
 
         report.elapsed_sec = time.monotonic() - t0
         return report

@@ -103,8 +103,16 @@ def _check_equals(a: TestAssertion, df: DataFrame, max_rows: int) -> tuple[bool,
         actual = _scalar(df)
         return _tol_eq(actual, exp, a.tolerance), exp, actual
     exp_rows = _expected_rows(exp)
-    act = _collect_capped(df, max_rows)
     cols = df.columns
+    # a mis-keyed expected dict must FAIL LOUDLY, not silently become
+    # None (which would false-pass against NULL cells)
+    unknown = sorted({k for r in exp_rows for k in r} - set(cols))
+    if unknown:
+        raise ValueError(
+            f"expected rows use column(s) {unknown} not in the result "
+            f"schema {cols}"
+        )
+    act = _collect_capped(df, max_rows)
     a_t = _rows_to_tuples(act, cols, a.tolerance)
     e_t = [tuple(_norm_value(r.get(c), a.tolerance) for c in cols) for r in exp_rows]
     if a.ignore_order:
@@ -240,14 +248,30 @@ def run_assertion(
             cols = a.params.get("columns") or (
                 [a.params["column"]] if a.params.get("column") else df.columns
             )
-            # per-column duplicate counts in ONE agg, NULLs exempt
-            # (reference engine.py:863-885 semantics)
-            aggs = [
-                (F.count(F.col(c)) - F.count_distinct(F.col(c))).alias(c)
-                for c in cols
-            ]
-            row = df.agg(*aggs).collect()[0]
-            dup_total = sum(row[c] for c in cols)
+            # per-column duplicate counts, NULLs exempt (reference
+            # engine.py:863-885 semantics). One column = one plain agg;
+            # several columns = ONE explode + (col, value) groupBy — N
+            # count_distincts in one agg would plan an Expand that
+            # replicates every row ×(N+1) (the CLAUDE.md blowup trap).
+            if len(cols) == 1:
+                c = cols[0]
+                row = df.agg(
+                    (F.count(F.col(c)) - F.count_distinct(F.col(c))).alias("d")
+                ).collect()[0]
+                dup_total = row["d"]
+            else:
+                stacked = df.select(F.explode(F.array(*[
+                    F.struct(F.lit(c).alias("c"),
+                             F.col(c).cast("string").alias("v"))
+                    for c in cols
+                ])).alias("s")).select("s.c", "s.v")
+                dup_total = (
+                    stacked.where(F.col("v").isNotNull())
+                    .groupBy("c", "v")
+                    .agg((F.count(F.lit(1)) - 1).alias("extra"))
+                    .agg(F.sum("extra").alias("d"))
+                    .collect()[0]["d"]
+                ) or 0
             actual = f"{dup_total} duplicate value(s)"
             expected = "all values unique" if t == "is_unique" else "contains duplicates"
             passed = (dup_total == 0) if t == "is_unique" else (dup_total > 0)
@@ -458,17 +482,25 @@ class Expectation:
 
     def query_equals(self, other: DataFrame, tolerance: float | None = None) -> "Expectation":
         """Set-equality of two frames as DISTRIBUTED anti-joins — no
-        collect, works at any size (the scale-safe form of equals)."""
-        a_minus_b = self.df.exceptAll(other).limit(1).count()
-        b_minus_a = other.exceptAll(self.df).limit(1).count()
+        collect, works at any size (the scale-safe form of equals).
+
+        ``tolerance`` snaps float columns to multiples of the tolerance
+        before comparing (floor(v/tol + 0.5)·tol): values within ~tol/2 of
+        the same grid point compare equal. Grid snapping (any engine's
+        finite-precision comparison works this way) can disagree with
+        exact |a−b|<=tol near grid boundaries — choose a tolerance one
+        order finer than the differences you care about."""
         if tolerance is not None:
-            rounded = lambda d: d.select(  # noqa: E731
-                *[F.round(F.col(c), int(-math.log10(tolerance))).alias(c)
+            snapped = lambda d: d.select(  # noqa: E731
+                *[(F.floor(F.col(c) / F.lit(tolerance) + F.lit(0.5))
+                   * F.lit(tolerance)).alias(c)
                   if t in ("double", "float") else F.col(c)
                   for c, t in d.dtypes])
-            a, b = rounded(self.df), rounded(other)
-            a_minus_b = a.exceptAll(b).limit(1).count()
-            b_minus_a = b.exceptAll(a).limit(1).count()
+            a, b = snapped(self.df), snapped(other)
+        else:
+            a, b = self.df, other
+        a_minus_b = a.exceptAll(b).limit(1).count()
+        b_minus_a = b.exceptAll(a).limit(1).count()
         if a_minus_b or b_minus_a:
             raise SparkAssertionError(
                 self._message or "query_equals: result sets differ "

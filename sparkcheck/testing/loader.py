@@ -127,17 +127,15 @@ def suite_from_dict(
 ) -> SQLTestSuite:
     data = _interp(dict(data))
     named = {}
-    suite_fixtures = []
     for fx in data.get("fixtures", data.get("global_fixtures", [])):
         f = fixture_from_dict(fx)
         named[f.name] = f
-    # suite-level fixtures referenced by name stay per-test; fixtures NOT
-    # referenced by any test are registered for every test (suite scope)
+    # Suite-level fixtures are visible to EVERY test (models.py contract);
+    # a test's by-name reference is validated but doesn't narrow the
+    # scope — re-registering the same temp view is an idempotent no-op,
+    # and lazily-planned views cost nothing until a test's SQL reads them.
     test_dicts = data.get("tests", data.get("test_cases", []))
-    referenced = {
-        fx for td in test_dicts for fx in td.get("fixtures", []) if isinstance(fx, str)
-    }
-    suite_fixtures = [f for n, f in named.items() if n not in referenced]
+    suite_fixtures = list(named.values())
     tests = tuple(test_from_dict(td, named, custom_registry) for td in test_dicts)
     return SQLTestSuite(
         name=data["name"],

@@ -85,13 +85,35 @@ def run_sql_script(spark: SparkSession, path: str) -> DataFrame | None:
     return run_sql_statements(spark, script)
 
 
+def _strip_leading_comments(stmt: str) -> str:
+    """Skip -- line comments and /* */ blocks so statement-kind
+    classification sees the first real keyword."""
+    s = stmt.lstrip()
+    while True:
+        if s.startswith("--"):
+            nl = s.find("\n")
+            if nl < 0:
+                return ""
+            s = s[nl + 1 :].lstrip()
+        elif s.startswith("/*"):
+            end = s.find("*/")
+            if end < 0:
+                return ""
+            s = s[end + 2 :].lstrip()
+        else:
+            return s
+
+
 def run_sql_statements(spark: SparkSession, script: str) -> DataFrame | None:
     last: DataFrame | None = None
     for stmt in split_sql_statements(script):
         last = spark.sql(stmt)
-        # DDL/DML (CREATE VIEW, INSERT, SET) must execute eagerly;
-        # a bare SELECT stays lazy for the caller.
-        if not stmt.lstrip().upper().startswith(("SELECT", "WITH", "VALUES", "TABLE")):
+        # DDL/DML (CREATE VIEW, INSERT, SET) must execute eagerly; a
+        # query (SELECT/WITH/VALUES/TABLE — even behind a comment) stays
+        # LAZY for the caller: eagerly collecting a misclassified SELECT
+        # would pull its full result to the driver.
+        head = _strip_leading_comments(stmt).upper()
+        if not head.startswith(("SELECT", "WITH", "VALUES", "TABLE", "(")):
             last.collect()
     return last
 
@@ -138,6 +160,15 @@ class SparkTestRunner:
         registered: list[TestFixture] = []
         try:
             def _body() -> None:
+                # the FAIR pool must be set HERE: _body runs inside
+                # run_with_timeout's worker thread, and PySpark local
+                # properties (pinned-thread mode) do not cross threads —
+                # a pool set by the parallel-suite thread never reaches
+                # the thread that actually submits the jobs
+                if self.fair_pool:
+                    session.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", self.fair_pool
+                    )
                 for fx in fixtures:
                     register_fixture(session, fx)
                     registered.append(fx)
@@ -169,6 +200,8 @@ class SparkTestRunner:
             result.status = TestStatus.ERROR
             result.error_message = str(e)
         finally:
+            if self.fair_pool:  # don't leak the pool onto the caller thread
+                session.sparkContext.setLocalProperty("spark.scheduler.pool", None)
             self._cleanup(session, registered, isolated=session is not self.spark)
             self._executed.add(test.name)
             result.execution_time = time.perf_counter() - t0
@@ -234,15 +267,9 @@ class SparkTestRunner:
         results: list[TestResult] = []
 
         def _run(t: SQLTestCase) -> TestResult:
-            if self.fair_pool:
-                self.spark.sparkContext.setLocalProperty(
-                    "spark.scheduler.pool", self.fair_pool
-                )
-            try:
-                return self.execute_test(t, extra_fixtures=suite.fixtures)
-            finally:
-                if self.fair_pool:
-                    self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+            # pool assignment happens inside execute_test's _body (the
+            # thread that submits jobs); nothing to set here
+            return self.execute_test(t, extra_fixtures=suite.fixtures)
 
         if independent:
             with ThreadPoolExecutor(max_workers=max(1, suite.max_workers)) as pool:

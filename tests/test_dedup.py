@@ -166,3 +166,16 @@ def test_keep_best_per_group(spark):
     kept = {r["doc_id"] for r in
             drop_duplicates_keep_best(df, "grp", "q").collect()}
     assert kept == {2, 4, 5}
+
+
+def test_jaccard_for_pairs_duplicate_pair_rows_safe(docs):
+    """Duplicated candidate-pair rows must not inflate jaccard."""
+    from sparkcheck.dedup import jaccard_for_pairs
+
+    spark = docs.sparkSession
+    pairs_once = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    pairs_dup = spark.createDataFrame([(0, 1), (0, 1)], ["id_a", "id_b"])
+    j1 = jaccard_for_pairs(docs, pairs_once, threshold=0.0).collect()
+    j2 = jaccard_for_pairs(docs, pairs_dup, threshold=0.0).collect()
+    assert [tuple(r) for r in j1] == [tuple(r) for r in j2]
+    assert j1[0]["jaccard"] == 1.0  # docs 0 and 1 are exact dups

@@ -516,3 +516,78 @@ def test_benchmark_query_and_regression_gate(spark, tmp_path):
         spark, [lambda: spark.range(5000).selectExpr("count(*) AS c")] * 4,
         workers=4)
     assert load["n_queries"] == 4 and load["overlap_factor"] >= 1.0
+
+
+# ---------------------------------------------------------------------------
+# regression tests for review findings
+
+def test_suite_fixture_visible_to_all_tests(spark, tmp_path):
+    """A suite-level fixture referenced by one test must stay visible to
+    tests that don't list it (the documented suite-scope contract)."""
+    p = tmp_path / "scope.yaml"
+    p.write_text(
+        "name: scope\n"
+        "fixtures:\n"
+        "  - {name: users, table_name: users, fixture_type: inline,\n"
+        "     data_source: [{id: 1}, {id: 2}], schema: 'id int'}\n"
+        "tests:\n"
+        "  - name: references_it\n"
+        "    sql: SELECT COUNT(*) AS n FROM users\n"
+        "    fixtures: [users]\n"
+        "    assertions: [{type: equals, expected: 2}]\n"
+        "  - name: relies_on_suite_scope\n"
+        "    sql: SELECT MAX(id) AS m FROM users\n"
+        "    assertions: [{type: equals, expected: 2}]\n"
+    )
+    res = SparkTestRunner(spark).execute_suite(load_suite_yaml(str(p)))
+    assert res.passed_tests == 2, [
+        (r.test_name, r.error_message) for r in res.test_results]
+
+
+def test_inline_fixture_comma_bearing_types(spark):
+    from decimal import Decimal
+
+    from sparkcheck.io import inline_fixture
+
+    df = inline_fixture(
+        spark,
+        [{"id": 1, "price": Decimal("9.50"), "tags": {"a": 1}}],
+        schema="id int, price decimal(10,2), tags map<string,int>",
+    )
+    row = df.collect()[0]
+    assert row["id"] == 1 and float(row["price"]) == 9.5 and row["tags"] == {"a": 1}
+
+
+def test_equals_unknown_expected_key_fails_loudly(spark):
+    df = spark.sql("SELECT CAST(NULL AS INT) AS n")
+    out = run_assertion(TestAssertion("equals", expected=[{"m": 5}]), df)
+    assert not out.passed and "not in the result schema" in (out.error or "")
+
+
+def test_is_unique_multicolumn_no_expand(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (None, "z")], "a int, b string")
+    out = run_assertion(TestAssertion("is_unique"), df)  # all columns
+    # a unique (NULL exempt); b has one extra 'x' -> 1 duplicate
+    assert not out.passed and "1 duplicate" in str(out.actual)
+    ok = run_assertion(TestAssertion("is_unique", params={"columns": ["a"]}), df)
+    assert ok.passed
+
+
+def test_query_equals_tolerance_grid(spark):
+    a = spark.createDataFrame([(0.44,)], "v double")
+    b = spark.createDataFrame([(0.4401,)], "v double")
+    expect(a).query_equals(b, tolerance=0.01)  # within tol -> equal
+    far = spark.createDataFrame([(0.51,)], "v double")
+    with pytest.raises(SparkAssertionError):
+        expect(a).query_equals(far, tolerance=0.01)
+
+
+def test_comment_prefixed_select_stays_query(spark):
+    from sparkcheck.testing.runner import _strip_leading_comments
+
+    assert _strip_leading_comments("-- note\nSELECT 1").startswith("SELECT")
+    assert _strip_leading_comments("/* b; */ WITH t AS (SELECT 1) SELECT * FROM t").startswith("WITH")
+    assert _strip_leading_comments("-- only a comment") == ""
+    df = run_sql_statements(spark, "-- pick rows\nSELECT 41 + 1 AS v")
+    assert df.collect()[0]["v"] == 42
