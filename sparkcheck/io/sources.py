@@ -91,35 +91,74 @@ def generated_fixture(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic mock-data generator (replaces the reference's Faker
-    mock system, sql_testing/fixtures.py:333-423): every column derives
-    from xxhash64(id, seed) — same rows at any parallelism.
+    mock system, sql_testing/fixtures.py:333-423 and the distribution /
+    relationship features of sql_testing/advanced_mocking.py): every
+    column derives from xxhash64(id, seed) — same rows at any
+    parallelism, no Python in the data path.
 
-    Column spec values: 'int' | 'double' | 'string' | 'email' | 'bool'
-    | 'category:a|b|c' | 'id'.
+    Column spec values:
+      'id'                  — the row number 0..n-1 (a generated PK)
+      'int' | 'double' | 'string' | 'email' | 'bool'
+      'category:a|b|c'      — uniform pick
+      'fk:<parent_n>'       — uniform int in [0, parent_n): joins cleanly
+                              to a parent generated with that many 'id'
+                              rows (advanced_mocking's relationships)
+      'normal:<mean>:<std>' — Gaussian via Box–Muller over two hash
+                              uniforms (deterministic)
+      'zipf:<n>'            — log-uniform over 1..n (≈ Zipf(s=1) ranks):
+                              the skewed-key generator for salting tests
+      'null:<pct>:<kind>'   — NULL with probability pct/100, else <kind>
     """
     df = spark.range(0, n, 1, num_partitions) if num_partitions else spark.range(n)
-    cols = []
-    for i, (name, kind) in enumerate(sorted(columns.items())):
-        h = F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(i)))
+    def _col(kind: str, i: int, salt: int = 0) -> F.Column:
+        h = F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(i), F.lit(salt)))
+        # uniform in [0, 1) with 2^30 resolution
+        u = F.pmod(h, F.lit(1 << 30)) / float(1 << 30)
         if kind == "id":
-            cols.append(F.col("id").alias(name))
-        elif kind == "int":
-            cols.append(F.pmod(h, F.lit(10_000)).cast("int").alias(name))
-        elif kind == "double":
-            cols.append((F.pmod(h, F.lit(1_000_000)) / 100.0).alias(name))
-        elif kind == "bool":
-            cols.append((F.pmod(h, F.lit(2)) == 0).alias(name))
-        elif kind == "string":
-            cols.append(F.concat(F.lit("s_"), F.pmod(h, F.lit(100_000)).cast("string")).alias(name))
-        elif kind == "email":
-            cols.append(
-                F.concat(F.lit("user"), F.pmod(h, F.lit(100_000)).cast("string"),
-                         F.lit("@example.com")).alias(name)
-            )
-        elif kind.startswith("category:"):
+            return F.col("id")
+        if kind == "int":
+            return F.pmod(h, F.lit(10_000)).cast("int")
+        if kind == "double":
+            return F.pmod(h, F.lit(1_000_000)) / 100.0
+        if kind == "bool":
+            return F.pmod(h, F.lit(2)) == 0
+        if kind == "string":
+            return F.concat(F.lit("s_"), F.pmod(h, F.lit(100_000)).cast("string"))
+        if kind == "email":
+            return F.concat(F.lit("user"), F.pmod(h, F.lit(100_000)).cast("string"),
+                            F.lit("@example.com"))
+        if kind.startswith("category:"):
             values = kind.split(":", 1)[1].split("|")
             arr = F.array(*[F.lit(v) for v in values])
-            cols.append(F.element_at(arr, (F.pmod(h, F.lit(len(values))) + 1).cast("int")).alias(name))
-        else:
-            raise ValueError(f"unknown column kind {kind!r}")
+            return F.element_at(arr, (F.pmod(h, F.lit(len(values))) + 1).cast("int"))
+        if kind.startswith("fk:"):
+            parent_n = int(kind.split(":", 1)[1])
+            return F.pmod(h, F.lit(parent_n))
+        if kind.startswith("normal:"):
+            _, mean, std = kind.split(":")
+            u2 = F.pmod(F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(i),
+                                         F.lit(salt + 1))),
+                        F.lit(1 << 30)) / float(1 << 30)
+            # Box–Muller; clamp u away from 0 so log() stays finite
+            z = (F.sqrt(-2.0 * F.log(F.greatest(u, F.lit(1e-12))))
+                 * F.cos(2.0 * 3.141592653589793 * u2))
+            return F.lit(float(mean)) + F.lit(float(std)) * z
+        if kind.startswith("zipf:"):
+            zn = int(kind.split(":", 1)[1])
+            # inverse-CDF of the log-uniform distribution over [1, n]:
+            # rank k drawn with P ∝ 1/k (Zipf s=1 up to normalization)
+            import math as _m
+
+            return F.floor(F.exp(u * _m.log(zn))).cast("long")
+        if kind.startswith("null:"):
+            _, pct, inner = kind.split(":", 2)
+            return F.when(u < float(pct) / 100.0, F.lit(None)).otherwise(
+                _col(inner, i, salt + 7)
+            )
+        raise ValueError(f"unknown column kind {kind!r}")
+
+    cols = [
+        _col(kind, i).alias(name)
+        for i, (name, kind) in enumerate(sorted(columns.items()))
+    ]
     return df.select(*cols)

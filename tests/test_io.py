@@ -185,3 +185,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_generated_fixture_distributions_and_fk(spark):
+    """advanced_mocking analog: FK relationships, normal/zipf
+    distributions, nullable wrapper — all deterministic."""
+    from sparkcheck.io import generated_fixture
+
+    parent = generated_fixture(spark, 100, {"pk": "id", "name": "string"})
+    child = generated_fixture(spark, 2000, {
+        "cid": "id",
+        "parent_fk": "fk:100",
+        "score": "normal:50:10",
+        "rank": "zipf:1000",
+        "maybe": "null:30:int",
+    })
+    # FK integrity: every child fk joins a parent pk (anti-join empty)
+    orphans = child.join(parent, child.parent_fk == parent.pk, "left_anti")
+    assert orphans.count() == 0
+
+    import pyspark.sql.functions as F
+    stats = child.agg(
+        F.avg("score").alias("mu"), F.stddev_samp("score").alias("sd"),
+        F.min("rank").alias("rmin"), F.max("rank").alias("rmax"),
+        F.avg(F.col("maybe").isNull().cast("int")).alias("null_rate"),
+    ).collect()[0]
+    assert abs(stats["mu"] - 50) < 2 and abs(stats["sd"] - 10) < 2
+    assert stats["rmin"] >= 1 and stats["rmax"] <= 1000
+    assert 0.2 < stats["null_rate"] < 0.4
+    # zipf skew: rank 1-9 should hold a large share (log-uniform)
+    low = child.where("rank < 10").count() / 2000
+    assert low > 0.25
+    # determinism across invocations
+    a = child.orderBy("cid").limit(5).collect()
+    b = generated_fixture(spark, 2000, {
+        "cid": "id", "parent_fk": "fk:100", "score": "normal:50:10",
+        "rank": "zipf:1000", "maybe": "null:30:int",
+    }).orderBy("cid").limit(5).collect()
+    assert a == b
