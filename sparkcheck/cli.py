@@ -43,6 +43,11 @@ def cmd_profile(args) -> int:
     payload = dataclasses.asdict(prof)
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2, default=str)
+    if getattr(args, "html", None):
+        from sparkcheck.io.html_report import render_profile_html
+
+        with open(args.html, "w") as f:
+            f.write(render_profile_html(prof))
     print(json.dumps({"table": args.table, "rows": prof.total_rows,
                       "columns": len(prof.columns), "out": args.out}))
     return 0
@@ -214,6 +219,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--columns", default=None)
     p.add_argument("--out", required=True)
+    p.add_argument("--html", default=None, help="also render a profile dashboard")
     p.set_defaults(fn=cmd_profile)
 
     v = sub.add_parser("validate", help="run a YAML rule suite")

@@ -251,6 +251,63 @@ def render_drift_section(delta: Mapping[str, Any] | Any) -> str:
     )
 
 
+def render_profile_html(profile: Any, title: str | None = None) -> str:
+    """Profile dashboard (reference html_generator.py's profile section):
+    per-column stats table, inline histogram bars, top values, detected
+    patterns. Accepts a TableProfile or its asdict()/JSON form."""
+    if not isinstance(profile, Mapping):
+        import dataclasses
+
+        profile = dataclasses.asdict(profile)
+    title = title or f"sparkcheck profile — {profile.get('table', '?')}"
+    rows = []
+    for name, cs in profile.get("columns", {}).items():
+        cs = dict(cs)
+        hist = cs.get("histogram") or []
+        if hist:
+            mx = max((h["count"] for h in hist), default=1) or 1
+            bars = "".join(
+                f'<div style="display:inline-block;width:9px;'
+                f'height:{max(2, 28 * h["count"] / mx):.0f}px;'
+                f'background:#5561d8;margin-right:1px;vertical-align:bottom"></div>'
+                for h in hist
+            )
+        else:
+            bars = ""
+        top = ", ".join(
+            f'{html.escape(str(t["value"]))}×{t["count"]}'
+            for t in (cs.get("top_values") or [])[:3]
+        )
+        pats = ", ".join(
+            f'{p["pattern"]} ({p["confidence"]:.0%})'
+            for p in (cs.get("patterns") or [])
+        )
+        nn = cs.get("non_null_count") or 0
+        total = cs.get("total_count") or 0
+        null_pct = 100.0 * (total - nn) / total if total else 0.0
+        mean = cs.get("mean")
+        rows.append(
+            f"<tr><td>{html.escape(name)}</td>"
+            f"<td>{html.escape(str(cs.get('data_type', '')))}</td>"
+            f"<td>{null_pct:.1f}%</td>"
+            f"<td>{cs.get('distinct_count') or ''}</td>"
+            f"<td>{html.escape(str(cs.get('min_value', '')))} … "
+            f"{html.escape(str(cs.get('max_value', '')))}</td>"
+            f"<td>{'' if mean is None else f'{mean:.4g}'}</td>"
+            f"<td>{bars}</td><td>{html.escape(top)}</td>"
+            f"<td>{html.escape(pats)}</td></tr>"
+        )
+    return f"""<!doctype html><html><head><meta charset="utf-8">
+<title>{html.escape(title)}</title><style>{_CSS}</style></head><body>
+<h1>{html.escape(title)}</h1>
+<p class="meta">{profile.get('total_rows', 0):,} rows ·
+{len(profile.get('columns', {}))} columns ·
+generated {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}</p>
+<table><tr><th>column</th><th>type</th><th>null%</th><th>ndv</th>
+<th>range</th><th>mean</th><th>histogram</th><th>top values</th>
+<th>patterns</th></tr>{''.join(rows)}</table></body></html>"""
+
+
 def render_full_html(
     report: Any = None,
     history: Iterable[Mapping[str, Any]] | None = None,

@@ -91,3 +91,12 @@ def test_cli_report_and_init(spark, tmp_path):
     (tmp_path / "checks" / "rules.yaml").write_text("sentinel: true\n")
     assert main(["init", "--dir", str(tmp_path / "checks")]) == 0
     assert "sentinel" in (tmp_path / "checks" / "rules.yaml").read_text()
+
+
+def test_cli_profile_html(spark, tmp_path):
+    prof = str(tmp_path / "p.json")
+    page = str(tmp_path / "p.html")
+    assert main(["profile", "--table", DOCS, "--out", prof, "--html", page]) == 0
+    doc = open(page).read()
+    assert "sparkcheck profile" in doc and "n_chars" in doc
+    assert "histogram" in doc and "<div style=" in doc  # bars rendered
