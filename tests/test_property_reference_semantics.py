@@ -140,3 +140,48 @@ def test_compiler_matches_reference_semantics(sess, vals):
     }
     want = reference_counts(vals)
     assert got == want, f"vals={vals!r}"
+
+
+# ---------------------------------------------------------------------------
+# assertion engine vs a pure-python reimplementation (assertions/engine.py
+# data-shaped subset: row_count, in_range, is_unique, contains, equals)
+
+ASSERT_VALUES = st.one_of(
+    st.none(),
+    st.integers(min_value=-1000, max_value=1000),
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(ASSERT_VALUES, min_size=1, max_size=30),
+       lo=st.integers(min_value=-500, max_value=0),
+       hi=st.integers(min_value=1, max_value=500),
+       probe=st.integers(min_value=-1000, max_value=1000))
+def test_assertion_engine_matches_python_semantics(spark, vals, lo, hi, probe):
+    from sparkcheck.testing import TestAssertion, run_assertion
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "idx int, v int")
+    nn = [v for v in vals if v is not None]
+
+    out = run_assertion(TestAssertion(
+        "row_count", params={"expected_count": len(vals)}), df)
+    assert out.passed and out.error is None
+
+    want_in_range = bool(nn) and all(lo <= v <= hi for v in nn)
+    got = run_assertion(TestAssertion(
+        "in_range", params={"column": "v", "min": lo, "max": hi}), df)
+    assert got.passed is want_in_range, (vals, lo, hi, got.as_dict())
+
+    dup = len(nn) - len(set(nn))
+    got_u = run_assertion(TestAssertion("is_unique", params={"column": "v"}), df)
+    assert got_u.passed is (dup == 0), (vals, got_u.as_dict())
+
+    got_c = run_assertion(TestAssertion("contains", expected={"v": probe}), df)
+    assert got_c.passed is (probe in nn), (vals, probe, got_c.as_dict())
+
+    expected_rows = [{"idx": i, "v": v} for i, v in enumerate(vals)]
+    got_e = run_assertion(TestAssertion(
+        "equals", expected=list(reversed(expected_rows)), ignore_order=True), df)
+    assert got_e.passed, got_e.as_dict()
