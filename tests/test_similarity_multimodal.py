@@ -103,3 +103,31 @@ def test_ivf_topk_recall_and_determinism(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1  # more probes never hurt
     assert r4 >= 0.3  # measured floor on these near-orthogonal vectors
+
+
+def test_ivf_corpus_assignment_is_map_only(spark):
+    """n_lists=1 centroid assignment must not shuffle the corpus: the
+    executed plan contains NO Exchange (round-1 advice: the old window
+    shape exchanged the whole corpus×k frame on vector id)."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.similarity.ivf import _assign
+
+    corpus = spark.range(1000).select(
+        F.col("id").alias("neighbor_id"),
+        F.array(*[(F.pmod(F.xxhash64("id", F.lit(i)), F.lit(100)) / 50.0 - 1.0)
+                  for i in range(4)]).alias("neighbor_v"),
+    ).withColumn("_n", F.lit(1.0))
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    assigned = _assign(corpus, centroids, "neighbor_v", "neighbor_id", n_lists=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    # broadcast of the packed centroid row is fine; a hash/range exchange
+    # of the corpus is not
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # every vector got exactly one centroid
+    assert assigned.count() == 1000
+    assert assigned.where(F.col("centroid_id").isNull()).count() == 0
