@@ -117,10 +117,12 @@ def main() -> None:
     timings["webtext_unique_url"] = round(best, 3)
 
     # skew headline: per-host doc counts + salted exact distinct urls
+    # (best-of-3: the big url shuffle is the entry most exposed to the
+    # sandbox host's load spikes)
     from sparkcheck.webtext import host_stats
 
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         host_stats(wt, k=20, salted=True).collect()
         best = min(best, time.perf_counter() - t0)
@@ -143,7 +145,7 @@ def main() -> None:
     sink = tempfile.mkdtemp(prefix="sparkcheck_viol_")
     try:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):  # best-of-3: noisiest entry on this host
             t0 = time.perf_counter()
             verdicts_and_sink(wt_e, rules, key_cols=["url"], sink_path=sink)
             best = min(best, time.perf_counter() - t0)
