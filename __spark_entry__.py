@@ -692,6 +692,14 @@ def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dup_segment_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher duplicate-segment fraction (map-only) — applied at word
+    granularity since the synthetic docs are single-line."""
+    from sparkcheck.textstats import duplicate_segment_stats
+
+    return duplicate_segment_stats(_t(spark, sf, "documents"), delimiter=" ")
+
+
 def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     """URL-host skew analytics (the north rule's named skew surface):
     per-host doc counts + EXACT distinct-url counts via the salted
@@ -905,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redacted": q_pii_redacted,
         "dedup_keep_best": q_dedup_keep_best,
         "repetition_stats": q_repetition_stats,
+        "dup_segment_stats": q_dup_segment_stats,
         "host_stats": q_host_stats,
     }
 
@@ -1209,6 +1218,13 @@ FROM events
         "pii_stats": pii_stats_sql,
         "pii_redacted": pii_redacted_sql,
         "dedup_keep_best": dedup_keep_best_sql,
+        "dup_segment_stats": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_segments,
+       round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 4) AS dup_segment_frac
+FROM documents WHERE text IS NOT NULL
+""",
         "host_stats": r"""
 WITH urls AS (
   SELECT 'https://'
