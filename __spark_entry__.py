@@ -581,7 +581,11 @@ def q_daily_event_stats(spark: SparkSession, sf: str) -> DataFrame:
         e.groupBy(day.alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # +1e-9 on BOTH sides: an avg of 2-dp values can land exactly
+            # on a .00005 decimal midpoint where Spark's and DuckDB's
+            # round() disagree (hit at sf0.001); the nudge is identical
+            # in the oracle and far above double representation error.
+            F.round(F.avg("value") + F.lit(1e-9), 4).alias("avg_value"),
             F.count_distinct("user_id").alias("n_users"),
         )
     )
@@ -1350,7 +1354,7 @@ FROM (SELECT * FROM cur EXCEPT ALL SELECT * FROM base)
         "daily_event_stats": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*) AS n_events,
-       round(avg(value), 4) AS avg_value,
+       round(avg(value) + 1e-9, 4) AS avg_value,  -- midpoint nudge, both sides
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1
 """,
@@ -1554,7 +1558,8 @@ WITH q AS (
 )
 SELECT doc_id, len_score, punct_ratio, stop_ratio, diversity,
        round(0.25 * len_score + 0.25 * (1.0 - LEAST(punct_ratio * 5, 1.0))
-             + 0.25 * LEAST(stop_ratio * 5, 1.0) + 0.25 * diversity, 4) AS quality
+             + 0.25 * LEAST(stop_ratio * 5, 1.0) + 0.25 * diversity
+             + 1e-9, 4) AS quality  -- midpoint nudge, both sides
 FROM q
 """,
         "lang_id": """

@@ -106,7 +106,10 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
         diversity.alias("diversity"),
-        F.round(score, 4).alias("quality"),
+        # +1e-9: the sum of four 4-dp quarters is a multiple of 0.000025
+        # and can land exactly on a .00005 decimal midpoint where engines'
+        # round() disagree; the same nudge is applied in the oracle.
+        F.round(score + F.lit(1e-9), 4).alias("quality"),
     )
 
 
