@@ -8,6 +8,7 @@ from sparkcheck.textstats.analysis import (
     repetition_stats,
     rolling_fingerprints,
     token_stats,
+    winnow_near_duplicates,
 )
 from sparkcheck.textstats.pii import PII_PATTERNS, pii_redact, pii_stats
 
@@ -21,6 +22,7 @@ __all__ = [
     "duplicate_segment_stats",
     "rolling_fingerprints",
     "token_stats",
+    "winnow_near_duplicates",
     "PII_PATTERNS",
     "pii_stats",
     "pii_redact",

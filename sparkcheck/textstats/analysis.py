@@ -319,3 +319,42 @@ def rolling_fingerprints(
     return df.select(
         F.col(id_col), F.explode(_winnow(F.col(text_col))).alias("fingerprint")
     )
+
+
+def winnow_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fingerprint_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints
+    (the MOSS construction, Schleimer et al. SIGMOD'03 §4): docs sharing
+    ≥ ``min_shared`` fingerprints are byte-level near-dups — robust to
+    reordering and insertion, complementary to word-shingle MinHash.
+
+    Same scale shape as the shingle pipeline: explode fingerprints,
+    drop boilerplate fingerprints shared by > ``max_fingerprint_freq``
+    docs (the h² self-join guard), self-join on fingerprint, count per
+    pair. Output: (id_a, id_b, shared_fingerprints)."""
+    fps = rolling_fingerprints(df, text_col, id_col, k, window).distinct()
+    if max_fingerprint_freq is not None:
+        hot = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .where(F.col("f") > max_fingerprint_freq)
+            .select("fingerprint")
+        )
+        fps = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -210,3 +210,25 @@ def test_repetition_and_duplicate_segments(spark):
     d = {x["doc_id"]: x for x in duplicate_segment_stats(sdf).collect()}
     assert d[0]["n_segments"] == 4 and abs(d[0]["dup_segment_frac"] - 0.25) < 1e-9
     assert d[1]["dup_segment_frac"] == 0.0
+
+
+def test_winnow_near_duplicates(spark):
+    from sparkcheck.textstats import winnow_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog while rain falls on rooftops"
+    rows = [
+        (0, base),
+        (1, "INTRO ADDED " + base),             # shifted copy: shares fingerprints
+        (2, "totally different content about spark shuffles, joins and caches"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["shared_fingerprints"]
+             for r in winnow_near_duplicates(df, min_shared=2).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(p == (0, 1) for p in pairs), pairs
+    # the hot-fingerprint guard drops ubiquitous fingerprints
+    many = spark.createDataFrame(
+        [(i, base) for i in range(20)], ["doc_id", "text"])
+    none = winnow_near_duplicates(many, min_shared=1, max_fingerprint_freq=5)
+    assert none.count() == 0  # every fingerprint is in all 20 docs -> dropped
