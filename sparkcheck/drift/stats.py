@@ -90,6 +90,34 @@ def ks_from_binned(expected: Sequence[float], actual: Sequence[float]) -> float:
     return best
 
 
+def ks_from_quantiles(
+    q_baseline: Sequence[float], q_current: Sequence[float]
+) -> float:
+    """KS statistic from two EQUAL-LENGTH quantile vectors (e.g. 101
+    percentiles from percentile_approx) — the sketch-native drift path
+    when no shared histogram edges exist (histograms need a fixed [lo,hi]
+    from the baseline; quantile vectors are edge-free).
+
+    D = max_x |F_b(x) − F_c(x)| evaluated at the union of both engines'
+    quantile points by inverse lookup: F(v) for a vector of m quantiles
+    is approximated as rank/(m−1) of the last quantile ≤ v. Error is
+    bounded by the quantile grid spacing (1/(m−1)) plus sketch error."""
+    import bisect
+
+    qb, qc = sorted(q_baseline), sorted(q_current)
+    if len(qb) < 2 or len(qc) < 2:
+        raise ValueError("need at least 2 quantiles per side")
+
+    def cdf(q: list[float], v: float) -> float:
+        # fraction of the distribution ≤ v according to the quantile grid
+        return min(bisect.bisect_right(q, v) / (len(q) - 1), 1.0)
+
+    best = 0.0
+    for v in qb + qc:
+        best = max(best, abs(cdf(qb, v) - cdf(qc, v)))
+    return min(best, 1.0)
+
+
 def _aligned_counts(
     df: DataFrame, column: str, slice_col: Column, bins: int, lo: float, hi: float
 ) -> tuple[list[float], list[float]]:

@@ -39,6 +39,8 @@ def read_table(
         if schema:
             reader = reader.schema(schema)
         return reader.json(path)
+    if fmt == "orc":
+        return spark.read.options(**options).orc(path)
     if fmt == "iceberg":
         try:
             return spark.read.format("iceberg").options(**options).load(path)

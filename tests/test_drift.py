@@ -112,3 +112,36 @@ def test_psi_skipped_when_edges_misaligned(spark):
     cur = profile_table(other, table_name="t")  # own edges — misaligned
     delta = compare_profiles(b, cur)
     assert "psi" not in delta.column_changes.get("v", {})
+
+
+def test_ks_from_quantiles(spark):
+    """Sketch-native KS: agrees with the exact KS for a known shift and
+    is ~0 for identical distributions."""
+    import pyspark.sql.functions as F
+
+    from sparkcheck.drift import ks_from_quantiles
+
+    probs = [i / 100 for i in range(101)]
+    base = spark.range(10_000).select((F.col("id") % 1000).cast("double").alias("v"))
+    shifted = base.select((F.col("v") + 500.0).alias("v"))  # uniform shifted by 500
+
+    def quantiles(df):
+        return df.agg(F.percentile_approx("v", probs, 10_000).alias("q")).collect()[0]["q"]
+
+    qb = quantiles(base)
+    same = ks_from_quantiles(qb, quantiles(base))
+    assert same < 0.02
+    # uniform[0,1000) vs uniform[500,1500): exact KS = 0.5
+    d = ks_from_quantiles(qb, quantiles(shifted))
+    assert abs(d - 0.5) < 0.05, d
+    with pytest.raises(ValueError):
+        ks_from_quantiles([1.0], [1.0, 2.0])
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    from sparkcheck.io import read_table
+
+    path = str(tmp_path / "orc_tbl")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.orc(path)
+    df = read_table(spark, path, fmt="orc")
+    assert df.count() == 100 and set(df.columns) == {"id", "v"}
