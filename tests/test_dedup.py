@@ -115,11 +115,59 @@ def test_embedding_near_duplicates_exact(vecs):
     assert pairs[(0, 1)] > 0.99
 
 
-def test_embedding_near_duplicates_bucketed_finds_same_sign_pairs(vecs):
+def test_embedding_near_duplicates_banded_finds_near_dup(vecs):
+    """Banded random-hyperplane LSH recovers the planted near-dup pair:
+    at cosine ≈ 0.9992 nearly every hyperplane sign agrees, so the pair
+    shares a band with overwhelming (and, given fixed seed,
+    deterministic) probability."""
     pairs = {(r["id_a"], r["id_b"]) for r in
              embedding_near_duplicates(vecs, threshold=0.95, bucketed=True,
-                                       n_bucket_dims=2).collect()}
+                                       dim=4, bands=8, bits=4).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_embedding_banded_matches_exact_on_candidates(spark):
+    """Banded-path cosines must equal the exact path's values on every
+    pair the LSH surfaces (the prefilter may drop pairs, never alter
+    values)."""
+    import math
+
+    rows = []
+    for i in range(30):
+        base = [math.cos(i * 0.11), math.sin(i * 0.11), 0.3, -0.2]
+        rows.append((i, base))
+        rows.append((100 + i, [x + 0.001 * ((i % 3) - 1) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             embedding_near_duplicates(df, threshold=0.9).collect()}
+    banded = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+              embedding_near_duplicates(df, threshold=0.9, bucketed=True,
+                                        dim=4, bands=4, bits=8).collect()}
+    assert banded, "LSH should surface at least the planted near-dups"
+    for pair, cos in banded.items():
+        assert exact[pair] == cos
+
+
+def test_embedding_hot_bucket_cap_bounds_candidates(spark):
+    """Skewed-sign corpus (every vector in the same orthant — the shape
+    that made the old fixed sign-bucket quadratic): with max_bucket the
+    candidate count is bounded by bands * cap² / 2 instead of n²/2."""
+    from sparkcheck.dedup.embedding import embedding_candidate_pairs
+
+    n = 200
+    rows = [(i, [1.0 + (i % 7) * 0.01, 2.0 + (i % 5) * 0.01,
+                 3.0, 4.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = embedding_candidate_pairs(
+        df, dim=4, bands=4, bits=4, max_bucket=10
+    ).count()
+    uncapped = embedding_candidate_pairs(
+        df, dim=4, bands=4, bits=4, max_bucket=None
+    ).count()
+    # identical-orthant vectors all land in the same bucket per band →
+    # uncapped is ~n²/2; the cap drops those hot buckets entirely
+    assert uncapped > n * (n - 1) / 4
+    assert capped <= 4 * 10 * 9 / 2
 
 
 def test_jaccard_for_pairs_matches_allpairs(docs):
