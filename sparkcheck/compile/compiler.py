@@ -325,6 +325,34 @@ def violation_rows(
     return out
 
 
+def rule_projection(
+    rules: Sequence[Rule], key_cols: Sequence[str]
+) -> tuple[list[str], bool]:
+    """(columns the rules + lineage keys touch, prunable?). A rule type
+    that declares no column set — ``column``, ``required_columns`` or
+    ``columns`` all absent/empty (a future multi-column row rule or
+    expression rule) — makes the projection non-prunable: dropping
+    columns its predicate references would fail the downstream plan
+    with AnalysisException, so callers keep the full row instead."""
+    needed: list[str] = list(key_cols)
+    prunable = True
+    for r in rules:
+        declared = False
+        col = getattr(r, "column", None)
+        if col:
+            declared = True
+            if col not in needed:
+                needed.append(col)
+        for attr in ("required_columns", "columns"):  # Completeness / multi-col Unique
+            for col in getattr(r, attr, ()) or ():
+                declared = True
+                if col not in needed:
+                    needed.append(col)
+        if not declared:
+            prunable = False
+    return needed, prunable
+
+
 def verdicts_and_sink(
     df: DataFrame,
     rules: Sequence[Rule],
@@ -360,15 +388,8 @@ def verdicts_and_sink(
 
     Returns the collected verdict rows (driver-sized:
     #partitions × #rules)."""
-    needed: list[str] = list(key_cols)
-    for r in rules:
-        col = getattr(r, "column", None)
-        if col and col not in needed:
-            needed.append(col)
-        for col in getattr(r, "required_columns", ()):  # CompletenessRule
-            if col not in needed:
-                needed.append(col)
-    pruned = df.select(*needed)
+    needed, prunable = rule_projection(rules, key_cols)
+    pruned = df.select(*needed) if prunable else df
     cached = pruned.persist(storage_level) if storage_level is not None else pruned
     try:
         verdicts = partition_verdicts(cached, rules).collect()

@@ -13,10 +13,9 @@ thread), so executors stop burning on the dead rule.
 
 from __future__ import annotations
 
+import threading
 import time
 import uuid
-from concurrent.futures import ThreadPoolExecutor
-from concurrent.futures import TimeoutError as FutureTimeout
 from typing import Callable, TypeVar
 
 from pyspark.sql import SparkSession
@@ -65,12 +64,29 @@ def run_with_timeout(
         finally:
             sc.setJobGroup("", "")
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(_tagged)
+    # Daemon thread, NOT `with ThreadPoolExecutor`: the context manager
+    # exits via shutdown(wait=True), so if fn hangs in driver-side
+    # Python (fixture read, custom assertion loop) AFTER cancelJobGroup,
+    # the TimeoutError would never propagate. Only Spark actions are
+    # cancellable; a hung pure-Python body is abandoned on its daemon
+    # thread and the timeout still fires.
+    result: list[R] = []
+    error: list[BaseException] = []
+
+    def _run() -> None:
         try:
-            return fut.result(timeout=timeout_sec)
-        except FutureTimeout:
-            sc.cancelJobGroup(group)
-            raise TimeoutError(
-                f"{description} exceeded {timeout_sec}s; job group {group} cancelled"
-            ) from None
+            result.append(_tagged())
+        except BaseException as e:  # noqa: BLE001 — re-raised on caller thread
+            error.append(e)
+
+    t = threading.Thread(target=_run, name=f"timeout-{group}", daemon=True)
+    t.start()
+    t.join(timeout=timeout_sec)
+    if t.is_alive():
+        sc.cancelJobGroup(group)
+        raise TimeoutError(
+            f"{description} exceeded {timeout_sec}s; job group {group} cancelled"
+        ) from None
+    if error:
+        raise error[0]
+    return result[0]

@@ -265,11 +265,19 @@ def split_sql_statements(script: str) -> list[str]:
     buf: list[str] = []
     i, n = 0, len(script)
     quote: str | None = None
+    comment_open = -1  # index of the '/' that opened the current /* block
     while i < n:
         ch = script[i]
         if quote:
             buf.append(ch)
-            if quote == "*/" and ch == "/" and i > 0 and script[i - 1] == "*":
+            # the closing '*/' must start after the opener's own '*'
+            # (guards '/*/': there script[i-1] IS the opener's '*')
+            if (
+                quote == "*/"
+                and ch == "/"
+                and script[i - 1] == "*"
+                and i - 1 > comment_open + 1
+            ):
                 quote = None
             elif quote == "\n" and ch == "\n":
                 quote = None
@@ -290,6 +298,7 @@ def split_sql_statements(script: str) -> list[str]:
             buf.append(ch)
         elif ch == "/" and script[i : i + 2] == "/*":
             quote = "*/"
+            comment_open = i
             buf.append(ch)
         elif ch == ";":
             stmt = "".join(buf).strip()

@@ -242,8 +242,6 @@ class SparkTestRunner:
                     out.test_results.append(r)
                     if suite.fail_fast and r.failed:
                         break
-            if suite.teardown_sql:
-                run_sql_statements(self.spark, suite.teardown_sql)
         except Exception as e:
             # suite setup failed → every unexecuted test is an error
             done = {r.test_name for r in out.test_results}
@@ -253,6 +251,19 @@ class SparkTestRunner:
                         test_name=t.name, status=TestStatus.ERROR,
                         error_message=f"suite setup failed: {e}",
                     ))
+        # Teardown runs after all tests have results — a failure here has
+        # no unexecuted test to attach to, so surface it as a synthetic
+        # suite-level ERROR result instead of reusing the setup handler
+        # (which would swallow it and report the suite clean).
+        if suite.teardown_sql:
+            try:
+                run_sql_statements(self.spark, suite.teardown_sql)
+            except Exception as e:
+                out.test_results.append(TestResult(
+                    test_name=f"{suite.name}::teardown",
+                    status=TestStatus.ERROR,
+                    error_message=f"suite teardown failed: {e}",
+                ))
         out.execution_time = time.perf_counter() - t0
         return out
 

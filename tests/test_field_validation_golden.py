@@ -193,3 +193,27 @@ def test_verdicts_and_sink_with_cache_mode(spark, tmp_path):
                                  storage_level=StorageLevel.MEMORY_AND_DISK)
     assert sum(r["violations"] for r in verdicts) == 10
     assert spark.read.parquet(sink).count() == 10
+
+
+def test_rule_projection_fallback_for_undeclared_columns():
+    """A rule that declares no column set must disable pruning (its
+    predicate may reference columns the projection would drop); rules
+    with plural `columns` (multi-col unique) contribute them."""
+    from sparkcheck.compile.compiler import rule_projection
+    from sparkcheck.rules import CompletenessRule, NullCheckRule, UniqueRule
+
+    needed, prunable = rule_projection(
+        [NullCheckRule(name="nn", column="a"),
+         CompletenessRule(name="cp", required_columns=("b", "c")),
+         UniqueRule(name="uq", column="", columns=("d", "e"))],
+        key_cols=["id"],
+    )
+    assert needed == ["id", "a", "b", "c", "d", "e"] and prunable
+
+    class _ExprRule:  # future rule type with an opaque predicate
+        name = "x"
+
+    _, prunable2 = rule_projection(
+        [NullCheckRule(name="nn", column="a"), _ExprRule()], key_cols=["id"]
+    )
+    assert not prunable2

@@ -94,6 +94,18 @@ def test_run_with_timeout_passthrough(spark):
     assert run_with_timeout(spark, lambda: spark.range(10).count(), 60.0) == 10
 
 
+def test_run_with_timeout_driver_side_python_hang(spark):
+    """A body that hangs in pure driver-side Python (no Spark job to
+    cancel) must still raise TimeoutError promptly — the old
+    ThreadPoolExecutor context manager blocked in shutdown(wait=True)
+    until the body finished."""
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        run_with_timeout(spark, lambda: time.sleep(15), timeout_sec=1.0,
+                         description="python hang")
+    assert time.monotonic() - t0 < 5
+
+
 def test_schema_report_and_matches(sales, spark):
     rep = {r["column"]: r for r in schema_report(spark, sales, "sales").collect()}
     assert rep["amount"]["data_type"] == "double"

@@ -231,6 +231,23 @@ def test_fail_fast_stops_suite(spark):
     assert res.failed_tests == 1
 
 
+def test_suite_teardown_failure_surfaces(spark):
+    """A teardown_sql failure after all tests ran must not report the
+    suite clean — it surfaces as a synthetic suite-level ERROR result."""
+    suite = SQLTestSuite(
+        name="td",
+        tests=(SQLTestCase(name="ok", sql="SELECT 1 AS v",
+                           assertions=(TestAssertion("equals", expected=1),)),),
+        teardown_sql="SELECT * FROM no_such_table_xyz",
+    )
+    res = SparkTestRunner(spark).execute_suite(suite)
+    assert res.passed_tests == 1
+    errs = [r for r in res.test_results if r.status == TestStatus.ERROR]
+    assert len(errs) == 1
+    assert errs[0].test_name == "td::teardown"
+    assert "teardown failed" in errs[0].error_message
+
+
 # ---------------------------------------------------------------------------
 # assertion engine: all 26 reference types (assertions/engine.py:32-59)
 
@@ -443,6 +460,19 @@ def test_split_sql_statements():
     assert len(stmts) == 3
     assert stmts[0] == "SELECT 'a;b' AS x"
     assert stmts[1].startswith("-- trailing; comment")
+
+
+def test_split_sql_statements_slash_star_slash():
+    """'/*/' must NOT close the block comment it opens (the close check
+    would otherwise match the opener's own '*') — the ';' inside stays
+    part of one statement."""
+    stmts = split_sql_statements("SELECT 1 /*/ still comment; */ ; SELECT 2")
+    assert len(stmts) == 2
+    assert stmts[0] == "SELECT 1 /*/ still comment; */"
+    assert stmts[1] == "SELECT 2"
+    # and '/**/' (empty comment) still closes correctly
+    stmts2 = split_sql_statements("SELECT 1 /**/; SELECT 2")
+    assert len(stmts2) == 2
 
 
 def test_run_sql_statements_lazy_last_select(spark):
