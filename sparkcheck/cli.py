@@ -62,7 +62,9 @@ def cmd_validate(args) -> int:
     rulesets = load_ruleset_yaml(args.rules)
     ruleset = rulesets[args.ruleset] if args.ruleset else next(iter(rulesets.values()))
     df = spark.read.parquet(args.table)
-    report = ValidationEngine(spark).run(ruleset, {"table": df})
+    # capture_plans: non-fused rule jobs carry their physical plan so the
+    # report's analysis section can flag cartesian joins / unpushed filters
+    report = ValidationEngine(spark, capture_plans=True).run(ruleset, {"table": df})
     write_report_json(report, args.out)
     if getattr(args, "history", None):
         from sparkcheck.io.html_report import append_history

@@ -37,6 +37,12 @@ th{background:#f4f4f8} .pass{color:#0a7a3d;font-weight:600}
 .bar{background:#e8e8ef;border-radius:3px;height:10px;min-width:120px}
 .bar>div{background:#b3261e;height:10px;border-radius:3px}
 .meta{color:#666;font-size:.85rem}
+.chartgrid{display:flex;flex-wrap:wrap;gap:1.2rem}
+.colchart{margin:0;padding:.4rem;border:1px solid #e4e4ec;border-radius:6px}
+.colchart figcaption{font-size:.85rem;font-weight:600;margin-bottom:.2rem}
+.hbar{fill:#5561d8}.hbar:hover{fill:#2b3aa0}
+.kbar{fill:#7a86e0}.kbar:hover{fill:#2b3aa0}
+.axis{font-size:9px;fill:#666}
 """
 
 
@@ -135,6 +141,11 @@ def append_history(report: Any, path: str, run_ts: float | None = None) -> None:
             (o["rule_id"] if isinstance(o, Mapping) else o.rule_id): {
                 "violations": o["violations"] if isinstance(o, Mapping) else o.violations,
                 "passed": bool(o["passed"] if isinstance(o, Mapping) else o.passed),
+                # wall time feeds the slow-rule detector (run.analyze)
+                "elapsed_sec": float(
+                    (o.get("elapsed_sec", 0.0) if isinstance(o, Mapping) else o.elapsed_sec)
+                    or 0.0
+                ),
             }
             for o in outcomes
         },
@@ -251,6 +262,112 @@ def render_drift_section(delta: Mapping[str, Any] | Any) -> str:
     )
 
 
+def _hist_chart(
+    hist: Sequence[Mapping[str, Any]],
+    lo: float | None,
+    hi: float | None,
+    width: int = 320,
+    height: int = 120,
+) -> str:
+    """Inline-SVG histogram bar chart for one numeric column (reference
+    interactive.py column distribution charts; zero-asset here like the
+    trend sparklines). Each bar carries a <title> tooltip with its bin
+    range and count; axis labels show lo/hi and the max bin count."""
+    counts = [int(h.get("count", 0)) for h in hist]
+    if not counts:
+        return ""
+    mx = max(counts) or 1
+    pad_l, pad_b, pad_t = 34, 16, 6
+    plot_w, plot_h = width - pad_l - 4, height - pad_b - pad_t
+    bw = plot_w / len(counts)
+    bars = []
+    for i, n in enumerate(counts):
+        bh = plot_h * n / mx
+        x = pad_l + i * bw
+        y = pad_t + plot_h - bh
+        if lo is not None and hi is not None:
+            b_lo = lo + (hi - lo) * i / len(counts)
+            b_hi = lo + (hi - lo) * (i + 1) / len(counts)
+            tip = f"[{b_lo:.4g}, {b_hi:.4g}): {n:,}"
+        else:
+            tip = f"bin {i}: {n:,}"
+        bars.append(
+            f'<rect class="hbar" x="{x:.1f}" y="{y:.1f}" '
+            f'width="{max(bw - 1, 1):.1f}" height="{max(bh, 0.5):.1f}">'
+            f"<title>{html.escape(tip)}</title></rect>"
+        )
+    lo_lbl = "" if lo is None else f"{lo:.4g}"
+    hi_lbl = "" if hi is None else f"{hi:.4g}"
+    return (
+        f'<svg class="chart" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}">'
+        f'<line x1="{pad_l}" y1="{pad_t + plot_h}" x2="{width - 4}" '
+        f'y2="{pad_t + plot_h}" stroke="#bbb"/>'
+        f'<text x="{pad_l}" y="{height - 3}" class="axis">{lo_lbl}</text>'
+        f'<text x="{width - 4}" y="{height - 3}" class="axis" '
+        f'text-anchor="end">{hi_lbl}</text>'
+        f'<text x="{pad_l - 4}" y="{pad_t + 8}" class="axis" '
+        f'text-anchor="end">{mx:,}</text>'
+        f"{''.join(bars)}</svg>"
+    )
+
+
+def _topk_chart(
+    top_values: Sequence[Mapping[str, Any]],
+    width: int = 320,
+    row_h: int = 18,
+    max_rows: int = 10,
+) -> str:
+    """Inline-SVG horizontal bar chart of a column's top-k values
+    (string/categorical analog of the histogram chart)."""
+    tv = list(top_values)[:max_rows]
+    if not tv:
+        return ""
+    mx = max(int(t.get("count", 0)) for t in tv) or 1
+    label_w, count_w = 110, 54
+    plot_w = width - label_w - count_w
+    height = row_h * len(tv) + 4
+    rows = []
+    for i, t in enumerate(tv):
+        n = int(t.get("count", 0))
+        y = 2 + i * row_h
+        label = str(t.get("value", ""))
+        if len(label) > 16:
+            label = label[:15] + "…"
+        bw = max(plot_w * n / mx, 0.5)
+        rows.append(
+            f'<text x="{label_w - 6}" y="{y + row_h - 6}" class="axis" '
+            f'text-anchor="end">{html.escape(label)}</text>'
+            f'<rect class="kbar" x="{label_w}" y="{y + 2}" '
+            f'width="{bw:.1f}" height="{row_h - 6}">'
+            f'<title>{html.escape(str(t.get("value", "")))}: {n:,}</title></rect>'
+            f'<text x="{label_w + bw + 4:.1f}" y="{y + row_h - 6}" '
+            f'class="axis">{n:,}</text>'
+        )
+    return (
+        f'<svg class="chart topk" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}">{"".join(rows)}</svg>'
+    )
+
+
+def render_insights_section(insights: Sequence[Any]) -> str:
+    """Advisory findings from run.analyze (slow rules, plan smells) as a
+    report section — the reference surfaced these in its intelligent-
+    analysis report (intelligent_analysis.py:535-567)."""
+    items = []
+    for ins in insights:
+        d = ins.to_dict() if hasattr(ins, "to_dict") else dict(ins)
+        badge = "fail" if d.get("severity") == "warning" else "meta"
+        items.append(
+            f'<li><span class="{badge}">[{html.escape(str(d.get("severity", "")))}]'
+            f"</span> <b>{html.escape(str(d.get('rule_id', '')))}</b> — "
+            f"{html.escape(str(d.get('message', '')))}</li>"
+        )
+    if not items:
+        return ""
+    return f"<h2>Analysis warnings</h2><ul class='insights'>{''.join(items)}</ul>"
+
+
 def render_profile_html(profile: Any, title: str | None = None) -> str:
     """Profile dashboard (reference html_generator.py's profile section):
     per-column stats table, inline histogram bars, top values, detected
@@ -261,6 +378,7 @@ def render_profile_html(profile: Any, title: str | None = None) -> str:
         profile = dataclasses.asdict(profile)
     title = title or f"sparkcheck profile — {profile.get('table', '?')}"
     rows = []
+    charts: list[str] = []
     for name, cs in profile.get("columns", {}).items():
         cs = dict(cs)
         hist = cs.get("histogram") or []
@@ -297,6 +415,25 @@ def render_profile_html(profile: Any, title: str | None = None) -> str:
             f"<td>{bars}</td><td>{html.escape(top)}</td>"
             f"<td>{html.escape(pats)}</td></tr>"
         )
+        # full-size per-column chart (reference interactive.py per-column
+        # distribution charts): histogram for numeric, top-k for the rest
+        if hist:
+            chart = _hist_chart(hist, cs.get("histogram_lo"), cs.get("histogram_hi"))
+            kind = "histogram"
+        else:
+            chart = _topk_chart(cs.get("top_values") or [])
+            kind = "top values"
+        if chart:
+            charts.append(
+                f'<figure class="colchart"><figcaption>'
+                f"{html.escape(name)} <span class='meta'>({kind})</span>"
+                f"</figcaption>{chart}</figure>"
+            )
+    charts_html = (
+        f"<h2>Column charts</h2><div class='chartgrid'>{''.join(charts)}</div>"
+        if charts
+        else ""
+    )
     return f"""<!doctype html><html><head><meta charset="utf-8">
 <title>{html.escape(title)}</title><style>{_CSS}</style></head><body>
 <h1>{html.escape(title)}</h1>
@@ -305,7 +442,8 @@ def render_profile_html(profile: Any, title: str | None = None) -> str:
 generated {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}</p>
 <table><tr><th>column</th><th>type</th><th>null%</th><th>ndv</th>
 <th>range</th><th>mean</th><th>histogram</th><th>top values</th>
-<th>patterns</th></tr>{''.join(rows)}</table></body></html>"""
+<th>patterns</th></tr>{''.join(rows)}</table>
+{charts_html}</body></html>"""
 
 
 def render_full_html(
@@ -313,14 +451,23 @@ def render_full_html(
     history: Iterable[Mapping[str, Any]] | None = None,
     drift: Mapping[str, Any] | Any | None = None,
     title: str = "sparkcheck report",
+    insights: Sequence[Any] | None = None,
 ) -> str:
-    """Compose rule outcomes + trend + drift sections into one page."""
+    """Compose rule outcomes + trend + drift + analysis sections into
+    one page. ``insights=None`` computes them from report+history
+    (pass ``()`` to suppress the section)."""
     body: list[str] = []
     if report is not None:
         page = render_validation_html(report, title)
         body.append(page[page.index("<body>") + 6 : page.rindex("</body>")])
     else:
         body.append(f"<h1>{html.escape(title)}</h1>")
+    if insights is None and report is not None:
+        from sparkcheck.run.analyze import analyze_report
+
+        insights = analyze_report(report, history or ())
+    if insights:
+        body.append(render_insights_section(insights))
     if history:
         body.append(render_trend_section(history))
     if drift is not None:

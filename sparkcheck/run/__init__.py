@@ -6,6 +6,13 @@ from sparkcheck.run.engine import (
     split_rules,
 )
 from sparkcheck.run.retry import run_with_timeout, with_retry
+from sparkcheck.run.analyze import (
+    Insight,
+    analyze_report,
+    explain_str,
+    plan_smells,
+    slow_rules,
+)
 from sparkcheck.run.checkpoint import (
     CheckpointStore,
     GroupResult,
@@ -26,4 +33,9 @@ __all__ = [
     "merge_group_outcomes",
     "with_retry",
     "run_with_timeout",
+    "Insight",
+    "analyze_report",
+    "explain_str",
+    "plan_smells",
+    "slow_rules",
 ]

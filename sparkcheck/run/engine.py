@@ -66,6 +66,9 @@ class RuleOutcome:
     message: str = ""
     sample_values: list[Any] = field(default_factory=list)
     elapsed_sec: float = 0.0
+    # formatted physical plan, captured for non-fused rule jobs when the
+    # engine runs with capture_plans=True (input to run.analyze smells)
+    plan: str = ""
 
     @property
     def rows_per_sec(self) -> float:
@@ -141,8 +144,19 @@ def _threshold_pass(rule: Rule, violations: int) -> bool:
 class ValidationEngine:
     """Runs rule sets over named tables (a dict of DataFrames)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, capture_plans: bool = False):
         self.spark = spark
+        # attach explain(mode="formatted") to each non-fused rule's
+        # outcome (uniqueness/RI joins, SqlRule) for run.analyze smells;
+        # plan-text capture is driver-side and costs no Spark job
+        self.capture_plans = capture_plans
+
+    def _plan(self, frame: DataFrame) -> str:
+        if not self.capture_plans:
+            return ""
+        from sparkcheck.run.analyze import explain_str
+
+        return explain_str(frame)
 
     def run(
         self,
@@ -251,13 +265,15 @@ class ValidationEngine:
         t1 = time.monotonic()
         if isinstance(r, UniqueRule):
             tbl = tables.get(getattr(r, "table", ""), df)
-            s = uniqueness_summary(tbl, list(r.key_columns), approx=False).collect()[0]
+            frame = uniqueness_summary(tbl, list(r.key_columns), approx=False)
+            s = frame.collect()[0]
             viol = s["duplicate_excess"]
             return RuleOutcome(
                 rule_id=r.name, table=table_name, column=",".join(r.key_columns),
                 passed=_threshold_pass(r, viol), violations=viol,
                 evaluated=s["total_keys"], total_rows=s["total_keys"],
                 severity=r.severity.value, elapsed_sec=time.monotonic() - t1,
+                plan=self._plan(frame),
             )
         if isinstance(r, ReferentialIntegrityRule):
             # missing table ⇒ synthetic failure, never a crash
@@ -272,10 +288,11 @@ class ValidationEngine:
                 )
             child = tables[r.child_table]
             parent = tables[r.parent_table]
-            s = orphan_summary(
+            frame = orphan_summary(
                 child, r.child_column, parent, r.parent_column,
                 broadcast_parent=r.broadcast_parent,
-            ).collect()[0]
+            )
+            s = frame.collect()[0]
             viol = s["orphan_count"]
             return RuleOutcome(
                 rule_id=r.name, table=r.child_table,
@@ -284,6 +301,7 @@ class ValidationEngine:
                 evaluated=viol, total_rows=viol,
                 severity=r.severity.value, elapsed_sec=time.monotonic() - t1,
                 message=f"distinct orphan keys: {s['distinct_orphan_keys']}",
+                plan=self._plan(frame),
             )
         if isinstance(r, SqlRule):
             out = self._run_sql_rule(r, table_name)
@@ -323,6 +341,7 @@ class ValidationEngine:
             passed=_threshold_pass(rule, violations),
             violations=violations, evaluated=len(rows), total_rows=len(rows),
             severity=rule.severity.value, sample_values=samples,
+            plan=self._plan(result),
         )
 
     def violation_rows(

@@ -100,3 +100,5 @@ def test_cli_profile_html(spark, tmp_path):
     doc = open(page).read()
     assert "sparkcheck profile" in doc and "n_chars" in doc
     assert "histogram" in doc and "<div style=" in doc  # bars rendered
+    # per-column SVG charts section present end-to-end
+    assert "Column charts" in doc and 'class="hbar"' in doc

@@ -223,3 +223,88 @@ def test_independent_rules_run_concurrently(spark):
     # wave 1 overlaps its three ~1 s jobs; wave 2 adds ~1 s. Sequential
     # would be ≥ per_rule (~4 s); require clear overlap with noise margin.
     assert rep.elapsed_sec < per_rule * 0.75, (rep.elapsed_sec, per_rule)
+
+
+# ---------------------------------------------------------------------------
+# intelligent analysis (reference intelligent_analysis.py / query_analyzer.py)
+
+def test_capture_plans_and_cartesian_smell(spark, tmp_path):
+    """A deliberately cartesian SqlRule, run with capture_plans=True,
+    must carry its physical plan on the outcome and produce a plan-smell
+    warning that lands in the HTML report's analysis section."""
+    from sparkcheck.io.html_report import render_full_html
+    from sparkcheck.run import analyze_report
+
+    spark.range(50).createOrReplaceTempView("_an_a")
+    spark.range(50).createOrReplaceTempView("_an_b")
+    rs = RuleSet(name="an", rules=(SqlRule(
+        name="cartesian_rule",
+        sql="SELECT a.id AS violation_count FROM _an_a a, _an_b b "
+            "WHERE a.id * b.id < 0",
+    ),))
+    df = spark.range(10).select(F.col("id"))
+    report = ValidationEngine(spark, capture_plans=True).run(rs, {"t": df})
+    out = report.outcomes[0]
+    assert out.plan  # captured
+    insights = analyze_report(report)
+    smells = [i for i in insights if i.kind == "plan_smell"]
+    assert smells and any(
+        "CartesianProduct" in i.details.get("pattern", "")
+        or "NestedLoop" in i.details.get("pattern", "")
+        for i in smells
+    )
+    page = render_full_html(report, title="t")
+    assert "Analysis warnings" in page and "cartesian_rule" in page
+    # JSON form round-trips
+    assert smells[0].to_dict()["rule_id"] == "cartesian_rule"
+    spark.catalog.dropTempView("_an_a")
+    spark.catalog.dropTempView("_an_b")
+
+
+def test_unpushed_filter_smell_on_real_scan(spark):
+    """A predicate Catalyst cannot push (arithmetic over the column)
+    leaves PushedFilters: [] on the parquet scan — flagged."""
+    from sparkcheck.run import explain_str, plan_smells
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    blocked = df.where((F.col("o_totalprice") * 1.0000001) > 100.0)
+    smells = plan_smells(explain_str(blocked), "r")
+    assert any(i.details["pattern"] == "unpushed_filter" for i in smells)
+    # control: a pushable predicate must NOT trigger the smell
+    pushed = df.where(F.col("o_totalprice") > 100.0)
+    assert not any(
+        i.details["pattern"] == "unpushed_filter"
+        for i in plan_smells(explain_str(pushed), "r")
+    )
+
+
+def test_slow_rule_history_detector():
+    """p95-outlier over run history (query_analyzer.get_slow_queries):
+    a rule 10x above its own history is flagged; steady rules are not."""
+    from sparkcheck.run import slow_rules
+
+    history = [
+        {"ts": i, "rules": {"hot": {"violations": 0, "passed": True, "elapsed_sec": 1.0},
+                            "steady": {"violations": 0, "passed": True, "elapsed_sec": 2.0}}}
+        for i in range(5)
+    ]
+    report = {"ruleset": "r", "outcomes": [
+        {"rule_id": "hot", "table": "t", "column": "", "passed": True,
+         "violations": 0, "evaluated": 1, "total_rows": 1, "elapsed_sec": 10.0},
+        {"rule_id": "steady", "table": "t", "column": "", "passed": True,
+         "violations": 0, "evaluated": 1, "total_rows": 1, "elapsed_sec": 2.1},
+    ]}
+    flags = slow_rules(report, history)
+    assert [i.rule_id for i in flags if i.severity == "warning"] == ["hot"]
+
+
+def test_history_records_elapsed(tmp_path):
+    from sparkcheck.io.html_report import append_history, load_history
+
+    report = {"ruleset": "r", "outcomes": [
+        {"rule_id": "a", "violations": 1, "passed": False, "elapsed_sec": 0.25},
+    ]}
+    p = str(tmp_path / "h.jsonl")
+    append_history(report, p, run_ts=1.0)
+    rec = load_history(p)[0]
+    assert rec["rules"]["a"]["elapsed_sec"] == 0.25

@@ -161,6 +161,46 @@ def test_html_report(spark, tmp_path):
     assert "nn_v" in body and "SUITE FAILED" in body and "<table>" in body
 
 
+def test_profile_html_per_column_charts():
+    """Per-column SVG charts (reference interactive.py/html_generator.py
+    distribution charts): a numeric column renders a histogram bar chart
+    with axis labels + per-bin tooltips; a string column renders a
+    horizontal top-k chart with value labels."""
+    from sparkcheck.io.html_report import render_profile_html
+
+    profile = {
+        "table": "t",
+        "total_rows": 100,
+        "columns": {
+            "price": {
+                "data_type": "double",
+                "total_count": 100,
+                "non_null_count": 100,
+                "histogram": [{"bucket": i, "count": c}
+                              for i, c in enumerate([5, 20, 40, 25, 10])],
+                "histogram_lo": 0.0,
+                "histogram_hi": 50.0,
+            },
+            "brand": {
+                "data_type": "string",
+                "total_count": 100,
+                "non_null_count": 100,
+                "top_values": [{"value": "acme & co", "count": 60},
+                               {"value": "other", "count": 40}],
+            },
+        },
+    }
+    doc = render_profile_html(profile)
+    assert "Column charts" in doc
+    # numeric histogram: 5 bars, lo/hi axis labels, bin-range tooltip
+    assert doc.count('class="hbar"') == 5
+    assert ">0<" in doc and ">50<" in doc
+    assert "[10, 20): 20" in doc
+    # string top-k: 2 horizontal bars, escaped label, count tooltip
+    assert doc.count('class="kbar"') == 2
+    assert "acme &amp; co" in doc and "acme &amp; co: 60" in doc
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Co-located join: equally-bucketed tables join WITHOUT a shuffle —
     the plan must contain no Exchange above either scan."""
