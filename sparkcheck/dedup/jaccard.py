@@ -118,12 +118,25 @@ def jaccard_for_pairs(
     i.e. linear in candidate-pair shingle mass. Pairs with empty
     intersection fall out (their Jaccard is 0 < threshold).
     """
-    sh = shingles(df, text_col, id_col, k)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # distinct: a duplicated pair row would double-count every
     # intersection shingle and inflate jaccard (possibly above 1.0) —
     # cheap insurance, the pair frame is the small side by construction
     p = pairs.select("id_a", "id_b").distinct()
+    # Restrict to docs that appear in at least one candidate pair BEFORE
+    # shingling: at low candidate density (clean corpora, few LSH
+    # collisions) this turns the shingle explode + size aggregation from
+    # O(corpus shingle mass) into O(candidate shingle mass) — the
+    # non-candidate docs never enter the shuffle at all. No broadcast
+    # hint: the candidate-id set is usually small and AQE converts the
+    # semi-join to broadcast at runtime, but on a near-dup-heavy corpus
+    # it can be corpus-sized and must be allowed to shuffle.
+    ids = (
+        p.select(F.col("id_a").alias(id_col))
+        .union(p.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingles(df.join(ids, id_col, "left_semi"), text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a_sh = p.join(sh.withColumnRenamed("id", "id_a"), "id_a").select(
         "id_a", "id_b", "shingle"
     )
