@@ -41,6 +41,13 @@ from sparkcheck.testing.report import (
     suite_to_junit_xml,
     write_junit_xml,
 )
+from sparkcheck.testing.scenarios import (
+    MockScenario,
+    ScenarioError,
+    TableSpec,
+    build_scenario,
+    load_scenarios_yaml,
+)
 from sparkcheck.testing.runner import (
     SparkTestRunner,
     register_fixture,
@@ -80,4 +87,9 @@ __all__ = [
     "run_sql_statements",
     "split_sql_statements",
     "suite_from_dict",
+    "MockScenario",
+    "ScenarioError",
+    "TableSpec",
+    "build_scenario",
+    "load_scenarios_yaml",
 ]
