@@ -39,7 +39,8 @@ def cmd_profile(args) -> int:
     spark = _spark(args.cpus)
     df = spark.read.parquet(args.table)
     cols = args.columns.split(",") if args.columns else None
-    prof = profile_table(df, table_name=args.table, columns=cols)
+    prof = profile_table(df, table_name=args.table, columns=cols,
+                         approx_distinct=not getattr(args, "exact_ndv", False))
     payload = dataclasses.asdict(prof)
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2, default=str)
@@ -195,7 +196,10 @@ tests:
 
 def cmd_init(args) -> int:
     """Scaffold a checks directory (reference cli/commands/init.py):
-    a starter rules.yaml + SQL-test suite.yaml, never overwriting."""
+    a starter rules.yaml + SQL-test suite.yaml, never overwriting.
+    ``--ci github|gitlab|jenkins`` additionally writes a pipeline that
+    runs validate + report and uploads the artifacts
+    (ci_cd_integration.py:144-413 providers)."""
     import os
 
     os.makedirs(args.dir, exist_ok=True)
@@ -208,6 +212,20 @@ def cmd_init(args) -> int:
         with open(path, "w") as f:
             f.write(content)
         written.append(fname)
+    if getattr(args, "ci", None):
+        from sparkcheck.io.ci import DEFAULT_PATHS, EMITTERS
+
+        platform = args.ci
+        if platform not in EMITTERS:
+            print(json.dumps({"error": f"unknown CI platform {platform!r}; "
+                                       f"choose from {sorted(EMITTERS)}"}))
+            return 1
+        ci_path = os.path.join(args.dir, DEFAULT_PATHS[platform])
+        os.makedirs(os.path.dirname(ci_path) or ".", exist_ok=True)
+        if not os.path.exists(ci_path):
+            with open(ci_path, "w") as f:
+                f.write(EMITTERS[platform]())
+            written.append(os.path.relpath(ci_path, args.dir))
     print(json.dumps({"dir": args.dir, "written": written}))
     return 0
 
@@ -222,6 +240,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--columns", default=None)
     p.add_argument("--out", required=True)
     p.add_argument("--html", default=None, help="also render a profile dashboard")
+    p.add_argument("--exact-ndv", action="store_true",
+                   help="exact distinct counts (default: HLL approx — the "
+                        "skew-proof profiling mode)")
     p.set_defaults(fn=cmd_profile)
 
     v = sub.add_parser("validate", help="run a YAML rule suite")
@@ -252,6 +273,8 @@ def main(argv: list[str] | None = None) -> int:
 
     i = sub.add_parser("init", help="scaffold rules.yaml + suite.yaml")
     i.add_argument("--dir", default=".")
+    i.add_argument("--ci", default=None,
+                   help="also write a CI pipeline: github | gitlab | jenkins")
     i.set_defaults(fn=cmd_init)
 
     args = ap.parse_args(argv)

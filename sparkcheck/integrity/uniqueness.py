@@ -110,6 +110,8 @@ def distinct_count_by_key(
     value: str,
     salted: bool = False,
     salt_buckets: int = 64,
+    approx: bool = False,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Per-key exact distinct-value counts — the skew-prone aggregation
     of the north rule (distinct urls per url-host with Zipfian hosts).
@@ -123,7 +125,15 @@ def distinct_count_by_key(
         phase 1: groupBy(key, pmod(xxhash64(value), S)).count_distinct(value)
         phase 2: groupBy(key).sum(partial)
     spreading the hot key over S reducers; phase 2 merges S tiny rows.
+
+    ``approx=True`` (profiling mode): HLL ``approx_count_distinct(rsd)``
+    — sketches merge map-side so the hot key never concentrates on one
+    reducer; no salting needed, one straight aggregation.
     """
+    if approx:
+        return df.groupBy(key).agg(
+            F.approx_count_distinct(value, rsd).cast("long").alias("ndv")
+        )
     if not salted:
         return df.groupBy(key).agg(F.count_distinct(value).alias("ndv"))
     partial = (

@@ -27,9 +27,17 @@ def host_stats(
     k: int | None = 20,
     salted: bool = True,
     salt_buckets: int = 64,
+    approx: bool = False,
+    rsd: float = 0.02,
 ) -> DataFrame:
-    """Per-host doc counts + EXACT distinct-url counts, top-k by volume:
+    """Per-host doc counts + distinct-url counts, top-k by volume:
     (host, n_docs, n_urls).
+
+    ``approx=True`` (profiling mode): ``approx_count_distinct(rsd)`` —
+    HLL sketches merge map-side, so the hot host reduces to one sketch
+    per map partition and NO salting is needed; one straight
+    aggregation, skew-proof by construction. Exactness stays the
+    default for violation/gating paths.
 
     ONE scan, one aggregation tree for BOTH stats (a join of two
     per-host aggregates would rescan the input and re-run the regexp):
@@ -50,7 +58,12 @@ def host_stats(
     hosts = df.where(F.col(url_col).isNotNull()).select(
         url_host(F.col(url_col)).alias("host"), F.col(url_col).alias("_url")
     )
-    if salted:
+    if approx:
+        out = hosts.groupBy("host").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.approx_count_distinct("_url", rsd).cast("long").alias("n_urls"),
+        )
+    elif salted:
         partial = hosts.groupBy(
             "host", F.pmod(F.xxhash64("_url"), F.lit(salt_buckets)).alias("_salt")
         ).agg(

@@ -102,3 +102,37 @@ def test_cli_profile_html(spark, tmp_path):
     assert "histogram" in doc and "<div style=" in doc  # bars rendered
     # per-column SVG charts section present end-to-end
     assert "Column charts" in doc and 'class="hbar"' in doc
+
+
+def test_cli_init_ci_github(tmp_path):
+    """`init --ci github` writes a syntactically valid Actions workflow
+    that runs validate and uploads artifacts (reference
+    ci_cd_integration.py GitHubActionsProvider)."""
+    import yaml
+
+    d = str(tmp_path / "proj")
+    assert main(["init", "--dir", d, "--ci", "github"]) == 0
+    wf_path = tmp_path / "proj" / ".github" / "workflows" / "sparkcheck.yml"
+    doc = yaml.safe_load(wf_path.read_text())
+    steps = doc["jobs"]["validate"]["steps"]
+    runs = " ".join(s.get("run", "") for s in steps)
+    assert "sparkcheck validate" in runs and "--html" in runs
+    assert any("upload-artifact" in s.get("uses", "") for s in steps)
+    # push/pull_request triggers present ('on' parses as YAML boolean True)
+    assert {"push", "pull_request"} <= set(doc.get("on", doc.get(True, {})))
+
+
+def test_cli_init_ci_gitlab_jenkins(tmp_path):
+    import yaml
+
+    d = str(tmp_path / "g")
+    assert main(["init", "--dir", d, "--ci", "gitlab"]) == 0
+    doc = yaml.safe_load((tmp_path / "g" / ".gitlab-ci.yml").read_text())
+    assert "sparkcheck validate" in " ".join(doc["sparkcheck-validate"]["script"])
+
+    d2 = str(tmp_path / "j")
+    assert main(["init", "--dir", d2, "--ci", "jenkins"]) == 0
+    jf = (tmp_path / "j" / "Jenkinsfile").read_text()
+    assert "sparkcheck validate" in jf and "archiveArtifacts" in jf
+
+    assert main(["init", "--dir", d2, "--ci", "nope"]) == 1

@@ -90,3 +90,48 @@ def test_yaml_engine_end_to_end_on_real_testdata(spark, tmp_path):
     assert by_id["pk_doc"].violations == 0
     assert by_id["src_fk"].violations == 0
     assert by_id["nn_text"].total_rows == 500
+
+
+def test_approx_host_stats_within_3pct(spark):
+    """approx=True host_stats (HLL, no salting — sketches merge
+    map-side) stays within ~3% of the exact salted counts on an 8M-row
+    synthetic crawl with a Zipfian hot host."""
+    from sparkcheck.webtext.hosts import host_stats
+
+    n = 8_000_000
+    # ~40% of urls behind host0 (the CDN case), the rest over 1000 hosts
+    h = F.abs(F.xxhash64("id"))
+    host_id = F.when(F.pmod(h, F.lit(10)) < 4, F.lit(0)).otherwise(
+        F.pmod(h, F.lit(1000))
+    )
+    urls = spark.range(n).select(
+        F.concat(
+            F.lit("https://host"), host_id.cast("string"),
+            F.lit(".example.com/p/"),
+            # ~4 docs per url: distinct-url count differs from doc count
+            F.floor(F.col("id") / 4).cast("string"),
+        ).alias("url")
+    )
+    exact = {r["host"]: r for r in host_stats(urls, k=10, salted=True).collect()}
+    approx = {r["host"]: r for r in
+              host_stats(urls, k=10, approx=True, rsd=0.01).collect()}
+    assert set(approx) == set(exact)  # same top-k hosts
+    for host, e in exact.items():
+        a = approx[host]
+        assert a["n_docs"] == e["n_docs"]  # doc counts stay exact
+        assert abs(a["n_urls"] - e["n_urls"]) / e["n_urls"] < 0.03
+
+
+def test_approx_distinct_count_by_key(spark):
+    from sparkcheck.integrity.uniqueness import distinct_count_by_key
+
+    df = spark.range(500_000).select(
+        F.pmod(F.col("id"), F.lit(7)).alias("k"),
+        F.floor(F.col("id") / 3).alias("v"),
+    )
+    exact = {r["k"]: r["ndv"] for r in
+             distinct_count_by_key(df, "k", "v", salted=True).collect()}
+    approx = {r["k"]: r["ndv"] for r in
+              distinct_count_by_key(df, "k", "v", approx=True).collect()}
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e < 0.03
