@@ -9,7 +9,10 @@ from sparkcheck.run.retry import run_with_timeout, with_retry
 from sparkcheck.run.analyze import (
     Insight,
     analyze_report,
+    degrading_rules,
     explain_str,
+    failure_patterns,
+    flaky_rules,
     plan_smells,
     slow_rules,
 )
@@ -35,7 +38,10 @@ __all__ = [
     "run_with_timeout",
     "Insight",
     "analyze_report",
+    "degrading_rules",
     "explain_str",
+    "failure_patterns",
+    "flaky_rules",
     "plan_smells",
     "slow_rules",
 ]

@@ -211,13 +211,135 @@ def slow_rules(
     return insights
 
 
+def flaky_rules(
+    history: Iterable[Mapping[str, Any]],
+    min_runs: int = 6,
+    min_flakiness: float = 0.15,
+) -> list[Insight]:
+    """Rules that flip between pass and fail across stored runs
+    (reference _detect_flaky_tests, intelligent_analysis.py:270-317:
+    flakiness = min(passes, fails) / runs). A data-quality rule that
+    alternates usually means a threshold sitting on the data's noise
+    floor — worth a max_violations margin, not a nightly page."""
+    runs: dict[str, list[bool]] = {}
+    for rec in history or ():
+        for rid, vals in (rec.get("rules") or {}).items():
+            if "passed" in vals:
+                runs.setdefault(rid, []).append(bool(vals["passed"]))
+    out: list[Insight] = []
+    for rid, statuses in runs.items():
+        n = len(statuses)
+        if n < min_runs:
+            continue
+        passes = sum(statuses)
+        fails = n - passes
+        if passes == 0 or fails == 0:
+            continue
+        flakiness = min(passes, fails) / n
+        if flakiness >= min_flakiness:
+            out.append(Insight(
+                kind="flaky_rule", severity="warning", rule_id=rid,
+                message=(
+                    f"rule flip-flops across runs ({passes} pass / {fails} "
+                    f"fail over {n}) — threshold likely sits on the data's "
+                    "noise floor; consider a max_violations margin"
+                ),
+                details={"flakiness": round(flakiness, 3), "runs": n,
+                         "passes": passes, "fails": fails},
+            ))
+    return out
+
+
+def degrading_rules(
+    history: Iterable[Mapping[str, Any]],
+    min_runs: int = 5,
+    min_slope_frac: float = 0.10,
+    min_sec: float = 1.0,
+) -> list[Insight]:
+    """Rules whose wall time TRENDS upward over stored runs (reference
+    _analyze_performance_trends, intelligent_analysis.py:224-268):
+    least-squares slope over run index, flagged when the per-run growth
+    exceeds ``min_slope_frac`` of the mean and the rule is slow enough
+    to matter. Catches the creep slow_rules' outlier check misses —
+    e.g. an unpartitioned input growing 5% per day."""
+    series: dict[str, list[float]] = {}
+    for rec in history or ():
+        for rid, vals in (rec.get("rules") or {}).items():
+            e = vals.get("elapsed_sec")
+            if e is not None:
+                series.setdefault(rid, []).append(float(e))
+    out: list[Insight] = []
+    for rid, ys in series.items():
+        n = len(ys)
+        if n < min_runs:
+            continue
+        mean_y = statistics.fmean(ys)
+        if mean_y < min_sec:
+            continue
+        mean_x = (n - 1) / 2
+        denom = sum((i - mean_x) ** 2 for i in range(n))
+        slope = sum((i - mean_x) * (y - mean_y) for i, y in enumerate(ys)) / denom
+        if slope / mean_y >= min_slope_frac:
+            out.append(Insight(
+                kind="degrading_rule", severity="warning", rule_id=rid,
+                message=(
+                    f"rule wall time trending up {slope:.2f}s/run "
+                    f"({100 * slope / mean_y:.0f}%/run of its {mean_y:.2f}s "
+                    f"mean over {n} runs)"
+                ),
+                details={"slope_sec_per_run": round(slope, 4),
+                         "mean_sec": round(mean_y, 4), "runs": n},
+            ))
+    return out
+
+
+def failure_patterns(report: Any, min_count: int = 2) -> list[Insight]:
+    """Group this run's failed rules by normalized message pattern
+    (reference _analyze_failure_patterns, intelligent_analysis.py:
+    184-222 + _extract_error_pattern :569-595): numbers and quoted
+    values stripped, so N rules failing the same way surface as ONE
+    systemic insight (a renamed column, a dead upstream table) instead
+    of N separate red rows."""
+    groups: dict[str, list[str]] = {}
+    for o in _outcomes(report):
+        if getattr(o, "passed", True) or getattr(o, "skipped", False):
+            continue
+        msg = str(getattr(o, "message", "") or "")
+        pattern = re.sub(r"\d+", "<n>", msg)
+        pattern = re.sub(r"'[^']*'|\"[^\"]*\"", "<val>", pattern).strip()
+        if not pattern:
+            pattern = "<violations over threshold>"
+        groups.setdefault(pattern, []).append(o.rule_id)
+    out: list[Insight] = []
+    total_failed = sum(len(v) for v in groups.values())
+    for pattern, rids in groups.items():
+        if len(rids) >= min_count:
+            freq = len(rids) / total_failed
+            out.append(Insight(
+                kind="failure_pattern",
+                severity="warning" if freq > 0.5 else "info",
+                rule_id=",".join(sorted(rids)),
+                message=(
+                    f"{len(rids)} rules failed the same way "
+                    f"({freq:.0%} of failures): {pattern!r} — likely one "
+                    "systemic cause, not independent data issues"
+                ),
+                details={"pattern": pattern, "rules": sorted(rids),
+                         "frequency": round(freq, 3)},
+            ))
+    return out
+
+
 def analyze_report(
     report: Any, history: Iterable[Mapping[str, Any]] = ()
 ) -> list[Insight]:
-    """All insights for one run: slow-rule detectors plus plan smells
-    over every outcome that carries a captured plan (engine
-    ``capture_plans=True``)."""
+    """All insights for one run: slow/flaky/degrading-rule detectors,
+    same-cause failure grouping, and plan smells over every outcome that
+    carries a captured plan (engine ``capture_plans=True``)."""
     insights = slow_rules(report, history)
+    insights.extend(flaky_rules(history))
+    insights.extend(degrading_rules(history))
+    insights.extend(failure_patterns(report))
     for o in _outcomes(report):
         insights.extend(plan_smells(getattr(o, "plan", "") or "", o.rule_id))
     return insights

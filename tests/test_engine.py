@@ -308,3 +308,58 @@ def test_history_records_elapsed(tmp_path):
     append_history(report, p, run_ts=1.0)
     rec = load_history(p)[0]
     assert rec["rules"]["a"]["elapsed_sec"] == 0.25
+
+
+def test_flaky_rule_detector():
+    """Flip-flopping rules flagged (intelligent_analysis.py:270-317);
+    consistently passing/failing ones are not."""
+    from sparkcheck.run import flaky_rules
+
+    history = [
+        {"rules": {"flappy": {"passed": i % 2 == 0, "violations": i % 2},
+                   "steady": {"passed": True, "violations": 0},
+                   "broken": {"passed": False, "violations": 9}}}
+        for i in range(8)
+    ]
+    flags = flaky_rules(history)
+    assert [i.rule_id for i in flags] == ["flappy"]
+    assert flags[0].details["flakiness"] == 0.5
+
+
+def test_degrading_rule_detector():
+    """Upward wall-time trend flagged (intelligent_analysis.py:224-268);
+    flat and fast rules are not."""
+    from sparkcheck.run import degrading_rules
+
+    history = [
+        {"rules": {"creeping": {"passed": True, "elapsed_sec": 2.0 + 0.5 * i},
+                   "flat": {"passed": True, "elapsed_sec": 3.0},
+                   "fast_creep": {"passed": True, "elapsed_sec": 0.01 * (i + 1)}}}
+        for i in range(6)
+    ]
+    flags = degrading_rules(history)
+    assert [i.rule_id for i in flags] == ["creeping"]
+    assert flags[0].details["slope_sec_per_run"] == 0.5
+
+
+def test_failure_pattern_grouping():
+    """N rules failing with the same normalized message collapse into
+    one systemic insight (intelligent_analysis.py:184-222)."""
+    from sparkcheck.run import failure_patterns
+
+    report = {"ruleset": "r", "outcomes": [
+        {"rule_id": f"ri_{i}", "table": "t", "column": "", "passed": False,
+         "violations": 5, "evaluated": 5, "total_rows": 5,
+         "message": f"distinct orphan keys: {i * 17}"}
+        for i in range(3)
+    ] + [
+        {"rule_id": "other", "table": "t", "column": "", "passed": False,
+         "violations": 1, "evaluated": 1, "total_rows": 1,
+         "message": "unique violation on 'url'"},
+        {"rule_id": "green", "table": "t", "column": "", "passed": True,
+         "violations": 0, "evaluated": 1, "total_rows": 1, "message": ""},
+    ]}
+    flags = failure_patterns(report)
+    assert len(flags) == 1
+    assert flags[0].details["rules"] == ["ri_0", "ri_1", "ri_2"]
+    assert "<n>" in flags[0].details["pattern"]
