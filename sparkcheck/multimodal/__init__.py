@@ -3,6 +3,7 @@ from sparkcheck.multimodal.binary import (
     decode_image_features,
     fake_media_table,
     media_metadata,
+    real_media_table,
     sample_frames,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "decode_image_features",
     "fake_media_table",
     "media_metadata",
+    "real_media_table",
     "sample_frames",
 ]

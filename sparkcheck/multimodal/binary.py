@@ -6,11 +6,14 @@ web-scale multimodal pipelines (payload bytes stay columnar/Arrow;
 decode happens in vectorized Python batches).
 
 The Spark-side plumbing here is REAL and tested: schemas, partitioning,
-``mapInPandas`` batch shape, Arrow transfer, deterministic fake payloads.
-The actual codec work is STUBBED — image/audio libraries are not in this
-container — behind ``_decode_payload``: a clearly-marked deterministic
-fake (md5-derived feature vector) with the exact signature a real
-decoder (PIL / torchaudio / pyav) would drop into.
+``mapInPandas`` batch shape, Arrow transfer. The decode slot is real
+too for the formats decodable without native media libraries — PCM WAV
+and uncompressed BMP parse + feature-extract in pure numpy
+(multimodal/codecs.py: RIFF/DIB header walks, FFT spectral centroid,
+nearest-neighbor resize). Only compressed codecs (JPEG/PNG/MP4), whose
+libraries are not in this container, fall back to a clearly-marked
+deterministic stub with the exact signature a real decoder
+(PIL / torchaudio / pyav) would drop into.
 
 Scale notes: decode is map-only (no shuffle); partition sizing is
 governed by bytes not rows — repartition the input so
@@ -62,6 +65,61 @@ def fake_media_table(spark: SparkSession, n: int, num_partitions: int | None = N
     )
 
 
+def real_media_table(
+    spark: SparkSession, n: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Synthetic table of REAL decodable payloads (media_id, payload,
+    meta): even ids → PCM WAV sine tones (220 + 10·id Hz, 0.25 s @ 8 kHz),
+    odd ids → 24-bit BMP gradients (16×16, id-dependent). Generated
+    executor-side per Arrow batch — deterministic in media_id, so any
+    partitioning yields identical rows; no media libs required."""
+    import numpy as np
+
+    from sparkcheck.multimodal.codecs import encode_bmp, encode_wav
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(2000) / 8000.0  # 0.25 s @ 8 kHz
+        for pdf in batches:
+            payloads, kinds = [], []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    tone = 0.5 * np.sin(2 * np.pi * (220.0 + 10.0 * mid) * t)
+                    payloads.append(encode_wav(tone, 8000))
+                    kinds.append("audio")
+                else:
+                    g = np.arange(16, dtype=np.uint8)
+                    img = np.zeros((16, 16, 3), dtype=np.uint8)
+                    img[:, :, 0] = g[None, :] * 16          # R: x gradient
+                    img[:, :, 1] = g[:, None] * 16          # G: y gradient
+                    img[:, :, 2] = (mid * 37) % 256         # B: id-constant
+                    payloads.append(encode_bmp(img))
+                    kinds.append("image")
+            yield pd.DataFrame(
+                {"media_id": pdf["id"], "payload": payloads, "media_type": kinds}
+            )
+
+    base = spark.range(n, numPartitions=num_partitions)
+    gen = base.mapInPandas(_gen, out_schema)
+    meta = F.struct(
+        F.col("media_type"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(16).cast("int").alias("width"),
+        F.lit(16).cast("int").alias("height"),
+        F.lit(250).cast("long").alias("duration_ms"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    return gen.select("media_id", "payload", meta.alias("meta"))
+
+
 def media_metadata(df: DataFrame) -> DataFrame:
     """Typed metadata projection + payload size check — pure Column work,
     no decode: (media_id, media_type, n_bytes, meta_bytes_match)."""
@@ -74,16 +132,25 @@ def media_metadata(df: DataFrame) -> DataFrame:
 
 
 def _decode_payload(payload: bytes) -> list[float]:
-    """STUB DECODER — deterministic fake feature extraction.
-
-    A real deployment replaces this body with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` + resize + channel means.
-    The fake derives FEATURE_DIM floats from md5(payload) so the whole
-    pipeline (schema, batching, partitioning) is testable here. Raises
-    on None to mirror real decoder behavior on missing payloads.
+    """Dispatching decoder: REAL pure-numpy decode + feature extraction
+    for PCM WAV and uncompressed 24-bit BMP (multimodal/codecs.py —
+    header parsing, FFT spectral centroid, nearest-neighbor resize,
+    channel stats); formats needing native media libs (JPEG/PNG/MP4)
+    fall back to the documented deterministic STUB (md5-derived
+    features) so the pipeline stays testable in this container — a real
+    deployment replaces only that branch with PIL/pyav. Raises on None
+    to mirror real decoder behavior on missing payloads.
     """
+    from sparkcheck.multimodal.codecs import bmp_features, sniff_media, wav_features
+
     if payload is None:
         raise NotImplementedError("no payload: real decoder would surface codec error")
+    kind = sniff_media(payload)
+    if kind == "wav":
+        return wav_features(payload)
+    if kind == "bmp":
+        return bmp_features(payload)
+    # STUB branch — compressed codecs unavailable here
     digest = hashlib.md5(payload).digest()
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
 

@@ -131,3 +131,105 @@ def test_ivf_corpus_assignment_is_map_only(spark):
     # every vector got exactly one centroid
     assert assigned.count() == 1000
     assert assigned.where(F.col("centroid_id").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# real pure-numpy codecs (multimodal/codecs.py)
+
+def test_wav_roundtrip_and_features():
+    """encode→decode bit-faithful (within PCM16 quantization); features
+    are real signal math: duration exact, centroid ≈ tone frequency."""
+    import numpy as np
+    from sparkcheck.multimodal.codecs import decode_wav, encode_wav, wav_features
+
+    t = np.arange(8000) / 8000.0  # 1 s @ 8 kHz
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    payload = encode_wav(tone, 8000)
+    rate, decoded = decode_wav(payload)
+    assert rate == 8000 and len(decoded) == 8000
+    assert np.max(np.abs(decoded - tone)) < 1.5 / 32768  # PCM16 quantization
+
+    dur, rms, peak, zcr, centroid, srate, _, tag = wav_features(payload)
+    assert dur == 1.0 and srate == 8000.0 and tag == 1.0
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3     # sine RMS = A/sqrt(2)
+    assert abs(centroid - 440.0) < 5.0            # FFT centroid at the tone
+    assert abs(zcr - 2 * 440 / 8000) < 0.01       # 2 crossings per period
+
+
+def test_wav_stereo_and_malformed():
+    import struct
+
+    import numpy as np
+    import pytest
+    from sparkcheck.multimodal.codecs import MediaDecodeError, decode_wav, encode_wav
+
+    # hand-build a stereo file: L = tone, R = -tone → mono mix ≈ 0
+    t = np.arange(1000) / 8000.0
+    tone = (0.5 * np.sin(2 * np.pi * 100 * t) * 32767).astype("<i2")
+    inter = np.empty(2000, dtype="<i2")
+    inter[0::2], inter[1::2] = tone, -tone
+    pcm = inter.tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE",
+                      b"fmt ", 16, 1, 2, 8000, 32000, 4, 16, b"data", len(pcm))
+    rate, mono = decode_wav(hdr + pcm)
+    assert rate == 8000 and np.max(np.abs(mono)) < 1.0 / 32768  # L+R cancel
+
+    with pytest.raises(MediaDecodeError):
+        decode_wav(b"RIFFxxxxWAVE")  # no chunks
+    with pytest.raises(MediaDecodeError):
+        decode_wav(b"not media at all")
+    # float-encoded wav (fmt_code 3) is unsupported, not mis-decoded
+    bad = bytearray(encode_wav(np.zeros(10)))
+    struct.pack_into("<H", bad, 20, 3)
+    with pytest.raises(MediaDecodeError):
+        decode_wav(bytes(bad))
+
+
+def test_bmp_roundtrip_resize_features():
+    import numpy as np
+    import pytest
+    from sparkcheck.multimodal.codecs import (
+        MediaDecodeError, bmp_features, decode_bmp, encode_bmp, resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 10, 3), dtype=np.uint8)  # odd stride pad
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)  # bit-identical
+
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])  # NN keeps corner pixel
+
+    red = np.zeros((16, 16, 3), dtype=np.uint8)
+    red[:, :, 0] = 200
+    w, h, mr, mg, mb, sg, aspect, tag = bmp_features(encode_bmp(red))
+    assert (w, h, aspect, tag) == (16.0, 16.0, 1.0, 2.0)
+    assert abs(mr - 200 / 255) < 1e-9 and mg == 0.0 and mb == 0.0 and sg == 0.0
+
+    with pytest.raises(MediaDecodeError):
+        decode_bmp(encode_bmp(img)[:30])  # truncated header
+
+
+def test_real_media_decode_end_to_end(spark):
+    """real_media_table → decode_image_features: WAV rows get real
+    audio features (tag 1.0, centroid at the per-id tone), BMP rows get
+    real image features (tag 2.0), same mapInPandas slot; unknown
+    payloads still decode via the stub branch (decode_ok stays True)."""
+    from sparkcheck.multimodal import decode_image_features, real_media_table
+
+    df = real_media_table(spark, 8, num_partitions=2)
+    feats = {r["media_id"]: r for r in decode_image_features(df).collect()}
+    assert len(feats) == 8 and all(r["decode_ok"] for r in feats.values())
+    for mid, r in feats.items():
+        f = r["features"]
+        if mid % 2 == 0:  # audio: [dur, rms, peak, zcr, centroid, rate, _, 1.0]
+            assert f[7] == 1.0 and f[5] == 8000.0
+            assert abs(f[4] - (220.0 + 10.0 * mid)) < 8.0  # centroid ≈ tone
+        else:  # image: [w, h, mr, mg, mb, std, aspect, 2.0]
+            assert f[7] == 2.0 and f[0] == 16.0 and f[1] == 16.0
+            assert abs(f[4] - ((mid * 37) % 256) / 255) < 0.01  # B channel
+
+    # determinism across partitionings (payload built per-row from id)
+    again = {r["media_id"]: r["features"]
+             for r in decode_image_features(real_media_table(spark, 8)).collect()}
+    assert all(again[m] == feats[m]["features"] for m in feats)
