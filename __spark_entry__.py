@@ -715,6 +715,17 @@ def q_dup_segment_stats(spark: SparkSession, sf: str) -> DataFrame:
     return duplicate_segment_stats(_t(spark, sf, "documents"), delimiter=" ")
 
 
+def q_cross_doc_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated-span fraction (Lee et al. '22 style
+    span dedup over non-overlapping 6-word blocks): per-doc share of
+    blocks that also appear in ≥2 other docs — corpus boilerplate.
+    In-row array_distinct (no (doc,block) shuffle), map-side-combined
+    block counts, 1:N join back (AQE skew-split absorbs hot blocks)."""
+    from sparkcheck.textstats import cross_doc_span_stats
+
+    return cross_doc_span_stats(_t(spark, sf, "documents"), k=6, min_docs=2)
+
+
 def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     """URL-host skew analytics (the north rule's named skew surface):
     per-host doc counts + EXACT distinct-url counts via the salted
@@ -929,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "repetition_stats": q_repetition_stats,
         "dup_segment_stats": q_dup_segment_stats,
+        "cross_doc_spans": q_cross_doc_spans,
         "host_stats": q_host_stats,
     }
 
@@ -1290,6 +1302,23 @@ SELECT doc_id,
        round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                    / len(string_split(text, ' ')), 4) AS dup_segment_frac
 FROM documents WHERE text IS NOT NULL
+""",
+        "cross_doc_spans": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents WHERE text IS NOT NULL
+),
+blocks AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(a[(u.i-1)*6+1 : (u.i-1)*6+6], ' ') AS block
+  FROM toks, unnest(generate_series(1, CAST(floor(len(a)/6) AS BIGINT))) AS u(i)
+),
+cnt AS (SELECT block, count(*) AS n_docs FROM blocks GROUP BY block)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_spans,
+       round(CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS shared_frac
+FROM blocks b JOIN cnt c USING (block)
+GROUP BY b.doc_id
 """,
         "host_stats": r"""
 WITH urls AS (

@@ -48,6 +48,7 @@ HEADLINE = [
     "token_stats",
     "quality_scores",
     "lang_id",
+    "cross_doc_spans",
 ]
 
 # 8M docs for the JVM-side headliners (longer measurement ⇒ stable

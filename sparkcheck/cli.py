@@ -230,6 +230,35 @@ def cmd_init(args) -> int:
     return 0
 
 
+def cmd_mock(args) -> int:
+    """Materialize a named mock scenario (testing/scenarios.py) to
+    parquet tables under --out/<table>/ — multi-table fixture sets with
+    FK graphs, generated deterministically at any size (the CLI face of
+    the reference's scenario manager, advanced_mocking.py:546-607)."""
+    import os
+
+    from sparkcheck.testing.scenarios import build_scenario, load_scenarios_yaml
+
+    scenarios = load_scenarios_yaml(args.scenarios)
+    if args.scenario:
+        if args.scenario not in scenarios:
+            print(json.dumps({"error": f"unknown scenario {args.scenario!r}; "
+                                       f"available: {sorted(scenarios)}"}))
+            return 1
+        chosen = scenarios[args.scenario]
+    else:
+        chosen = next(iter(scenarios.values()))
+    spark = _spark(args.cpus)
+    frames = build_scenario(spark, chosen)
+    written = {}
+    for name, df in frames.items():
+        path = os.path.join(args.out, name)
+        df.write.mode("overwrite").parquet(path)
+        written[name] = path
+    print(json.dumps({"scenario": chosen.name, "tables": written}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="sparkcheck")
     ap.add_argument("--cpus", default=None, help="local[N] override")
@@ -270,6 +299,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--csv", default=None, help="also export outcomes CSV")
     r.add_argument("--title", default="sparkcheck report")
     r.set_defaults(fn=cmd_report)
+
+    m = sub.add_parser("mock", help="materialize a mock scenario to parquet")
+    m.add_argument("--scenarios", required=True, help="scenarios YAML file")
+    m.add_argument("--scenario", default=None, help="scenario name (default: first)")
+    m.add_argument("--out", required=True, help="output dir (one subdir per table)")
+    m.set_defaults(fn=cmd_mock)
 
     i = sub.add_parser("init", help="scaffold rules.yaml + suite.yaml")
     i.add_argument("--dir", default=".")

@@ -1,5 +1,6 @@
 from sparkcheck.textstats.analysis import (
     STOPWORDS,
+    cross_doc_span_stats,
     duplicate_segment_stats,
     fingerprint,
     gopher_quality_flags,
@@ -19,6 +20,7 @@ __all__ = [
     "lang_id",
     "quality_score",
     "repetition_stats",
+    "cross_doc_span_stats",
     "duplicate_segment_stats",
     "rolling_fingerprints",
     "token_stats",

@@ -235,6 +235,65 @@ def duplicate_segment_stats(
     )
 
 
+def cross_doc_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CROSS-document duplicated-span fraction — the corpus-level
+    complement of ``duplicate_segment_stats`` (which is within-doc).
+    Span-dedup signal in the style of Lee et al. '22 ("Deduplicating
+    Training Data Makes Language Models Better"): text is cut into
+    NON-overlapping ``k``-word blocks; a block appearing in
+    ``min_docs``+ documents is corpus boilerplate (nav bars, cookie
+    banners, license headers). Output per doc:
+    (id, n_spans, shared_spans, shared_frac).
+
+    Scale shape:
+      1. blocks per doc via transform/slice — map-only, and
+         ``array_distinct`` dedups WITHIN the row, so no (doc, block)
+         distinct shuffle is ever needed;
+      2. groupBy(block).count() — map-side partial counts absorb hot
+         boilerplate blocks;
+      3. join counts back on block — 1:N, no row blowup; a block shared
+         by millions of docs skews partition sizes only, which AQE's
+         skew-join split handles;
+      4. per-doc aggregation.
+    Docs shorter than k words have no spans and drop out (same contract
+    as the oracle SQL)."""
+    toks = _tokens(F.col(text_col))
+    nblk = F.floor(F.size(toks) / k).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(1), nblk),
+        lambda i: F.array_join(F.slice(toks, (i - 1) * k + 1, k), " "),
+    )
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of returning
+    # empty — a doc shorter than k words must yield no spans (matches
+    # DuckDB generate_series, which is empty there)
+    exploded = (
+        df.where(F.col(text_col).isNotNull())
+        .where(F.size(toks) >= k)
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(blocks)).alias("block"))
+    )
+    counts = exploded.groupBy("block").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        exploded.join(counts, "block")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("n_docs") >= min_docs).cast("long")).cast("long").alias("shared_spans"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "shared_spans",
+            F.round(F.col("shared_spans") / F.col("n_spans"), 4).alias("shared_frac"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of raw text and md5 of the normalized
     (lowercased, whitespace-collapsed, trimmed) text — the exact-dedup

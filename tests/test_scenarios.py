@@ -123,3 +123,27 @@ def test_load_scenarios_yaml_and_views(spark, tmp_path):
     assert n == 100  # every order joins exactly one customer
     spark.catalog.dropTempView("orders")
     spark.catalog.dropTempView("customers")
+
+
+def test_cli_mock_materializes_scenario(spark, tmp_path):
+    import json as _json
+    import textwrap
+
+    from sparkcheck.cli import main
+
+    p = tmp_path / "sc.yaml"
+    p.write_text(textwrap.dedent("""\
+        scenarios:
+          - name: tiny
+            tables:
+              parents: {rows: 5, columns: {id: id}}
+              kids: {rows: 30, columns: {id: id, pid: "fk:parents"}}
+    """))
+    out = tmp_path / "data"
+    assert main(["mock", "--scenarios", str(p), "--out", str(out)]) == 0
+    kids = spark.read.parquet(str(out / "kids"))
+    parents = spark.read.parquet(str(out / "parents"))
+    assert kids.count() == 30 and parents.count() == 5
+    assert kids.join(parents, kids.pid == parents.id, "left_anti").count() == 0
+    assert main(["mock", "--scenarios", str(p), "--scenario", "nope",
+                 "--out", str(out)]) == 1

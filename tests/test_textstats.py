@@ -232,3 +232,40 @@ def test_winnow_near_duplicates(spark):
         [(i, base) for i in range(20)], ["doc_id", "text"])
     none = winnow_near_duplicates(many, min_shared=1, max_fingerprint_freq=5)
     assert none.count() == 0  # every fingerprint is in all 20 docs -> dropped
+
+
+def test_cross_doc_span_stats_golden(spark):
+    """Hand-checked cross-doc span dedup (k=2 blocks, min_docs=2):
+    docs 0/1 share their first block; doc 2 shares nothing; a doc
+    shorter than k words drops out (no spans)."""
+    from sparkcheck.textstats import cross_doc_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "shared pair unique zero"),     # blocks: 'shared pair', 'unique zero'
+            (1, "shared pair other one"),       # blocks: 'shared pair', 'other one'
+            (2, "totally different words here"),
+            (3, "short"),                       # < k words -> no spans
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in cross_doc_span_stats(df, k=2).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["n_spans"] == 2 and rows[0]["shared_spans"] == 1
+    assert rows[0]["shared_frac"] == 0.5
+    assert rows[1]["shared_frac"] == 0.5
+    assert rows[2]["shared_spans"] == 0 and rows[2]["shared_frac"] == 0.0
+
+
+def test_cross_doc_span_stats_within_doc_repeat_not_shared(spark):
+    """A block repeated WITHIN one doc only is not cross-doc shared
+    (array_distinct dedups in-row before counting docs)."""
+    from sparkcheck.textstats import cross_doc_span_stats
+
+    df = spark.createDataFrame(
+        [(0, "rep rep rep rep"), (1, "other stuff here too")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in cross_doc_span_stats(df, k=2).collect()}
+    assert rows[0]["n_spans"] == 1  # 'rep rep' twice in-doc -> one distinct span
+    assert rows[0]["shared_spans"] == 0
