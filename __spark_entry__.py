@@ -726,6 +726,23 @@ def q_cross_doc_spans(spark: SparkSession, sf: str) -> DataFrame:
     return cross_doc_span_stats(_t(spark, sf, "documents"), k=6, min_docs=2)
 
 
+def q_span_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-decontamination check: corpus docs (doc_id % 10 != 0)
+    scored by the fraction of their 6-word spans appearing anywhere in
+    a 'benchmark' split (doc_id % 10 == 0). One scan per table, no
+    self-join; the benchmark span set is distinct + AQE-broadcastable."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.textstats import span_contamination
+
+    docs = _t(spark, sf, "documents")
+    return span_contamination(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        k=6,
+    )
+
+
 def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     """URL-host skew analytics (the north rule's named skew surface):
     per-host doc counts + EXACT distinct-url counts via the salted
@@ -941,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dup_segment_stats": q_dup_segment_stats,
         "cross_doc_spans": q_cross_doc_spans,
+        "span_contamination": q_span_contamination,
         "host_stats": q_host_stats,
     }
 
@@ -1319,6 +1337,24 @@ SELECT b.doc_id,
        round(CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS shared_frac
 FROM blocks b JOIN cnt c USING (block)
 GROUP BY b.doc_id
+""",
+        "span_contamination": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents WHERE text IS NOT NULL
+),
+blocks AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(a[(u.i-1)*6+1 : (u.i-1)*6+6], ' ') AS block
+  FROM toks, unnest(generate_series(1, CAST(floor(len(a)/6) AS BIGINT))) AS u(i)
+),
+bench AS (SELECT DISTINCT block FROM blocks WHERE doc_id % 10 = 0),
+corpus AS (SELECT doc_id, block FROM blocks WHERE doc_id % 10 != 0)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN b.block IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_spans,
+       round(CAST(sum(CASE WHEN b.block IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS contamination_frac
+FROM corpus c LEFT JOIN bench b USING (block)
+GROUP BY c.doc_id
 """,
         "host_stats": r"""
 WITH urls AS (

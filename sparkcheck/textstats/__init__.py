@@ -1,6 +1,7 @@
 from sparkcheck.textstats.analysis import (
     STOPWORDS,
     cross_doc_span_stats,
+    span_contamination,
     duplicate_segment_stats,
     fingerprint,
     gopher_quality_flags,
@@ -21,6 +22,7 @@ __all__ = [
     "quality_score",
     "repetition_stats",
     "cross_doc_span_stats",
+    "span_contamination",
     "duplicate_segment_stats",
     "rolling_fingerprints",
     "token_stats",

@@ -263,19 +263,14 @@ def cross_doc_span_stats(
       4. per-doc aggregation.
     Docs shorter than k words have no spans and drop out (same contract
     as the oracle SQL)."""
+    # size >= k guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
+    # of returning empty — a doc shorter than k words must yield no
+    # spans (matches DuckDB generate_series, which is empty there)
     toks = _tokens(F.col(text_col))
-    nblk = F.floor(F.size(toks) / k).cast("int")
-    blocks = F.transform(
-        F.sequence(F.lit(1), nblk),
-        lambda i: F.array_join(F.slice(toks, (i - 1) * k + 1, k), " "),
-    )
-    # Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of returning
-    # empty — a doc shorter than k words must yield no spans (matches
-    # DuckDB generate_series, which is empty there)
     exploded = (
         df.where(F.col(text_col).isNotNull())
         .where(F.size(toks) >= k)
-        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(blocks)).alias("block"))
+        .select(F.col(id_col).alias("id"), F.explode(_span_blocks(text_col, k)).alias("block"))
     )
     counts = exploded.groupBy("block").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
@@ -290,6 +285,70 @@ def cross_doc_span_stats(
             "n_spans",
             "shared_spans",
             F.round(F.col("shared_spans") / F.col("n_spans"), 4).alias("shared_frac"),
+        )
+    )
+
+
+def _span_blocks(text_col: str, k: int) -> Column:
+    """Distinct non-overlapping k-word blocks of a text column (in-row
+    array_distinct — no shuffle)."""
+    toks = _tokens(F.col(text_col))
+    nblk = F.floor(F.size(toks) / k).cast("int")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nblk),
+            lambda i: F.array_join(F.slice(toks, (i - 1) * k + 1, k), " "),
+        )
+    )
+
+
+def span_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+) -> DataFrame:
+    """Benchmark-contamination check — the decontamination pass every
+    training-data pipeline runs before a model ships: per corpus doc,
+    the fraction of its k-word spans that appear ANYWHERE in the
+    benchmark table. Output: (id, n_spans, contaminated_spans,
+    contamination_frac); filter ``contamination_frac > 0`` for docs to
+    drop/inspect.
+
+    Scale shape: benchmark spans are a DISTINCT block set (benchmarks
+    are small next to a crawl — typically broadcastable, and AQE makes
+    that call at runtime); corpus spans left-join it and aggregate per
+    doc. One scan of each table, no self-join anywhere; docs shorter
+    than k words have no spans and drop out (sequence(1,0)-descends
+    guard as in cross_doc_span_stats)."""
+    toks = _tokens(F.col(text_col))
+    corpus_spans = (
+        corpus.where(F.col(text_col).isNotNull())
+        .where(F.size(toks) >= k)
+        .select(F.col(id_col).alias("id"), F.explode(_span_blocks(text_col, k)).alias("block"))
+    )
+    bench_spans = (
+        benchmark.where(F.col(text_col).isNotNull())
+        .where(F.size(toks) >= k)
+        .select(F.explode(_span_blocks(text_col, k)).alias("block"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        corpus_spans.join(bench_spans, "block", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("contaminated_spans"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "contaminated_spans",
+            F.round(F.col("contaminated_spans") / F.col("n_spans"), 4).alias(
+                "contamination_frac"
+            ),
         )
     )
 

@@ -269,3 +269,22 @@ def test_cross_doc_span_stats_within_doc_repeat_not_shared(spark):
     rows = {r["doc_id"]: r for r in cross_doc_span_stats(df, k=2).collect()}
     assert rows[0]["n_spans"] == 1  # 'rep rep' twice in-doc -> one distinct span
     assert rows[0]["shared_spans"] == 0
+
+
+def test_span_contamination_golden(spark):
+    """Hand-checked decontamination: doc sharing one of two spans with
+    the benchmark scores 0.5; clean doc scores 0."""
+    from sparkcheck.textstats import span_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, "leaked pair own words"), (2, "fully clean text body")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "leaked pair something else entirely")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in
+            span_contamination(corpus, bench, k=2).collect()}
+    assert rows[1]["n_spans"] == 2 and rows[1]["contaminated_spans"] == 1
+    assert rows[1]["contamination_frac"] == 0.5
+    assert rows[2]["contaminated_spans"] == 0 and rows[2]["contamination_frac"] == 0.0
