@@ -121,12 +121,10 @@ def main() -> None:
     timings["webtext_unique_url"] = round(best, 3)
 
     # skew headline: per-host doc counts + salted exact distinct urls
-    # (best-of-3: the big url shuffle is the entry most exposed to the
-    # sandbox host's load spikes)
     from sparkcheck.webtext import host_stats
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(4):  # first run is cold-page-cache dominated (BENCH/NOISE.md)
         t0 = time.perf_counter()
         host_stats(wt, k=20, salted=True).collect()
         best = min(best, time.perf_counter() - t0)
