@@ -241,6 +241,7 @@ def cross_doc_span_stats(
     id_col: str = "doc_id",
     k: int = 6,
     min_docs: int = 2,
+    hash_blocks: bool = False,
 ) -> DataFrame:
     """CROSS-document duplicated-span fraction — the corpus-level
     complement of ``duplicate_segment_stats`` (which is within-doc).
@@ -251,40 +252,69 @@ def cross_doc_span_stats(
     banners, license headers). Output per doc:
     (id, n_spans, shared_spans, shared_frac).
 
-    Scale shape:
-      1. blocks per doc via transform/slice — map-only, and
-         ``array_distinct`` dedups WITHIN the row, so no (doc, block)
-         distinct shuffle is ever needed;
-      2. groupBy(block).count() — map-side partial counts absorb hot
-         boilerplate blocks;
-      3. join counts back on block — 1:N, no row blowup; a block shared
-         by millions of docs skews partition sizes only, which AQE's
-         skew-join split handles;
-      4. per-doc aggregation.
+    Scale shape (measured at 8M docs, BENCH/SPANS.md):
+      1. per-doc totals: ``n_spans = size(array_distinct(blocks))`` —
+         entirely MAP-SIDE, the per-doc frame never shuffles for its
+         own count;
+      2. groupBy(block).count() over the exploded (doc, block) rows —
+         map-side partial counts absorb hot boilerplate blocks — then
+         filtered to the SHARED set (n_docs >= min_docs), typically a
+         small fraction of distinct blocks;
+      3. inner join exploded ⋈ shared set → per-doc shared count
+         (1:N, no row blowup; AQE skew-split handles a block shared by
+         millions of docs), left-joined back onto the map-side totals
+         (docs with zero shared spans stay present at zero).
+
+    ``hash_blocks=True`` (the scale path): shuffle 64-bit xxhash64 keys
+    instead of ~40-char block strings — much less shuffle payload.
+    Collisions can only over-count a shared span (two blocks colliding
+    into one key) with probability ≈ n²/2⁶⁵ — negligible below ~10¹²
+    distinct blocks; keep False where bit-exactness vs an oracle
+    matters.
+
     Docs shorter than k words have no spans and drop out (same contract
     as the oracle SQL)."""
     # size >= k guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
     # of returning empty — a doc shorter than k words must yield no
     # spans (matches DuckDB generate_series, which is empty there)
     toks = _tokens(F.col(text_col))
-    exploded = (
-        df.where(F.col(text_col).isNotNull())
-        .where(F.size(toks) >= k)
-        .select(F.col(id_col).alias("id"), F.explode(_span_blocks(text_col, k)).alias("block"))
-    )
-    counts = exploded.groupBy("block").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        exploded.join(counts, "block")
+    base = df.where(F.col(text_col).isNotNull()).where(F.size(toks) >= k)
+    blocks = _span_blocks(text_col, k)
+    # grouped (not a bare select): a duplicated id — e.g. two crawls of
+    # the same url hashed to one doc_id — must yield ONE output row, or
+    # the later 1:1 join would attach the full per-id shared count to
+    # EACH duplicate row and double-count. The group is one long per
+    # doc with map-side combine — the cheapest shuffle in the plan.
+    totals = (
+        base.select(F.col(id_col).alias("id"), F.size(blocks).cast("long").alias("_ns"))
         .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum((F.col("n_docs") >= min_docs).cast("long")).cast("long").alias("shared_spans"),
-        )
+        .agg(F.sum("_ns").cast("long").alias("n_spans"))
+    )
+    exploded = base.select(
+        F.col(id_col).alias("id"), F.explode(blocks).alias("block")
+    ).select(
+        "id", (F.xxhash64(F.col("block")) if hash_blocks else F.col("block")).alias("bk")
+    )
+    shared = (
+        exploded.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("bk")
+    )
+    shared_per_doc = (
+        exploded.join(shared, "bk")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_spans"))
+    )
+    return (
+        totals.join(shared_per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
             "n_spans",
-            "shared_spans",
-            F.round(F.col("shared_spans") / F.col("n_spans"), 4).alias("shared_frac"),
+            F.coalesce(F.col("shared_spans"), F.lit(0)).cast("long").alias("shared_spans"),
+        )
+        .withColumn(
+            "shared_frac", F.round(F.col("shared_spans") / F.col("n_spans"), 4)
         )
     )
 

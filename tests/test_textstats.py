@@ -288,3 +288,31 @@ def test_span_contamination_golden(spark):
     assert rows[1]["n_spans"] == 2 and rows[1]["contaminated_spans"] == 1
     assert rows[1]["contamination_frac"] == 0.5
     assert rows[2]["contaminated_spans"] == 0 and rows[2]["contamination_frac"] == 0.0
+
+
+def test_cross_doc_span_stats_hash_blocks_parity(spark):
+    """The 64-bit-hashed scale path returns identical results to the
+    exact-string path (collisions need ~2^32 distinct blocks)."""
+    from sparkcheck.textstats import cross_doc_span_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = cross_doc_span_stats(docs, k=6)
+    hashed = cross_doc_span_stats(docs, k=6, hash_blocks=True)
+    assert exact.exceptAll(hashed).count() == 0
+    assert hashed.exceptAll(exact).count() == 0
+
+
+def test_cross_doc_span_stats_duplicate_ids_not_double_counted(spark):
+    """A duplicated doc_id (same url crawled m times, hashed to one id)
+    must yield ONE output row with n_spans summed across the copies —
+    the per-id join must not attach the shared count to each copy
+    (which would inflate quadratically in m)."""
+    from sparkcheck.textstats import cross_doc_span_stats
+
+    rows = [(7, "dup pair text body")] * 3 + [(1, "other words go here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cross_doc_span_stats(df, k=2).collect()}
+    assert len(out) == 2
+    # 3 copies x 2 distinct blocks each; both blocks 'shared' (3 rows)
+    assert out[7]["n_spans"] == 6 and out[7]["shared_spans"] == 6
+    assert out[1]["shared_spans"] == 0
