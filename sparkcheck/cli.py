@@ -67,17 +67,27 @@ def cmd_validate(args) -> int:
     # report's analysis section can flag cartesian joins / unpushed filters
     report = ValidationEngine(spark, capture_plans=True).run(ruleset, {"table": df})
     write_report_json(report, args.out)
+    # Split history views: the slow/flaky/degrading detectors compare the
+    # current run against PRIOR runs only (with the current sample inside
+    # its own baseline, `elapsed > p95(history)` could never fire), while
+    # the trend section plots the full history including this run.
+    prior_hist = full_hist = None
     if getattr(args, "history", None):
-        from sparkcheck.io.html_report import append_history
+        from sparkcheck.io.html_report import append_history, load_history
 
+        prior_hist = load_history(args.history)
         append_history(report, args.history)
+        full_hist = load_history(args.history)
     if getattr(args, "html", None):
-        from sparkcheck.io.html_report import load_history, render_full_html
+        from sparkcheck.io.html_report import render_full_html
+        from sparkcheck.run.analyze import analyze_report
 
-        hist = load_history(args.history) if getattr(args, "history", None) else None
         with open(args.html, "w") as f:
-            f.write(render_full_html(report, history=hist,
-                                     title=f"sparkcheck — {ruleset.name}"))
+            f.write(render_full_html(
+                report, history=full_hist,
+                insights=analyze_report(report, prior_hist or ()),
+                title=f"sparkcheck — {ruleset.name}",
+            ))
     if getattr(args, "csv", None):
         from sparkcheck.io.html_report import write_outcomes_csv
 
@@ -137,7 +147,30 @@ def cmd_report(args) -> int:
     if args.drift:
         with open(args.drift) as f:
             drift = json.load(f)
-    html_doc = render_full_html(report, history=hist, drift=drift, title=args.title)
+    insights = None
+    if report is not None:
+        from sparkcheck.run.analyze import analyze_report
+
+        # the stored history usually already contains THIS report's run
+        # (validate appends before report composes) — drop the trailing
+        # record that matches it so the slow-rule detector's baseline is
+        # prior runs only (a sample inside its own p95 can never exceed it)
+        prior = list(hist or ())
+        if prior:
+            this_run = {
+                o["rule_id"]: o.get("violations")
+                for o in report.get("outcomes", [])
+                if isinstance(o, dict)
+            }
+            last = {
+                rid: vals.get("violations")
+                for rid, vals in (prior[-1].get("rules") or {}).items()
+            }
+            if this_run and last == this_run:
+                prior = prior[:-1]
+        insights = analyze_report(report, prior)
+    html_doc = render_full_html(report, history=hist, drift=drift,
+                                insights=insights, title=args.title)
     with open(args.out, "w") as f:
         f.write(html_doc)
     if args.csv and report is not None:

@@ -120,7 +120,23 @@ def embedding_band_assignments(
     the concatenated sign-bit string of that band's hyperplanes.
     Map-only (no shuffle)."""
     planes = hyperplanes(dim, bands, bits, seed)
-    v = F.col(vec_col)
+    # Loud dim guard: zip_with pads the SHORTER array with nulls, so a
+    # vector whose length != dim would poison every dot product to null,
+    # make every sign bit null, and concat_ws would collapse ALL docs
+    # into band_key "" — which the hot-bucket cap then silently drops
+    # (zero candidates on a corpus full of near-dups). Fail per-row
+    # instead; the comparison is codegen'd and costs ~nothing.
+    v = F.when(
+        F.size(F.col(vec_col)) == dim, F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding length != dim={dim} (got "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit("); pass dim= matching the vector column"),
+            )
+        )
+    )
     band_structs = F.array(
         *[
             F.struct(

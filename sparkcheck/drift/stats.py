@@ -241,36 +241,47 @@ def chi2_drift(
     alpha: float = 0.01,
 ) -> dict:
     """Categorical drift between two populations of ``column`` labeled
-    by ``slice_col``: ONE (slice, value) aggregation (bounded by
-    2 × max_categories rows), then driver-side chi-square + p-value.
-    The long tail beyond ``max_categories`` pooled categories (by
-    pooled count) collapses into an '<other>' bucket so a 10^12-row
-    id-like column can't flood the driver.
+    by ``slice_col``: paired per-category counts computed in ONE
+    aggregation, capped IN THE PLAN — the top ``max_categories``
+    categories by pooled count come back via TakeOrdered and the long
+    tail is aggregated into an '<other>' bucket executor-side, so a
+    10^12-row id-like column ships at most max_categories + 1 rows to
+    the driver. Chi-square + p-value are then O(categories) driver math.
+
+    Rows with a NULL slice label or NULL category are excluded (the
+    slice expression must label exactly two populations).
 
     Returns {statistic, dof, p_value, drifted, n_categories}."""
-    rows = (
+    labeled = (
         df.where(F.col(column).isNotNull())
-        .select(slice_col.alias("slice"), F.col(column).cast("string").alias("v"))
-        .groupBy("slice", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        .select(slice_col.cast("string").alias("slice"), F.col(column).cast("string").alias("v"))
+        .where(F.col("slice").isNotNull())
     )
-    labels = sorted({r["slice"] for r in rows})
+    labels = [r["slice"] for r in labeled.select("slice").distinct().limit(3).collect()]
     if len(labels) != 2:
-        raise ValueError(f"expected exactly 2 slices, got {labels}")
-    counts: dict[str, list[float]] = {}
-    for r in rows:
-        counts.setdefault(r["v"], [0.0, 0.0])[labels.index(r["slice"])] = float(r["n"])
+        raise ValueError(f"expected exactly 2 slice labels, got {sorted(labels)}")
+    lo, hi = sorted(labels)
+    paired = labeled.groupBy("v").agg(
+        F.sum((F.col("slice") == lo).cast("long")).alias("e"),
+        F.sum((F.col("slice") == hi).cast("long")).alias("a"),
+    )
+    top = paired.orderBy(F.desc(F.col("e") + F.col("a")), F.asc("v")).limit(max_categories)
+    rows = top.collect()
+    counts: dict[str, list[float]] = {
+        r["v"]: [float(r["e"]), float(r["a"])] for r in rows
+    }
+    if len(rows) == max_categories:  # a tail may exist — aggregate it remotely
+        rest = (
+            paired.join(top.select("v"), "v", "left_anti")
+            .agg(
+                F.coalesce(F.sum("e"), F.lit(0)).alias("e"),
+                F.coalesce(F.sum("a"), F.lit(0)).alias("a"),
+            )
+            .collect()[0]
+        )
+        if rest["e"] or rest["a"]:
+            counts["<other>"] = [float(rest["e"]), float(rest["a"])]
     cats = sorted(counts, key=lambda v: (-sum(counts[v]), v))
-    if len(cats) > max_categories:
-        head, tail = cats[:max_categories], cats[max_categories:]
-        other = [0.0, 0.0]
-        for v in tail:
-            other[0] += counts[v][0]
-            other[1] += counts[v][1]
-        counts = {v: counts[v] for v in head}
-        counts["<other>"] = other
-        cats = head + ["<other>"]
     e = [counts[v][0] for v in cats]
     a = [counts[v][1] for v in cats]
     stat, dof = chi2_from_counts(e, a)

@@ -112,6 +112,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise MediaDecodeError(f"unsupported BMP (bpp={bpp}, compression={comp})")
     flipped = h > 0
     h = abs(h)
+    # crafted/corrupt headers: non-positive dims would escape as raw
+    # numpy IndexError/ZeroDivisionError downstream instead of the
+    # module's documented decode-failure contract
+    if w <= 0 or h <= 0:
+        raise MediaDecodeError(f"invalid BMP dimensions {w}x{h}")
     stride = (w * 3 + 3) & ~3
     need = off + stride * h
     if len(payload) < need:

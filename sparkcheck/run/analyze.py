@@ -100,9 +100,15 @@ def plan_smells(plan_text: str, rule_id: str = "") -> list[Insight]:
         )
         for p in pushed
     )
-    filter_cond = re.search(r"Condition\s*:\s*(.+)", plan_text)
-    filter_has_comparison = bool(filter_cond) and bool(
-        re.search(r"[<>=]|LIKE|IN\b|rlike", filter_cond.group(1))
+    # ignore conditions over aggregate outputs (HAVING-style filters sit
+    # above an Aggregate and could never reach the reader — flagging
+    # them would mark every group-threshold rule as a smell)
+    filter_conds = [
+        c for c in re.findall(r"Condition\s*:\s*(.+)", plan_text)
+        if not re.search(r"\b(count|sum|avg|min|max|first|collect_\w+)\(", c)
+    ]
+    filter_has_comparison = any(
+        re.search(r"[<>=]|LIKE|IN\b|rlike", c) for c in filter_conds
     )
     if only_trivial_pushdown and filter_has_comparison:
         out.append(Insight(

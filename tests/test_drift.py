@@ -196,3 +196,15 @@ def test_chi2_drift_tail_pooling(spark):
     )
     r = chi2_drift(df, "cat", F.col("slice"), max_categories=50)
     assert r["n_categories"] == 51  # 50 + <other>
+
+
+def test_chi2_drift_null_slice_rows_excluded(spark):
+    from pyspark.sql import functions as F
+    from sparkcheck.drift import chi2_drift
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise((F.col("id") % 2)).alias("s"),
+        F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("cat"),
+    )
+    r = chi2_drift(df, "cat", F.col("s"))  # must not raise on None labels
+    assert r["n_categories"] == 3

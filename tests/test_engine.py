@@ -363,3 +363,19 @@ def test_failure_pattern_grouping():
     assert len(flags) == 1
     assert flags[0].details["rules"] == ["ri_0", "ri_1", "ri_2"]
     assert "<n>" in flags[0].details["pattern"]
+
+
+def test_unpushed_filter_smell_skips_having(spark):
+    """A HAVING-style predicate sits above an Aggregate and can never
+    push to the reader — it must not trigger the unpushed-filter smell."""
+    from pyspark.sql import functions as F
+    from sparkcheck.run import explain_str, plan_smells
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    having = (
+        df.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 3)
+    )
+    assert not any(
+        i.details["pattern"] == "unpushed_filter"
+        for i in plan_smells(explain_str(having), "r")
+    )

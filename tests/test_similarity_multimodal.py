@@ -233,3 +233,18 @@ def test_real_media_decode_end_to_end(spark):
     again = {r["media_id"]: r["features"]
              for r in decode_image_features(real_media_table(spark, 8)).collect()}
     assert all(again[m] == feats[m]["features"] for m in feats)
+
+
+def test_bmp_invalid_dimensions_raise_decode_error():
+    import struct
+
+    import numpy as np
+    import pytest
+    from sparkcheck.multimodal.codecs import MediaDecodeError, decode_bmp, encode_bmp
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    for bad_w in (0, -3):
+        payload = bytearray(encode_bmp(img))
+        struct.pack_into("<i", payload, 18, bad_w)  # width field
+        with pytest.raises(MediaDecodeError, match="dimensions"):
+            decode_bmp(bytes(payload))

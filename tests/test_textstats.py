@@ -304,15 +304,23 @@ def test_cross_doc_span_stats_hash_blocks_parity(spark):
 
 def test_cross_doc_span_stats_duplicate_ids_not_double_counted(spark):
     """A duplicated doc_id (same url crawled m times, hashed to one id)
-    must yield ONE output row with n_spans summed across the copies —
-    the per-id join must not attach the shared count to each copy
-    (which would inflate quadratically in m)."""
+    must collapse to ONE logical document: one output row, distinct
+    blocks counted once, and — critically — its own copies must NOT
+    make its spans 'cross-document' shared (no other doc has them).
+    The naive per-copy count would inflate quadratically in m AND call
+    every re-crawled doc 100% boilerplate."""
     from sparkcheck.textstats import cross_doc_span_stats
 
     rows = [(7, "dup pair text body")] * 3 + [(1, "other words go here")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in cross_doc_span_stats(df, k=2).collect()}
     assert len(out) == 2
-    # 3 copies x 2 distinct blocks each; both blocks 'shared' (3 rows)
-    assert out[7]["n_spans"] == 6 and out[7]["shared_spans"] == 6
+    assert out[7]["n_spans"] == 2 and out[7]["shared_spans"] == 0
     assert out[1]["shared_spans"] == 0
+    # a block shared by two DISTINCT docs still counts
+    df2 = spark.createDataFrame(
+        [(7, "dup pair text body")] * 2 + [(8, "dup pair more words")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r for r in cross_doc_span_stats(df2, k=2).collect()}
+    assert out2[7]["shared_spans"] == 1 and out2[8]["shared_spans"] == 1
