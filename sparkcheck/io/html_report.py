@@ -43,6 +43,7 @@ th{background:#f4f4f8} .pass{color:#0a7a3d;font-weight:600}
 .hbar{fill:#5561d8}.hbar:hover{fill:#2b3aa0}
 .kbar{fill:#7a86e0}.kbar:hover{fill:#2b3aa0}
 .axis{font-size:9px;fill:#666}
+.plan{font-size:.75rem;background:#f7f7fb;padding:.5rem;overflow-x:auto}
 """
 
 
@@ -88,6 +89,20 @@ def render_validation_html(report: Any, title: str = "sparkcheck report") -> str
         )
     verdict = ('<span class="pass">SUITE PASSED</span>' if report.passed
                else '<span class="fail">SUITE FAILED</span>')
+    # captured physical plans (engine capture_plans=True) as collapsed
+    # blocks — the reporting face of the reference's query analysis
+    # (query_analyzer.py attaches plans/suggestions to slow queries)
+    plan_blocks = [
+        f"<details><summary>{html.escape(o.rule_id)}</summary>"
+        f"<pre class='plan'>{html.escape(getattr(o, 'plan', '') or '')}</pre></details>"
+        for o in report.outcomes
+        if getattr(o, "plan", "")
+    ]
+    plans_html = (
+        f"<h2>Captured physical plans</h2>{''.join(plan_blocks)}"
+        if plan_blocks
+        else ""
+    )
     return f"""<!doctype html><html><head><meta charset="utf-8">
 <title>{html.escape(title)}</title><style>{_CSS}</style></head><body>
 <h1>{html.escape(title)} — {verdict}</h1>
@@ -98,7 +113,8 @@ def render_validation_html(report: Any, title: str = "sparkcheck report") -> str
 <table><tr><th>rule</th><th>table</th><th>column</th><th>status</th>
 <th>violations</th><th>evaluated</th><th>rate</th><th>time</th></tr>
 {''.join(rows)}
-</table></body></html>"""
+</table>
+{plans_html}</body></html>"""
 
 
 def write_validation_html(report: Any, path: str, title: str = "sparkcheck report") -> None:

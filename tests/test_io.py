@@ -263,3 +263,18 @@ def test_generated_fixture_distributions_and_fk(spark):
         "rank": "zipf:1000", "maybe": "null:30:int",
     }).orderBy("cid").limit(5).collect()
     assert a == b
+
+
+def test_validation_html_includes_captured_plans(spark, tmp_path):
+    from sparkcheck.io.html_report import write_validation_html
+    from sparkcheck.rules import RuleSet, UniqueRule
+    from sparkcheck.run import ValidationEngine
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "id long")
+    rs = RuleSet(name="p", rules=(UniqueRule(name="uq", column="id"),))
+    report = ValidationEngine(spark, capture_plans=True).run(rs, {"t": df})
+    out = str(tmp_path / "p.html")
+    write_validation_html(report, out)
+    body = open(out).read()
+    assert "Captured physical plans" in body and "<details>" in body
+    assert "HashAggregate" in body or "Aggregate" in body  # real plan text
