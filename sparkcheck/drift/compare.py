@@ -85,9 +85,44 @@ def compare_profiles(baseline: TableProfile, current: TableProfile) -> ProfileDe
                     changes["psi_flag"] = True
             except ValueError:
                 pass
+        # categorical drift: chi-square over the two profiles' stored
+        # top-k value counts — categories = union of both top-k sets,
+        # with each side's residual (total non-null minus its top-k
+        # mass) pooled into an '<other>' bucket so the test covers the
+        # full distribution, not just the head. Driver-side only; the
+        # scan work already happened in the two profile passes.
+        if b.top_values and n.top_values:
+            from sparkcheck.drift.stats import chi2_from_counts, chi2_pvalue
+
+            bc = {str(t["value"]): float(t["count"]) for t in b.top_values}
+            nc = {str(t["value"]): float(t["count"]) for t in n.top_values}
+            cats = sorted(set(bc) | set(nc))
+            e = [bc.get(v, 0.0) for v in cats]
+            a = [nc.get(v, 0.0) for v in cats]
+            rest_e = max(float(b.non_null_count) - sum(e), 0.0)
+            rest_a = max(float(n.non_null_count) - sum(a), 0.0)
+            if rest_e or rest_a:
+                e.append(rest_e)
+                a.append(rest_a)
+            try:
+                stat, dof = chi2_from_counts(e, a)
+                p = chi2_pvalue(stat, dof)
+                n_total = sum(e) + sum(a)
+                # Cramér's V (2-sample form): significance alone is a
+                # trap at profile scale — on 10^8 rows a 0.1% category
+                # shift is p≈0 but operationally nothing; require a
+                # real effect size before flagging.
+                v = (stat / n_total) ** 0.5 if n_total > 0 else 0.0
+                changes["chi2"] = round(stat, 4)
+                changes["chi2_p"] = round(p, 6)
+                changes["cramers_v"] = round(v, 4)
+                if p < 0.01 and v > 0.1:
+                    changes["chi2_flag"] = True
+            except ValueError:
+                pass
         if changes:
             delta.column_changes[c] = changes
-        flagged = {"null_pct_delta", "unique_pct_delta", "psi_flag"}
+        flagged = {"null_pct_delta", "unique_pct_delta", "psi_flag", "chi2_flag"}
         if flagged & set(changes):
             delta.drifted_columns.append(c)
 

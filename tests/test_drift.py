@@ -208,3 +208,29 @@ def test_chi2_drift_null_slice_rows_excluded(spark):
     )
     r = chi2_drift(df, "cat", F.col("s"))  # must not raise on None labels
     assert r["n_categories"] == 3
+
+
+def test_compare_profiles_chi2_categorical(spark):
+    """compare_profiles gains chi-square over stored top-k counts:
+    a real categorical shift flags (chi2_flag via p AND Cramer's V);
+    identical profiles don't."""
+    from pyspark.sql import functions as F
+    from sparkcheck.drift import compare_profiles
+    from sparkcheck.profile import profile_table
+
+    base_df = spark.range(4000).select(
+        F.concat(F.lit("c"), (F.col("id") % 4).cast("string")).alias("cat"))
+    # shifted: 70% of rows collapse to c0
+    cur_df = spark.range(4000).select(
+        F.when(F.col("id") % 10 < 7, F.lit("c0"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 4).cast("string")))
+        .alias("cat"))
+    b = profile_table(base_df, "t")
+    delta_same = compare_profiles(b, profile_table(base_df, "t"))
+    assert "cat" not in delta_same.drifted_columns
+    assert delta_same.column_changes.get("cat", {}).get("chi2", 0.0) == 0.0
+
+    delta = compare_profiles(b, profile_table(cur_df, "t"))
+    ch = delta.column_changes["cat"]
+    assert ch["chi2_flag"] and ch["chi2_p"] < 0.01 and ch["cramers_v"] > 0.1
+    assert "cat" in delta.drifted_columns
