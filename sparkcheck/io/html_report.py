@@ -254,6 +254,7 @@ def render_drift_section(delta: Mapping[str, Any] | Any) -> str:
         rows.append(
             f"<tr><td>{html.escape(col)}</td><td>{badge}</td>"
             f"<td>{fmt('psi')}</td><td>{fmt('ks')}</td>"
+            f"<td>{fmt('chi2')} (V={fmt('cramers_v')})</td>"
             f"<td>{fmt('null_pct_delta')}</td><td>{fmt('unique_pct_delta')}</td></tr>"
         )
     schema_bits = []
@@ -273,6 +274,7 @@ def render_drift_section(delta: Mapping[str, Any] | Any) -> str:
         "<h2>Profile comparison (baseline vs current)</h2>"
         f"{meta}{schema}"
         "<table><tr><th>column</th><th>status</th><th>PSI</th><th>KS</th>"
+        "<th>χ² (Cramér V)</th>"
         "<th>Δnull%</th><th>Δunique%</th></tr>"
         f"{''.join(rows)}</table>"
     )
