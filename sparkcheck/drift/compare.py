@@ -18,7 +18,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-from sparkcheck.drift.stats import ks_from_binned, psi_from_counts
+from sparkcheck.drift.stats import (
+    chi2_from_counts,
+    chi2_pvalue,
+    ks_from_binned,
+    psi_from_counts,
+)
 from sparkcheck.profile.models import TableProfile
 
 DELTA_THRESHOLD_PCT = 5.0  # percentage points, analyzer.py:406-427
@@ -86,19 +91,23 @@ def compare_profiles(baseline: TableProfile, current: TableProfile) -> ProfileDe
             except ValueError:
                 pass
         # categorical drift: chi-square over the two profiles' stored
-        # top-k value counts — categories = union of both top-k sets,
-        # with each side's residual (total non-null minus its top-k
-        # mass) pooled into an '<other>' bucket so the test covers the
-        # full distribution, not just the head. Driver-side only; the
-        # scan work already happened in the two profile passes.
+        # top-k value counts, with each side's residual (total non-null
+        # minus its counted top-k mass) pooled into an '<other>' bucket
+        # so the test covers the full distribution, not just the head.
+        # Driver-side only; the scan work already happened in the two
+        # profile passes.
         if b.top_values and n.top_values:
-            from sparkcheck.drift.stats import chi2_from_counts, chi2_pvalue
-
             bc = {str(t["value"]): float(t["count"]) for t in b.top_values}
             nc = {str(t["value"]): float(t["count"]) for t in n.top_values}
-            cats = sorted(set(bc) | set(nc))
-            e = [bc.get(v, 0.0) for v in cats]
-            a = [nc.get(v, 0.0) for v in cats]
+            # INTERSECTION of the two top-k sets, not the union: a
+            # category in only one side's top-k has an UNKNOWN (not
+            # zero) count on the other side — scoring it against 0
+            # fabricates drift from mere rank churn at the top-k
+            # boundary. One-sided members stay in each side's <other>
+            # residual, where their mass is still accounted for.
+            cats = sorted(set(bc) & set(nc))
+            e = [bc[v] for v in cats]
+            a = [nc[v] for v in cats]
             rest_e = max(float(b.non_null_count) - sum(e), 0.0)
             rest_a = max(float(n.non_null_count) - sum(a), 0.0)
             if rest_e or rest_a:

@@ -234,3 +234,27 @@ def test_compare_profiles_chi2_categorical(spark):
     ch = delta.column_changes["cat"]
     assert ch["chi2_flag"] and ch["chi2_p"] < 0.01 and ch["cramers_v"] > 0.1
     assert "cat" in delta.drifted_columns
+
+
+def test_compare_profiles_chi2_ignores_topk_rank_churn():
+    """Categories present in only ONE side's top-k have unknown (not
+    zero) counts on the other side — they must pool into <other>, not
+    fabricate drift from rank churn at the top-k boundary."""
+    from sparkcheck.drift import compare_profiles
+    from sparkcheck.profile.models import ColumnStatistics, TableProfile
+
+    def prof(values):
+        return TableProfile(table="t", total_rows=100_000, columns={
+            "cat": ColumnStatistics(
+                name="cat", data_type="string", total_count=100_000,
+                null_count=0, non_null_count=100_000,
+                top_values=[{"value": v, "count": c} for v, c in values],
+            )})
+
+    # 12 near-equal categories; top-10 membership churns by noise
+    base = prof([(f"c{i}", 8340 + (3 if i < 10 else 0)) for i in range(10)])
+    cur = prof([(f"c{i}", 8340) for i in [0, 1, 2, 3, 4, 5, 6, 7, 10, 11]])
+    delta = compare_profiles(base, cur)
+    ch = delta.column_changes.get("cat", {})
+    assert not ch.get("chi2_flag")
+    assert "cat" not in delta.drifted_columns
