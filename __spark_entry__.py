@@ -400,6 +400,21 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.2)
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the exact
+    jaccard near-dup pairs (dedup/clusters.py iterative min-label
+    propagation; the oracle computes the same components via a DuckDB
+    recursive-CTE transitive closure — feasible at oracle scale, where
+    the pair graph is tiny). Output: (id, cluster=min reachable id)."""
+    from sparkcheck.dedup import connected_components
+
+    pairs = jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.2)
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf, "documents"), k=3, num_hashes=4)
 
@@ -970,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_event_stats": q_daily_event_stats,
         "category_set_drift": q_category_set_drift,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_bits": q_simhash_bits,
@@ -1626,6 +1642,32 @@ LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custk
 WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
 """,
         "dedup_jaccard": _JACCARD,
+        "dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLES},
+sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster
+FROM reach GROUP BY id
+""",
         "minhash_signatures": f"""
 WITH {_SHINGLES}
 SELECT id, {minhash_cols_sql} FROM shingles GROUP BY id

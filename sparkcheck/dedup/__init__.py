@@ -8,6 +8,7 @@ from sparkcheck.dedup.minhash import (
 from sparkcheck.dedup.simhash import simhash, simhash_near_duplicates
 from sparkcheck.dedup.embedding import embedding_near_duplicates
 from sparkcheck.dedup.canonical import drop_duplicates_keep_best, keep_best_per_group
+from sparkcheck.dedup.clusters import connected_components, duplicate_clusters
 
 __all__ = [
     "drop_exact_duplicates",
@@ -23,4 +24,6 @@ __all__ = [
     "embedding_near_duplicates",
     "keep_best_per_group",
     "drop_duplicates_keep_best",
+    "connected_components",
+    "duplicate_clusters",
 ]

@@ -227,3 +227,43 @@ def test_jaccard_for_pairs_duplicate_pair_rows_safe(docs):
     j2 = jaccard_for_pairs(docs, pairs_dup, threshold=0.0).collect()
     assert [tuple(r) for r in j1] == [tuple(r) for r in j2]
     assert j1[0]["jaccard"] == 1.0  # docs 0 and 1 are exact dups
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+
+def test_connected_components_golden(spark):
+    """Hand-checked components: chain 1-2-3, pair 10-11, isolated pairs
+    never merge across components; labels are the component minimum."""
+    from sparkcheck.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    cc = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                  20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_duplicate_clusters_summary(spark):
+    from sparkcheck.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (7, 8)], "id_a long, id_b long"
+    )
+    rows = {r["cluster"]: r for r in duplicate_clusters(pairs).collect()}
+    assert rows[1]["size"] == 3 and rows[1]["member_ids"] == [1, 2, 3]
+    assert rows[7]["size"] == 2 and rows[7]["member_ids"] == [7, 8]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 30-vertex chain needs ~29 plain-propagation rounds — must
+    converge under a raised bound and label everything with the min."""
+    from pyspark.sql import functions as F
+    from sparkcheck.dedup import connected_components
+
+    chain = spark.range(29).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    cc = connected_components(chain, max_iter=40).collect()
+    assert all(r["cluster"] == 0 for r in cc) and len(cc) == 30
