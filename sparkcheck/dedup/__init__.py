@@ -9,6 +9,7 @@ from sparkcheck.dedup.simhash import simhash, simhash_near_duplicates
 from sparkcheck.dedup.embedding import embedding_near_duplicates
 from sparkcheck.dedup.canonical import drop_duplicates_keep_best, keep_best_per_group
 from sparkcheck.dedup.clusters import connected_components, duplicate_clusters
+from sparkcheck.dedup.pipeline import dedup_corpus
 
 __all__ = [
     "drop_exact_duplicates",
@@ -26,4 +27,5 @@ __all__ = [
     "drop_duplicates_keep_best",
     "connected_components",
     "duplicate_clusters",
+    "dedup_corpus",
 ]

@@ -267,3 +267,28 @@ def test_connected_components_long_chain_converges(spark):
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
     cc = connected_components(chain, max_iter=40).collect()
     assert all(r["cluster"] == 0 for r in cc) and len(cc) == 30
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """Full pipeline: exact dups collapse, a 3-doc near-dup cluster
+    keeps its highest-quality member, unique docs pass untouched."""
+    from pyspark.sql import functions as F
+    from sparkcheck.dedup import dedup_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base + " one", 0.5),
+        (2, base + " two", 0.9),        # near-dups of each other
+        (3, base + " three", 0.7),
+        (4, base + " one", 0.1),        # EXACT duplicate of doc 1's text
+        (5, "completely different words with no overlap at all here", 0.2),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, quality double")
+    out = dedup_corpus(df, quality_col="quality", threshold=0.5,
+                       num_hashes=8, rows_per_band=2)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 4 dropped as exact dup of 1; {1,2,3} cluster -> keep 2 (quality .9)
+    assert kept == [2, 5]
+    # without a quality column: minimum id survives the cluster
+    out2 = dedup_corpus(df, threshold=0.5, num_hashes=8, rows_per_band=2)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 5]
