@@ -147,7 +147,10 @@ def main() -> None:
     sink = tempfile.mkdtemp(prefix="sparkcheck_viol_")
     try:
         best = float("inf")
-        for _ in range(3):  # best-of-3: noisiest entry on this host
+        # best-of-5: 10x min..max spread measured interleaved with a CPU
+        # calibration (BENCH/VERDICTS_SINK.md round-4 section) — the r3
+        # "regression" was a degraded host window, true min 3.2 s
+        for _ in range(5):
             t0 = time.perf_counter()
             verdicts_and_sink(wt_e, rules, key_cols=["url"], sink_path=sink)
             best = min(best, time.perf_counter() - t0)
@@ -161,7 +164,7 @@ def main() -> None:
 
     ex = spark.read.parquet(webtext_parquet(spark, EXTRACT_N))
     best = float("inf")
-    for _ in range(2):
+    for _ in range(4):  # 16.9x interleaved spread (BENCH/VERDICTS_SINK.md)
         t0 = time.perf_counter()
         n_mismatch = extraction_mismatch_rows(ex).count()
         best = min(best, time.perf_counter() - t0)
