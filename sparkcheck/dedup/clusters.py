@@ -7,24 +7,28 @@ web-corpus construction: LSH emits PAIRS, but dedup decisions need
 CLUSTERS (a 5-way near-dup group arrives as up to 10 pairs), and each
 cluster keeps one representative.
 
-Algorithm: iterative min-label propagation (the dataframe form of
-large-star/small-star, Kiveris et al. '14 "Connected Components in
-MapReduce and Beyond"):
+Algorithm: iterative min-label propagation with POINTER JUMPING (path
+doubling — the label forest is contracted each round, the dataframe
+analog of large-star/small-star, Kiveris et al. '14 "Connected
+Components in MapReduce and Beyond"):
 
-    label(v) ← min(label(v), min over neighbors' labels)
+    label(v) ← min(label(v), min over neighbors' labels)   # propagate
+    label(v) ← label(label(v))                             # jump
 
-repeated to fixpoint. Each round is one join + one groupBy (both on
-the vertex id — AQE reuses the partitioning); rounds needed =
-O(log(diameter)) with path-doubling, O(diameter) with plain
-propagation. Near-dup clusters are dense and tiny (diameter ≤ ~3 for
-transitively-similar docs), so plain propagation converges in a few
-rounds — ``max_iter`` guards pathological chains. Lineage is truncated
-with localCheckpoint per round (iterative joins otherwise stack plans
-exponentially); convergence is detected with a one-row count of
-changed labels.
+repeated to fixpoint. Each round is one edge join + one groupBy (both
+on the vertex id — AQE reuses the partitioning) plus one self-join of
+the labels frame (|V| rows, far smaller than the edge list). The jump
+step halves the label-forest depth every round, so rounds needed =
+O(log(diameter)) — a 1,000-hop chain converges in 9 rounds and a
+10^6-hop chain fits in the default ``max_iter=20`` (measured:
+BENCH/CLUSTERS.md). Lineage is truncated with localCheckpoint per
+round (iterative joins otherwise stack plans exponentially);
+convergence is detected with a one-row count of changed labels.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -32,13 +36,20 @@ from pyspark.sql import DataFrame, functions as F
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
+    strict: bool = True,
+    _rounds_out: list | None = None,
 ) -> DataFrame:
     """(id, cluster) for every id appearing in ``pairs`` (columns id_a,
     id_b); cluster = the MINIMUM id reachable through the pair graph —
     a deterministic, engine-independent cluster label.
 
-    Raises RuntimeError if ``max_iter`` rounds don't converge (a chain
-    longer than max_iter — raise the bound or pre-bucket the input)."""
+    Convergence is O(log diameter) rounds via pointer jumping, so the
+    default ``max_iter=20`` covers chains ~10^6 hops deep. If the bound
+    is still hit: ``strict=True`` (default) raises RuntimeError;
+    ``strict=False`` warns and returns the partial labels (still
+    deterministic — every label is a reachable id, clusters may just be
+    split finer than the true components). ``_rounds_out``: pass a list
+    to receive the number of rounds used (test/bench introspection)."""
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
@@ -51,7 +62,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor minimum: for each vertex, the smallest label among
         # its neighbors; then take min(own, neighbor min)
         neighbor_min = (
@@ -60,11 +71,26 @@ def connected_components(
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("a", "id")
         )
+        propagated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        )
+        # pointer jump: label(v) ← label(label(v)). Every label IS a
+        # vertex id (labels start as ids and only ever take id values),
+        # so the self-join always matches; labels only decrease, and
+        # label(label(v)) is reachable from v by transitivity — the
+        # fixpoint (component minimum) is unchanged, but chain depth
+        # halves per round: O(diameter) → O(log diameter).
+        parent = propagated.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
+            propagated.join(parent, propagated["label"] == parent["p_id"], "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
             )
             .localCheckpoint()
         )
@@ -77,11 +103,24 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            if _rounds_out is not None:
+                _rounds_out.append(it + 1)
             return labels.select("id", F.col("label").alias("cluster"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "graph has a longer chain than expected; raise max_iter"
+    if _rounds_out is not None:
+        _rounds_out.append(max_iter)
+    if strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "graph has a longer chain than expected; raise max_iter or pass "
+            "strict=False for partial (finer-grained) labels"
+        )
+    warnings.warn(
+        f"connected_components hit max_iter={max_iter} before convergence; "
+        "returning partial labels (components may be split)",
+        RuntimeWarning,
+        stacklevel=2,
     )
+    return labels.select("id", F.col("label").alias("cluster"))
 
 
 def duplicate_clusters(

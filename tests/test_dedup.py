@@ -43,7 +43,7 @@ def test_exact_duplicate_groups(docs):
 
 def test_drop_exact_duplicates(docs):
     kept = sorted(r["doc_id"] for r in drop_exact_duplicates(docs).collect())
-    assert kept == [0, 2, 3, 4]  # keeps min id 0, drops 1 and the null row
+    assert kept == [0, 2, 3, 4, 5]  # keeps min id 0, drops 1; null-text 5 exempt
 
 
 def test_jaccard_pairs(docs):
@@ -170,6 +170,66 @@ def test_embedding_hot_bucket_cap_bounds_candidates(spark):
     assert capped <= 4 * 10 * 9 / 2
 
 
+def test_auto_lsh_params_math():
+    """auto_lsh_params returns (bands, bits) whose theoretical recall at
+    the threshold meets the target within the plane budget, and more
+    selective geometries (more bits) for higher thresholds."""
+    import math as m
+
+    from sparkcheck.dedup import auto_lsh_params
+
+    chosen = {}
+    for t in (0.4, 0.8, 0.95):
+        bands, bits = auto_lsh_params(t, target_recall=0.9)
+        chosen[t] = (bands, bits)
+        p_bit = 1 - m.acos(t) / m.pi
+        recall = 1 - (1 - p_bit**bits) ** bands
+        assert recall >= 0.9, (t, bands, bits, recall)
+        assert bands * bits <= 256 and bands <= 64
+    # higher threshold ⇒ the budget affords more bits per band
+    assert chosen[0.95][1] > chosen[0.8][1] > chosen[0.4][1]
+    with pytest.raises(ValueError):
+        auto_lsh_params(0.8, target_recall=1.0)
+
+
+@pytest.mark.parametrize("threshold", [0.4, 0.8, 0.95])
+def test_auto_lsh_recall_on_planted_pairs(spark, threshold):
+    """VERDICT r3 #6 done-criterion: with bands/bits=None the auto
+    geometry recovers ≥90% of planted pairs at each threshold.
+    Deterministic: fixed numpy seed + md5-derived hyperplanes."""
+    import numpy as np
+
+    from sparkcheck.dedup import embedding_near_duplicates
+
+    rng = np.random.RandomState(42)
+    dim, n_pairs = 16, 40
+    c = min(threshold + 0.1, 0.99)  # plant safely above the threshold
+    rows = []
+    for i in range(n_pairs):
+        v = rng.randn(dim)
+        v /= np.linalg.norm(v)
+        w = rng.randn(dim)
+        w -= w.dot(v) * v
+        w /= np.linalg.norm(w)
+        u = c * v + np.sqrt(1 - c * c) * w
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in u]))
+    for j in range(40):  # background noise vectors
+        g = rng.randn(dim)
+        rows.append((5000 + j, [float(x) for x in g / np.linalg.norm(g)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=threshold, bucketed=True, dim=dim,
+            target_recall=0.9,  # bands/bits auto-derived
+        ).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(n_pairs)}
+    recall = len(found & planted) / n_pairs
+    assert recall >= 0.9, f"recall {recall} at threshold {threshold}"
+
+
 def test_jaccard_for_pairs_matches_allpairs(docs):
     """Pair-restricted verify must equal the all-pairs result restricted
     to the same pairs (the scale fix must not change values)."""
@@ -258,15 +318,54 @@ def test_duplicate_clusters_summary(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    """A 30-vertex chain needs ~29 plain-propagation rounds — must
-    converge under a raised bound and label everything with the min."""
+    """A 30-vertex chain — pointer jumping must converge in O(log d)
+    rounds (≤7 for diameter 29), labelling everything with the min."""
     from pyspark.sql import functions as F
     from sparkcheck.dedup import connected_components
 
     chain = spark.range(29).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
-    cc = connected_components(chain, max_iter=40).collect()
+    rounds: list[int] = []
+    cc = connected_components(chain, max_iter=40, _rounds_out=rounds).collect()
     assert all(r["cluster"] == 0 for r in cc) and len(cc) == 30
+    assert rounds[0] <= 7
+
+
+def test_connected_components_1000_chain_log_rounds(spark):
+    """Verdict r3 #2 done-criterion: a 1,000-node chain (worst-case
+    diameter for near-dup template chains) converges in ≤12 rounds —
+    O(log d) via pointer jumping, not O(d) propagation with a
+    RuntimeError cliff at 20."""
+    from pyspark.sql import functions as F
+    from sparkcheck.dedup import connected_components
+
+    chain = spark.range(999).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    rounds: list[int] = []
+    cc = connected_components(chain, max_iter=20, _rounds_out=rounds)
+    agg = cc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("cluster") == 0).cast("long")).alias("n_min"),
+    ).collect()[0]
+    assert (agg["n"], agg["n_min"]) == (1000, 1000)
+    assert rounds[0] <= 12, f"took {rounds[0]} rounds"
+
+
+def test_connected_components_partial_labels_when_not_strict(spark):
+    """strict=False degrades gracefully: partial (finer) labels + a
+    RuntimeWarning instead of a crashed job after max_iter rounds."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from sparkcheck.dedup import connected_components
+
+    chain = spark.range(29).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    with _pytest.warns(RuntimeWarning, match="max_iter"):
+        cc = connected_components(chain, max_iter=1, strict=False).collect()
+    # every vertex still labelled, labels are reachable ids (≤ own id)
+    assert len(cc) == 30 and all(r["cluster"] <= r["id"] for r in cc)
+    with _pytest.raises(RuntimeError):
+        connected_components(chain, max_iter=1, strict=True).collect()
 
 
 def test_dedup_corpus_end_to_end(spark):
@@ -282,13 +381,96 @@ def test_dedup_corpus_end_to_end(spark):
         (3, base + " three", 0.7),
         (4, base + " one", 0.1),        # EXACT duplicate of doc 1's text
         (5, "completely different words with no overlap at all here", 0.2),
+        (6, None, 0.3),                 # NULL text: exempt, passes through
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string, quality double")
     out = dedup_corpus(df, quality_col="quality", threshold=0.5,
                        num_hashes=8, rows_per_band=2)
     kept = sorted(r["doc_id"] for r in out.collect())
     # 4 dropped as exact dup of 1; {1,2,3} cluster -> keep 2 (quality .9)
-    assert kept == [2, 5]
+    assert kept == [2, 5, 6]
     # without a quality column: minimum id survives the cluster
     out2 = dedup_corpus(df, threshold=0.5, num_hashes=8, rows_per_band=2)
-    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 5]
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 5, 6]
+
+
+def test_dedup_corpus_checkpoint_resume(spark, tmp_path, monkeypatch):
+    """VERDICT r3 #7 done-criterion: a run killed after the pairs stage
+    resumes WITHOUT recomputing it. Stage outputs persist under
+    (input_fingerprint, params); the resumed run must not invoke the
+    minhash builder again (counter) and must launch far fewer Spark
+    jobs than the cold run (statusTracker)."""
+    import pytest as _pytest
+
+    import sparkcheck.dedup.pipeline as pl
+    from sparkcheck.dedup import dedup_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base + " one", 0.5), (2, base + " two", 0.9),
+        (3, base + " three", 0.7), (4, base + " one", 0.1),
+        (5, "completely different words with no overlap at all here", 0.2),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, quality double")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    kw = dict(quality_col="quality", threshold=0.5, num_hashes=8,
+              rows_per_band=2, checkpoint_dir=ckpt, input_fingerprint="snap-1")
+
+    # fingerprint is mandatory with checkpoint_dir
+    with _pytest.raises(ValueError, match="input_fingerprint"):
+        dedup_corpus(df, quality_col="quality", checkpoint_dir=ckpt)
+
+    calls = {"minhash": 0}
+    real_mh = pl.minhash_near_duplicates
+
+    def counting_mh(*a, **k):
+        calls["minhash"] += 1
+        return real_mh(*a, **k)
+
+    monkeypatch.setattr(pl, "minhash_near_duplicates", counting_mh)
+
+    # cold run killed right after the pairs stage persists
+    def boom(*a, **k):
+        raise RuntimeError("killed after pairs stage")
+
+    monkeypatch.setattr(pl, "connected_components", boom)
+    with _pytest.raises(RuntimeError, match="killed"):
+        dedup_corpus(df, **kw)
+    assert calls["minhash"] == 1
+    import os
+
+    key_dir = os.path.join(ckpt, os.listdir(ckpt)[0])
+    assert os.path.exists(os.path.join(key_dir, "pairs", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(key_dir, "clusters", "_SUCCESS"))
+
+    # resume: clusters stage runs, exact_ids + pairs are read back
+    from sparkcheck.dedup.clusters import connected_components as real_cc
+
+    monkeypatch.setattr(pl, "connected_components", real_cc)
+    sc = spark.sparkContext
+    sc.setJobGroup("dedup-resume-1", "resume after pairs")
+    kept = sorted(r["doc_id"] for r in dedup_corpus(df, **kw).collect())
+    resume1_jobs = len(sc.statusTracker().getJobIdsForGroup("dedup-resume-1"))
+    sc.setJobGroup("", "")
+    assert kept == [2, 5]
+    assert calls["minhash"] == 1, "pairs stage recomputed on resume"
+
+    # fully-checkpointed re-run: every stage read back, jobs ≈ assembly only
+    sc.setJobGroup("dedup-resume-2", "all stages cached")
+    kept2 = sorted(r["doc_id"] for r in dedup_corpus(df, **kw).collect())
+    resume2_jobs = len(sc.statusTracker().getJobIdsForGroup("dedup-resume-2"))
+    sc.setJobGroup("", "")
+    assert kept2 == [2, 5] and calls["minhash"] == 1
+    # the connected-components iteration (localCheckpoint + change-count
+    # per round) dominates resume1's job count; with it cached too the
+    # job count must drop
+    assert resume2_jobs < resume1_jobs
+
+    # a NEW input snapshot invalidates the key: stages rebuild
+    with _pytest.raises(Exception):
+        # different fingerprint → fresh key dir → minhash must run again;
+        # boom2 proves the builder chain is re-entered
+        monkeypatch.setattr(pl, "minhash_near_duplicates", boom)
+        dedup_corpus(df, quality_col="quality", threshold=0.5, num_hashes=8,
+                     rows_per_band=2, checkpoint_dir=ckpt,
+                     input_fingerprint="snap-2")
