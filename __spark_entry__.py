@@ -951,6 +951,17 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # scale-critical / newest entries lead: the driver's correctness
+        # gate samples the FIRST 50, and these 8 had never received a
+        # driver-checked row through round 3 (VERDICT r3 "Next round" #9)
+        "host_stats": q_host_stats,
+        "cross_doc_spans": q_cross_doc_spans,
+        "chi2_lang_drift": q_chi2_lang_drift,
+        "span_contamination": q_span_contamination,
+        "pii_redacted": q_pii_redacted,
+        "dedup_keep_best": q_dedup_keep_best,
+        "repetition_stats": q_repetition_stats,
+        "dup_segment_stats": q_dup_segment_stats,
         "rules_summary": q_rules_summary,
         "profile_stats": q_profile_stats,
         "histogram_totalprice": q_histogram_totalprice,
@@ -1001,14 +1012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": q_top_bigrams,
         "sql_testsuite": q_sql_testsuite,
         "pii_stats": q_pii_stats,
-        "pii_redacted": q_pii_redacted,
-        "dedup_keep_best": q_dedup_keep_best,
-        "repetition_stats": q_repetition_stats,
-        "dup_segment_stats": q_dup_segment_stats,
-        "cross_doc_spans": q_cross_doc_spans,
-        "chi2_lang_drift": q_chi2_lang_drift,
-        "span_contamination": q_span_contamination,
-        "host_stats": q_host_stats,
     }
 
 

@@ -124,6 +124,14 @@ def cmd_drift(args) -> int:
     delta = compare_profiles(baseline, current)
     with open(args.out, "w") as f:
         json.dump(dc.asdict(delta), f, indent=2, default=str)
+    if getattr(args, "html", None):
+        from sparkcheck.io.html_report import render_comparison_html
+
+        with open(args.html, "w") as f:
+            f.write(render_comparison_html(
+                baseline, current, delta,
+                title=f"sparkcheck drift — {baseline.table}",
+            ))
     print(json.dumps({"has_drift": delta.has_drift, "out": args.out}))
     return 3 if delta.has_drift else 0
 
@@ -157,17 +165,26 @@ def cmd_report(args) -> int:
         # prior runs only (a sample inside its own p95 can never exceed it)
         prior = list(hist or ())
         if prior:
-            this_run = {
-                o["rule_id"]: o.get("violations")
-                for o in report.get("outcomes", [])
-                if isinstance(o, dict)
-            }
-            last = {
-                rid: vals.get("violations")
-                for rid, vals in (prior[-1].get("rules") or {}).items()
-            }
-            if this_run and last == this_run:
-                prior = prior[:-1]
+            run_ts = report.get("run_ts")
+            if run_ts:
+                # exact match on the run id append_history stored as ts
+                if prior[-1].get("ts") == run_ts:
+                    prior = prior[:-1]
+            else:
+                # legacy report files without run_ts: fall back to the
+                # violations-map heuristic (can false-positive on stable
+                # suites whose consecutive runs have identical counts)
+                this_run = {
+                    o["rule_id"]: o.get("violations")
+                    for o in report.get("outcomes", [])
+                    if isinstance(o, dict)
+                }
+                last = {
+                    rid: vals.get("violations")
+                    for rid, vals in (prior[-1].get("rules") or {}).items()
+                }
+                if this_run and last == this_run:
+                    prior = prior[:-1]
         insights = analyze_report(report, prior)
     html_doc = render_full_html(report, history=hist, drift=drift,
                                 insights=insights, title=args.title)
@@ -322,6 +339,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--table", required=True)
     d.add_argument("--baseline", required=True)
     d.add_argument("--out", required=True)
+    d.add_argument("--html", default=None,
+                   help="also render the side-by-side comparison page")
     d.set_defaults(fn=cmd_drift)
 
     r = sub.add_parser("report", help="render HTML/CSV from stored artifacts")

@@ -6,7 +6,7 @@ from sparkcheck.dedup.minhash import (
     minhash_signatures,
 )
 from sparkcheck.dedup.simhash import simhash, simhash_near_duplicates
-from sparkcheck.dedup.embedding import embedding_near_duplicates
+from sparkcheck.dedup.embedding import auto_lsh_params, embedding_near_duplicates
 from sparkcheck.dedup.canonical import drop_duplicates_keep_best, keep_best_per_group
 from sparkcheck.dedup.clusters import connected_components, duplicate_clusters
 from sparkcheck.dedup.pipeline import dedup_corpus
@@ -22,6 +22,7 @@ __all__ = [
     "minhash_near_duplicates",
     "simhash",
     "simhash_near_duplicates",
+    "auto_lsh_params",
     "embedding_near_duplicates",
     "keep_best_per_group",
     "drop_duplicates_keep_best",

@@ -65,6 +65,41 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", _norm(F.col(vec_col)))
 
 
+def auto_lsh_params(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_planes: int = 256,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """(bands, bits) hitting ``target_recall`` for pairs at cosine
+    ``threshold``, chosen as selective as the plane budget allows.
+
+    For a pair at angle θ = arccos(threshold), each hyperplane bit
+    agrees with p_bit = 1 − θ/π (Charikar '02); a band of ``bits``
+    planes matches with p = p_bit^bits and ``bands`` independent bands
+    recall 1 − (1 − p)^bands. More bits per band cut false candidates
+    exponentially but need more bands for the same recall, so: scan
+    bits from high to low and return the FIRST (most selective)
+    combination whose bands requirement fits ``max_bands`` and whose
+    total plane count fits ``max_planes`` (projection cost is linear in
+    bands×bits). Guaranteed feasible fallback: (max_bands, 1)."""
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    t = min(max(threshold, -1.0), 1.0)
+    p_bit = 1.0 - math.acos(t) / math.pi
+    for bits in range(24, 0, -1):
+        p = p_bit**bits
+        if p >= 1.0:
+            bands = 1
+        elif p <= 0.0:
+            continue
+        else:
+            bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p)))
+        if bands <= max_bands and bands * bits <= max_planes:
+            return bands, bits
+    return max_bands, 1
+
+
 def hyperplanes(
     dim: int, bands: int, bits: int, seed: int = 1
 ) -> list[list[list[float]]]:
@@ -231,18 +266,26 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     bucketed: bool = False,
     dim: int = 64,
-    bands: int = 8,
-    bits: int = 16,
+    bands: int | None = None,
+    bits: int | None = None,
     seed: int = 1,
     max_bucket: int | None = 1000,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Pairs (id_a < id_b, cosine) with cosine ≥ threshold (rounded to
     4 dp for cross-engine stability).
 
     bucketed=True routes through banded random-hyperplane LSH with a
     hot-bucket cap (scale path); bucketed=False is the exact quadratic
-    join (small inputs / recall oracle)."""
+    join (small inputs / recall oracle). When ``bands``/``bits`` are
+    None the LSH parameters are derived from (threshold,
+    target_recall) via ``auto_lsh_params`` — pass both explicitly to
+    pin a geometry (e.g. for oracle parity)."""
     if bucketed:
+        if bands is None or bits is None:
+            auto_bands, auto_bits = auto_lsh_params(threshold, target_recall)
+            bands = auto_bands if bands is None else bands
+            bits = auto_bits if bits is None else bits
         cands = embedding_candidate_pairs(
             df, vec_col, id_col, dim, bands, bits, seed, max_bucket
         )

@@ -42,11 +42,14 @@ def drop_exact_duplicates(
 ) -> DataFrame:
     """Keep exactly one representative (min id) per distinct content.
     Implemented as groupBy(fp).min(id) + semi-join back — two narrow
-    shuffles on uniform keys; never a global window."""
+    shuffles on uniform keys; never a global window. NULL-content rows
+    are exempt (pass through untouched), matching the unique rule's
+    NULL semantics."""
     keep = (
         df.where(F.col(text_col).isNotNull())
         .groupBy(F.md5(F.col(text_col)).alias("fp"))
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    return df.join(keep, on=id_col, how="left_semi")
+    kept = df.join(keep, on=id_col, how="left_semi")
+    return kept.unionByName(df.where(F.col(text_col).isNull()))

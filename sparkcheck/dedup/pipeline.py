@@ -13,15 +13,44 @@ Every stage is the scale shape proven in its own module bench
 (BENCH/MINHASH_VERIFY.md, BENCH/EMBEDDING_LSH.md): no all-pairs joins,
 hot-bucket caps, candidate-restricted verification, iterative
 components with checkpointed lineage.
+
+Resumability (``checkpoint_dir=``): at 100 TB each stage is hours of
+work, so stage outputs persist as parquet keyed by
+(input_fingerprint, stage params) and a re-run skips completed stages.
+Only the MINIMAL frames are persisted — surviving ids, near-dup pairs,
+cluster labels — never full document rows (a row cache would rival the
+corpus itself; the final assembly re-joins the pruned source, the same
+re-scan-beats-cache result as BENCH/VERDICTS_SINK.md). The fingerprint
+must identify the input SNAPSHOT (e.g. an Iceberg snapshot id) — it is
+required with ``checkpoint_dir`` because silently reusing stale stages
+against a changed input would corrupt the output.
 """
 
 from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
 from sparkcheck.dedup.clusters import connected_components
 from sparkcheck.dedup.exact import drop_exact_duplicates
 from sparkcheck.dedup.minhash import minhash_near_duplicates
+
+
+def _stage_cached(
+    base_dir: str, stage: str, build: Callable[[], DataFrame], spark
+) -> DataFrame:
+    """Return the stage's persisted output, building + persisting it if
+    absent. Completion marker is Spark's own _SUCCESS file (written
+    atomically after all tasks commit), so a killed mid-write stage is
+    rebuilt with mode=overwrite on resume."""
+    path = os.path.join(base_dir, stage)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def dedup_corpus(
@@ -35,6 +64,8 @@ def dedup_corpus(
     threshold: float = 0.5,
     max_bucket: int | None = 1000,
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    input_fingerprint: str | None = None,
 ) -> DataFrame:
     """Deduplicated corpus: full rows of the surviving docs.
 
@@ -42,13 +73,68 @@ def dedup_corpus(
     otherwise all land in one LSH bucket anyway); near-dup clusters
     then keep their highest-``quality_col`` member (ties and absence of
     a quality column fall back to the minimum id — deterministic at any
-    parallelism). Docs in no cluster pass through untouched."""
-    exact = drop_exact_duplicates(df, text_col=text_col, id_col=id_col)
-    pairs = minhash_near_duplicates(
-        exact, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes,
-        rows_per_band=rows_per_band, threshold=threshold, max_bucket=max_bucket,
-    )
-    clusters = connected_components(pairs, max_iter=max_iter)
+    parallelism). Docs in no cluster — including NULL-text docs, which
+    are exempt from content hashing — pass through untouched.
+
+    ``checkpoint_dir``: persist each stage (exact-survivor ids, verified
+    near-dup pairs, cluster labels) under
+    ``<dir>/<md5(input_fingerprint, params)>/<stage>/`` and skip stages
+    already completed — an interrupted 100 TB run resumes after the
+    last finished stage instead of recomputing it.
+    ``input_fingerprint`` (required with checkpoint_dir) must change
+    whenever the input data changes (Iceberg/Delta snapshot id, source
+    path + mtime, …). ``quality_col`` is excluded from the key: it only
+    affects final survivor choice, so cached stages are reusable across
+    quality policies."""
+    if checkpoint_dir is None:
+        exact = drop_exact_duplicates(df, text_col=text_col, id_col=id_col)
+        pairs = minhash_near_duplicates(
+            exact, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes,
+            rows_per_band=rows_per_band, threshold=threshold, max_bucket=max_bucket,
+        )
+        clusters = connected_components(pairs, max_iter=max_iter)
+    else:
+        if not input_fingerprint:
+            raise ValueError(
+                "checkpoint_dir requires input_fingerprint — a stable id of "
+                "the input snapshot; reusing stages against changed data "
+                "would corrupt the result"
+            )
+        key = hashlib.md5(
+            json.dumps(
+                {
+                    "input": input_fingerprint, "text_col": text_col,
+                    "id_col": id_col, "k": k, "num_hashes": num_hashes,
+                    "rows_per_band": rows_per_band, "threshold": threshold,
+                    "max_bucket": max_bucket, "max_iter": max_iter,
+                },
+                sort_keys=True,
+            ).encode()
+        ).hexdigest()
+        base = os.path.join(checkpoint_dir, key)
+        spark = df.sparkSession
+        exact_ids = _stage_cached(
+            base, "exact_ids",
+            lambda: drop_exact_duplicates(
+                df, text_col=text_col, id_col=id_col
+            ).select(id_col),
+            spark,
+        )
+        exact = df.join(exact_ids, on=id_col, how="left_semi")
+        pairs = _stage_cached(
+            base, "pairs",
+            lambda: minhash_near_duplicates(
+                exact, text_col=text_col, id_col=id_col, k=k,
+                num_hashes=num_hashes, rows_per_band=rows_per_band,
+                threshold=threshold, max_bucket=max_bucket,
+            ),
+            spark,
+        )
+        clusters = _stage_cached(
+            base, "clusters",
+            lambda: connected_components(pairs, max_iter=max_iter),
+            spark,
+        )
 
     member = exact.join(
         clusters.withColumnRenamed("id", id_col), id_col, "left"

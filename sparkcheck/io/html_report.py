@@ -44,6 +44,17 @@ th{background:#f4f4f8} .pass{color:#0a7a3d;font-weight:600}
 .kbar{fill:#7a86e0}.kbar:hover{fill:#2b3aa0}
 .axis{font-size:9px;fill:#666}
 .plan{font-size:.75rem;background:#f7f7fb;padding:.5rem;overflow-x:auto}
+.pkbadge{background:#0a7a3d;color:#fff;border-radius:3px;padding:0 .3rem;
+font-size:.7rem;font-weight:700;vertical-align:middle}
+.chip{display:inline-block;border:1px solid #ccd;border-radius:9px;
+padding:0 .45rem;font-size:.72rem;font-weight:500;margin-left:.3rem;
+background:#f7f7fb}
+.chip.fail{background:#b3261e;color:#fff;border-color:#b3261e}
+.chip.pass{background:#0a7a3d;color:#fff;border-color:#0a7a3d}
+.cmp{margin:0;padding:.5rem;border:1px solid #e4e4ec;border-radius:6px}
+.cmp figcaption{font-size:.9rem;font-weight:600;margin-bottom:.3rem}
+.cmpgrid{display:flex;gap:1rem}
+.cmpgrid .meta{margin:.1rem 0}
 """
 
 
@@ -150,6 +161,13 @@ def append_history(report: Any, path: str, run_ts: float | None = None) -> None:
     """Append one run's per-rule counters to a JSONL history file — the
     durable input of the trend section."""
     outcomes = report["outcomes"] if isinstance(report, Mapping) else report.outcomes
+    if run_ts is None:
+        # prefer the report's own run id so cmd_report can later match
+        # this record to the report exactly (not via the violations map)
+        run_ts = (
+            report.get("run_ts") if isinstance(report, Mapping)
+            else getattr(report, "run_ts", None)
+        ) or None
     rec = {
         "ts": run_ts if run_ts is not None else time.time(),
         "ruleset": report["ruleset"] if isinstance(report, Mapping) else report.ruleset,
@@ -286,15 +304,17 @@ def _hist_chart(
     hi: float | None,
     width: int = 320,
     height: int = 120,
+    y_max: int | None = None,
 ) -> str:
     """Inline-SVG histogram bar chart for one numeric column (reference
     interactive.py column distribution charts; zero-asset here like the
     trend sparklines). Each bar carries a <title> tooltip with its bin
-    range and count; axis labels show lo/hi and the max bin count."""
+    range and count; axis labels show lo/hi and the max bin count.
+    ``y_max`` pins the y-scale (side-by-side comparison charts)."""
     counts = [int(h.get("count", 0)) for h in hist]
     if not counts:
         return ""
-    mx = max(counts) or 1
+    mx = (y_max if y_max else max(counts)) or 1
     pad_l, pad_b, pad_t = 34, 16, 6
     plot_w, plot_h = width - pad_l - 4, height - pad_b - pad_t
     bw = plot_w / len(counts)
@@ -335,13 +355,15 @@ def _topk_chart(
     width: int = 320,
     row_h: int = 18,
     max_rows: int = 10,
+    y_max: int | None = None,
 ) -> str:
     """Inline-SVG horizontal bar chart of a column's top-k values
-    (string/categorical analog of the histogram chart)."""
+    (string/categorical analog of the histogram chart). ``y_max`` pins
+    the bar scale (side-by-side comparison charts)."""
     tv = list(top_values)[:max_rows]
     if not tv:
         return ""
-    mx = max(int(t.get("count", 0)) for t in tv) or 1
+    mx = (y_max if y_max else max(int(t.get("count", 0)) for t in tv)) or 1
     label_w, count_w = 110, 54
     plot_w = width - label_w - count_w
     height = row_h * len(tv) + 4
@@ -365,6 +387,119 @@ def _topk_chart(
     return (
         f'<svg class="chart topk" width="{width}" height="{height}" '
         f'viewBox="0 0 {width} {height}">{"".join(rows)}</svg>'
+    )
+
+
+def render_comparison_html(
+    baseline: Any,
+    current: Any,
+    delta: Mapping[str, Any] | Any | None = None,
+    title: str = "sparkcheck profile comparison",
+) -> str:
+    """Side-by-side two-profile comparison page — the reference's
+    baseline-vs-current comparison dashboard
+    (reporting/interactive.py comparison views, html_generator.py):
+    for every common column, the baseline and current distribution
+    charts rendered next to each other ON THE SAME y-scale, with drift
+    verdict chips (PSI / KS / χ²+Cramér V / Δnull% / Δunique%) from the
+    ProfileDelta, plus the drift summary table. Accepts TableProfile
+    objects or their to_dict()/asdict() forms; computes the delta with
+    drift.compare_profiles when not supplied."""
+    import dataclasses
+
+    def _as_map(p: Any) -> Mapping[str, Any]:
+        if isinstance(p, Mapping):
+            return p
+        if hasattr(p, "to_dict"):
+            return p.to_dict()
+        return dataclasses.asdict(p)
+
+    if delta is None:
+        from sparkcheck.drift import compare_profiles
+        from sparkcheck.profile.models import TableProfile
+
+        def _as_profile(p: Any) -> TableProfile:
+            return p if isinstance(p, TableProfile) else TableProfile.from_dict(_as_map(p))
+
+        delta = compare_profiles(_as_profile(baseline), _as_profile(current))
+    if not isinstance(delta, Mapping):
+        delta = dataclasses.asdict(delta)
+    bmap, cmap = _as_map(baseline), _as_map(current)
+    bcols, ccols = bmap.get("columns", {}), cmap.get("columns", {})
+    drifted = set(delta.get("drifted_columns", []))
+    changes = delta.get("column_changes", {})
+
+    def _chips(col: str) -> str:
+        ch = changes.get(col, {})
+        chips = [
+            ('<span class="chip fail">DRIFT</span>' if col in drifted
+             else '<span class="chip pass">ok</span>')
+        ]
+        if "psi" in ch:
+            chips.append(f'<span class="chip">PSI {ch["psi"]:.4f}</span>')
+        if "ks" in ch:
+            chips.append(f'<span class="chip">KS {ch["ks"]:.4f}</span>')
+        if "chi2" in ch:
+            chips.append(
+                f'<span class="chip">χ² {ch["chi2"]:.4g} '
+                f'(p={ch.get("chi2_p", float("nan")):.2g}, '
+                f'V={ch.get("cramers_v", float("nan")):.3f})</span>'
+            )
+        if "null_pct_delta" in ch:
+            chips.append(
+                f'<span class="chip">Δnull {ch["null_pct_delta"]:+.2f}pp</span>'
+            )
+        if "unique_pct_delta" in ch:
+            chips.append(
+                f'<span class="chip">Δuniq {ch["unique_pct_delta"]:+.2f}pp</span>'
+            )
+        return "".join(chips)
+
+    figures = []
+    for col in [c for c in bcols if c in ccols]:
+        b, c = dict(bcols[col]), dict(ccols[col])
+        bh, ch_ = b.get("histogram") or [], c.get("histogram") or []
+        if bh and ch_:
+            # shared y-scale so the two charts are visually comparable
+            mx = max(
+                [int(h.get("count", 0)) for h in bh]
+                + [int(h.get("count", 0)) for h in ch_]
+            )
+            left = _hist_chart(bh, b.get("histogram_lo"), b.get("histogram_hi"),
+                               y_max=mx)
+            right = _hist_chart(ch_, c.get("histogram_lo"), c.get("histogram_hi"),
+                                y_max=mx)
+            kind = "histogram"
+        else:
+            btv, ctv = b.get("top_values") or [], c.get("top_values") or []
+            if not btv or not ctv:
+                continue
+            mx = max([int(t.get("count", 0)) for t in btv]
+                     + [int(t.get("count", 0)) for t in ctv])
+            left = _topk_chart(btv, y_max=mx)
+            right = _topk_chart(ctv, y_max=mx)
+            kind = "top values"
+        figures.append(
+            f'<figure class="cmp"><figcaption>{html.escape(col)} '
+            f'<span class="meta">({kind})</span> {_chips(col)}</figcaption>'
+            f'<div class="cmpgrid"><div><p class="meta">baseline</p>{left}</div>'
+            f'<div><p class="meta">current</p>{right}</div></div></figure>'
+        )
+
+    body = render_drift_section(delta)
+    if figures:
+        body += (
+            "<h2>Per-column comparison (baseline | current)</h2>"
+            f'<div class="chartgrid">{"".join(figures)}</div>'
+        )
+    return (
+        f'<!doctype html><html><head><meta charset="utf-8">'
+        f"<title>{html.escape(title)}</title><style>{_CSS}</style></head>"
+        f"<body><h1>{html.escape(title)}</h1>"
+        f'<p class="meta">{html.escape(str(bmap.get("table", "?")))} — '
+        f'baseline {bmap.get("total_rows", 0):,} rows vs current '
+        f'{cmap.get("total_rows", 0):,} rows</p>'
+        f"{body}</body></html>"
     )
 
 
@@ -422,8 +557,14 @@ def render_profile_html(profile: Any, title: str | None = None) -> str:
         total = cs.get("total_count") or 0
         null_pct = 100.0 * (total - nn) / total if total else 0.0
         mean = cs.get("mean")
+        pk = (
+            ' <span class="pkbadge" title="primary-key candidate: all rows '
+            'distinct and non-null (HLL-estimated at scale — confirm with '
+            'a uniqueness rule)">PK?</span>'
+            if cs.get("pk_candidate") else ""
+        )
         rows.append(
-            f"<tr><td>{html.escape(name)}</td>"
+            f"<tr><td>{html.escape(name)}{pk}</td>"
             f"<td>{html.escape(str(cs.get('data_type', '')))}</td>"
             f"<td>{null_pct:.1f}%</td>"
             f"<td>{cs.get('distinct_count') or ''}</td>"
@@ -474,6 +615,9 @@ def render_full_html(
     """Compose rule outcomes + trend + drift + analysis sections into
     one page. ``insights=None`` computes them from report+history
     (pass ``()`` to suppress the section)."""
+    # materialize once: a one-shot iterator consumed by analyze_report
+    # would otherwise leave the trend section silently empty
+    history = list(history) if history else []
     body: list[str] = []
     if report is not None:
         page = render_validation_html(report, title)

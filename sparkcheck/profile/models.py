@@ -40,6 +40,13 @@ class ColumnStatistics:
     histogram_lo: float | None = None
     histogram_hi: float | None = None
     patterns: list[dict[str, Any]] = field(default_factory=list)
+    # PK-candidate inference (reference enriches profiles with primary
+    # keys, profiler/__init__.py:258-269; schema_introspector.py:168-455
+    # reads them from the catalog — parquet has no catalog, but the
+    # candidate test ndv == non-null ∧ null_count == 0 is free from the
+    # stats already computed). Under HLL ndv this is an ESTIMATE (3·rsd
+    # tolerance) — confirm with a uniqueness rule before relying on it.
+    pk_candidate: bool = False
 
     @property
     def null_percentage(self) -> float:
@@ -59,6 +66,12 @@ class TableProfile:
     total_rows: int
     columns: dict[str, ColumnStatistics]
     profiled_at: float = field(default_factory=time.time)
+
+    @property
+    def primary_key_candidates(self) -> list[str]:
+        """Columns whose profile says every row is distinct and non-null
+        (the reference's primary_keys enrichment)."""
+        return [name for name, cs in self.columns.items() if cs.pk_candidate]
 
     def to_dict(self) -> dict[str, Any]:
         d = asdict(self)

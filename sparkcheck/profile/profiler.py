@@ -159,6 +159,15 @@ def profile_table(
                 # (analyzer.py:172-208).
                 if rate is not None and rate >= 0.10:
                     cs.patterns.append({"pattern": pname, "confidence": float(rate)})
+        # PK-candidate: all rows present and distinct. Exact ndv ⇒ strict
+        # equality; HLL ndv (rsd=0.01) ⇒ 3·rsd tolerance band — an
+        # estimate to confirm with a uniqueness rule, matching the
+        # reference's primary_keys profile enrichment
+        # (profiler/__init__.py:258-269).
+        ndv = cs.distinct_count
+        if total > 0 and cs.null_count == 0 and ndv is not None:
+            floor = nn if not approx_distinct else nn * (1 - 3 * 0.01)
+            cs.pk_candidate = ndv >= floor
         out[c] = cs
 
     if with_histograms:

@@ -80,6 +80,10 @@ class ValidationReport:
     ruleset: str
     outcomes: list[RuleOutcome] = field(default_factory=list)
     elapsed_sec: float = 0.0
+    # wall-clock id of this run; append_history stores it as the record's
+    # ts so a report can be matched to its own history record exactly
+    # (matching on the violations map misidentifies stable suites)
+    run_ts: float = 0.0
 
     @property
     def passed(self) -> bool:
@@ -165,7 +169,7 @@ class ValidationEngine:
         default_table: str | None = None,
     ) -> ValidationReport:
         t0 = time.monotonic()
-        report = ValidationReport(ruleset=ruleset.name)
+        report = ValidationReport(ruleset=ruleset.name, run_ts=time.time())
         ordered = topo_sort(ruleset.enabled_rules())
 
         # Partition rules by execution strategy, preserving order info.

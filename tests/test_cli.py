@@ -34,8 +34,14 @@ def test_cli_profile_validate_drift_roundtrip(spark, tmp_path):
     assert r["outcomes"] and any(not o["passed"] for o in r["outcomes"])
 
     drift = str(tmp_path / "drift.json")
-    assert main(["drift", "--table", DOCS, "--baseline", prof, "--out", drift]) == 0
+    cmp_page = str(tmp_path / "cmp.html")
+    assert main(["drift", "--table", DOCS, "--baseline", prof, "--out", drift,
+                 "--html", cmp_page]) == 0
     assert json.load(open(drift))["drifted_columns"] == []
+    cmp_doc = open(cmp_page).read()
+    # side-by-side comparison page rendered from the same run
+    assert "Per-column comparison" in cmp_doc
+    assert cmp_doc.count(">baseline</p>") >= 1 and 'class="chip' in cmp_doc
 
 
 def test_cli_report_and_init(spark, tmp_path):

@@ -258,3 +258,57 @@ def test_compare_profiles_chi2_ignores_topk_rank_churn():
     ch = delta.column_changes.get("cat", {})
     assert not ch.get("chi2_flag")
     assert "cat" not in delta.drifted_columns
+
+
+def test_comparison_page_side_by_side():
+    """VERDICT r3 #3 done-criterion: the comparison page renders BOTH
+    profiles' charts per column (same y-scale) with drift chips — DRIFT
+    for a drifted column, ok for an undrifted one — plus the summary
+    table. Pure driver-side: profiles constructed directly."""
+    from sparkcheck.drift import compare_profiles
+    from sparkcheck.io.html_report import render_comparison_html
+    from sparkcheck.profile.models import ColumnStatistics, TableProfile
+
+    def col(name, hist=None, top=None, total=1000):
+        cs = ColumnStatistics(
+            name=name, data_type="double" if hist else "string",
+            total_count=total, non_null_count=total, null_count=0,
+            distinct_count=100,
+        )
+        if hist is not None:
+            cs.histogram = [{"bucket": b, "count": n} for b, n in enumerate(hist)]
+            cs.histogram_lo, cs.histogram_hi = 0.0, 10.0
+        if top is not None:
+            cs.top_values = [{"value": v, "count": n} for v, n in top]
+        return cs
+
+    baseline = TableProfile(table="t", total_rows=1000, columns={
+        "score": col("score", hist=[100] * 10),
+        "flat": col("flat", hist=[50, 150, 300, 150, 50, 100, 100, 50, 25, 25]),
+        "lang": col("lang", top=[("en", 700), ("de", 200), ("fr", 100)]),
+    })
+    current = TableProfile(table="t", total_rows=1000, columns={
+        "score": col("score", hist=[10] * 9 + [910]),   # hard shift → PSI flag
+        "flat": col("flat", hist=[50, 150, 300, 150, 50, 100, 100, 50, 25, 25]),
+        "lang": col("lang", top=[("en", 700), ("de", 200), ("fr", 100)]),
+    })
+    delta = compare_profiles(baseline, current)
+    assert "score" in delta.drifted_columns and "flat" not in delta.drifted_columns
+
+    doc = render_comparison_html(baseline, current, delta)
+    # three side-by-side figures, each with a baseline and a current pane
+    assert doc.count('class="cmp"') == 3
+    assert doc.count(">baseline</p>") == 3 and doc.count(">current</p>") == 3
+    # both numeric columns render bars on both sides: 4 charts × 10 bins
+    assert doc.count('class="hbar"') == 40
+    # categorical column renders top-k bars on both sides
+    assert doc.count('class="kbar"') == 6
+    # drift chips: DRIFT for score, ok for flat, PSI values shown
+    assert '<span class="chip fail">DRIFT</span>' in doc
+    assert '<span class="chip pass">ok</span>' in doc
+    assert "PSI " in doc and "KS " in doc
+    # summary table included
+    assert "Profile comparison (baseline vs current)" in doc
+    # delta=None path computes the same verdicts from the profiles
+    doc2 = render_comparison_html(baseline.to_dict(), current.to_dict())
+    assert '<span class="chip fail">DRIFT</span>' in doc2

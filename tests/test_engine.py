@@ -310,6 +310,28 @@ def test_history_records_elapsed(tmp_path):
     assert rec["rules"]["a"]["elapsed_sec"] == 0.25
 
 
+def test_history_ts_is_report_run_ts(tmp_path):
+    """append_history stores the report's own run_ts as the record ts, so
+    a report matches its history record exactly — a stable suite whose
+    consecutive runs have identical violation maps no longer fools the
+    trailing-record dedup in cmd_report (ADVICE r3)."""
+    from sparkcheck.io.html_report import append_history, load_history
+
+    p = str(tmp_path / "h.jsonl")
+    for ts in (100.5, 200.5):  # identical violations, distinct runs
+        append_history(
+            {"ruleset": "r", "run_ts": ts,
+             "outcomes": [{"rule_id": "a", "violations": 0, "passed": True}]},
+            p,
+        )
+    recs = load_history(p)
+    assert [r["ts"] for r in recs] == [100.5, 200.5]
+    # the cmd_report dedup drops ONLY the record whose ts == run_ts
+    report = {"ruleset": "r", "run_ts": 200.5, "outcomes": []}
+    prior = [r for r in recs if r["ts"] != report["run_ts"]]
+    assert [r["ts"] for r in prior] == [100.5]
+
+
 def test_flaky_rule_detector():
     """Flip-flopping rules flagged (intelligent_analysis.py:270-317);
     consistently passing/failing ones are not."""

@@ -164,3 +164,45 @@ def test_pattern_examples_deterministic_min3(spark):
     sparse = spark.createDataFrame(
         [("a@b.co",)] + [("plain",)] * 99, ["v"])
     assert pattern_examples(sparse, "v", k=3).count() == 0
+
+
+def test_pk_candidate_inference(spark):
+    """PK-candidate enrichment (reference profiler/__init__.py:258-269):
+    exact ndv ⇒ a true PK is flagged, a near-PK (one dup) and a nullable
+    unique column are not; the profile HTML shows the badge."""
+    from sparkcheck.profile import profile_table
+
+    n = 200
+    rows = [
+        (i,                      # pk: unique, no nulls
+         i if i else 1,          # near_pk: one duplicate value (0→1)
+         None if i == 7 else i,  # nullable_unique: distinct but has a null
+         "x")                    # constant
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "pk long, near_pk long, nullable_unique long, const string")
+    prof = profile_table(df, approx_distinct=False, detect_patterns=False,
+                         with_histograms=False, with_top_k=False)
+    assert prof.columns["pk"].pk_candidate
+    assert not prof.columns["near_pk"].pk_candidate
+    assert not prof.columns["nullable_unique"].pk_candidate
+    assert not prof.columns["const"].pk_candidate
+    assert prof.primary_key_candidates == ["pk"]
+
+    # HLL mode: the tolerance band still finds the true PK on this size
+    prof_hll = profile_table(df, approx_distinct=True, detect_patterns=False,
+                             with_histograms=False, with_top_k=False)
+    assert prof_hll.columns["pk"].pk_candidate
+
+    # badge rendered (and only for the PK column)
+    from sparkcheck.io.html_report import render_profile_html
+
+    doc = render_profile_html(prof)
+    assert doc.count('class="pkbadge"') == 1 and ">PK?<" in doc
+
+    # survives the JSON round-trip used by drift baselines
+    from sparkcheck.profile.models import TableProfile
+
+    back = TableProfile.from_dict(prof.to_dict())
+    assert back.primary_key_candidates == ["pk"]
