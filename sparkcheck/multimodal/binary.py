@@ -10,10 +10,11 @@ The Spark-side plumbing here is REAL and tested: schemas, partitioning,
 too for the formats decodable without native media libraries — PCM WAV
 and uncompressed BMP parse + feature-extract in pure numpy
 (multimodal/codecs.py: RIFF/DIB header walks, FFT spectral centroid,
-nearest-neighbor resize). Only compressed codecs (JPEG/PNG/MP4), whose
-libraries are not in this container, fall back to a clearly-marked
-deterministic stub with the exact signature a real decoder
-(PIL / torchaudio / pyav) would drop into.
+nearest-neighbor resize), and baseline JPEG decodes for real via
+multimodal/jpeg.py (ITU T.81 Huffman + IDCT, pure numpy). Only VIDEO
+codecs (MP4/H.264), whose libraries are not in this container, fall
+back to a clearly-marked deterministic stub with the exact signature a
+real decoder (pyav) would drop into.
 
 Scale notes: decode is map-only (no shuffle); partition sizing is
 governed by bytes not rows — repartition the input so
@@ -69,13 +70,15 @@ def real_media_table(
     spark: SparkSession, n: int, num_partitions: int | None = None
 ) -> DataFrame:
     """Synthetic table of REAL decodable payloads (media_id, payload,
-    meta): even ids → PCM WAV sine tones (220 + 10·id Hz, 0.25 s @ 8 kHz),
-    odd ids → 24-bit BMP gradients (16×16, id-dependent). Generated
+    meta): id%3==0 → PCM WAV sine tones (220 + 20·id Hz, 0.25 s @ 8 kHz),
+    id%3==1 → 24-bit BMP gradients (16×16, id-dependent), id%3==2 →
+    baseline JPEG of the same gradient (multimodal/jpeg.py). Generated
     executor-side per Arrow batch — deterministic in media_id, so any
     partitioning yields identical rows; no media libs required."""
     import numpy as np
 
     from sparkcheck.multimodal.codecs import encode_bmp, encode_wav
+    from sparkcheck.multimodal.jpeg import encode_jpeg
 
     out_schema = T.StructType(
         [
@@ -85,23 +88,32 @@ def real_media_table(
         ]
     )
 
+    def _gradient(mid: int) -> "np.ndarray":
+        g = np.arange(16, dtype=np.uint8)
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:, :, 0] = g[None, :] * 16          # R: x gradient
+        img[:, :, 1] = g[:, None] * 16          # G: y gradient
+        img[:, :, 2] = (mid * 37) % 256         # B: id-constant
+        return img
+
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t = np.arange(2000) / 8000.0  # 0.25 s @ 8 kHz
         for pdf in batches:
             payloads, kinds = [], []
             for mid in pdf["id"]:
                 mid = int(mid)
-                if mid % 2 == 0:
-                    tone = 0.5 * np.sin(2 * np.pi * (220.0 + 10.0 * mid) * t)
+                if mid % 3 == 0:
+                    # 220 + 20*mid keeps every tone on an exact 4 Hz FFT bin
+                    # (2000 samples @ 8 kHz), so the spectral centroid has no
+                    # leakage bias and tests can pin it tightly
+                    tone = 0.5 * np.sin(2 * np.pi * (220.0 + 20.0 * mid) * t)
                     payloads.append(encode_wav(tone, 8000))
                     kinds.append("audio")
+                elif mid % 3 == 1:
+                    payloads.append(encode_bmp(_gradient(mid)))
+                    kinds.append("image")
                 else:
-                    g = np.arange(16, dtype=np.uint8)
-                    img = np.zeros((16, 16, 3), dtype=np.uint8)
-                    img[:, :, 0] = g[None, :] * 16          # R: x gradient
-                    img[:, :, 1] = g[:, None] * 16          # G: y gradient
-                    img[:, :, 2] = (mid * 37) % 256         # B: id-constant
-                    payloads.append(encode_bmp(img))
+                    payloads.append(encode_jpeg(_gradient(mid), quality=90))
                     kinds.append("image")
             yield pd.DataFrame(
                 {"media_id": pdf["id"], "payload": payloads, "media_type": kinds}
@@ -133,13 +145,14 @@ def media_metadata(df: DataFrame) -> DataFrame:
 
 def _decode_payload(payload: bytes) -> list[float]:
     """Dispatching decoder: REAL pure-numpy decode + feature extraction
-    for PCM WAV and uncompressed 24-bit BMP (multimodal/codecs.py —
-    header parsing, FFT spectral centroid, nearest-neighbor resize,
-    channel stats); formats needing native media libs (JPEG/PNG/MP4)
-    fall back to the documented deterministic STUB (md5-derived
-    features) so the pipeline stays testable in this container — a real
-    deployment replaces only that branch with PIL/pyav. Raises on None
-    to mirror real decoder behavior on missing payloads.
+    for PCM WAV, uncompressed 24-bit BMP (multimodal/codecs.py — header
+    parsing, FFT spectral centroid, nearest-neighbor resize, channel
+    stats) and baseline JPEG (multimodal/jpeg.py — Huffman entropy
+    decode + IDCT per ITU T.81). Only VIDEO codecs (MP4/H.264) still
+    need native libs absent from this container and fall back to the
+    documented deterministic STUB (md5-derived features) — a real
+    deployment replaces only that branch with pyav. Raises on None to
+    mirror real decoder behavior on missing payloads.
     """
     from sparkcheck.multimodal.codecs import bmp_features, sniff_media, wav_features
 
@@ -150,7 +163,11 @@ def _decode_payload(payload: bytes) -> list[float]:
         return wav_features(payload)
     if kind == "bmp":
         return bmp_features(payload)
-    # STUB branch — compressed codecs unavailable here
+    if kind == "jpeg":
+        from sparkcheck.multimodal.jpeg import jpeg_features
+
+        return jpeg_features(payload)
+    # STUB branch — video codecs unavailable here
     digest = hashlib.md5(payload).digest()
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
 

@@ -148,11 +148,13 @@ def bmp_features(payload: bytes, thumb: int = 8) -> list[float]:
 
 
 def sniff_media(payload: bytes) -> str:
-    """'wav' | 'bmp' | 'unknown' from magic bytes."""
+    """'wav' | 'bmp' | 'jpeg' | 'unknown' from magic bytes."""
     if payload is None:
         return "unknown"
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if len(payload) >= 2 and payload[:2] == b"BM":
         return "bmp"
+    if len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"

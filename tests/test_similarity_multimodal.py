@@ -212,26 +212,30 @@ def test_bmp_roundtrip_resize_features():
 
 def test_real_media_decode_end_to_end(spark):
     """real_media_table → decode_image_features: WAV rows get real
-    audio features (tag 1.0, centroid at the per-id tone), BMP rows get
-    real image features (tag 2.0), same mapInPandas slot; unknown
-    payloads still decode via the stub branch (decode_ok stays True)."""
+    audio features (tag 1.0, centroid at the per-id tone), BMP and
+    baseline-JPEG rows get real image features (tag 2.0) through the
+    same mapInPandas slot — the JPEG path is a full Huffman+IDCT
+    decode, not the stub."""
     from sparkcheck.multimodal import decode_image_features, real_media_table
 
-    df = real_media_table(spark, 8, num_partitions=2)
+    df = real_media_table(spark, 9, num_partitions=2)
     feats = {r["media_id"]: r for r in decode_image_features(df).collect()}
-    assert len(feats) == 8 and all(r["decode_ok"] for r in feats.values())
+    assert len(feats) == 9 and all(r["decode_ok"] for r in feats.values())
     for mid, r in feats.items():
         f = r["features"]
-        if mid % 2 == 0:  # audio: [dur, rms, peak, zcr, centroid, rate, _, 1.0]
+        if mid % 3 == 0:  # audio: [dur, rms, peak, zcr, centroid, rate, _, 1.0]
             assert f[7] == 1.0 and f[5] == 8000.0
-            assert abs(f[4] - (220.0 + 10.0 * mid)) < 8.0  # centroid ≈ tone
+            assert abs(f[4] - (220.0 + 20.0 * mid)) < 8.0  # centroid ≈ tone
         else:  # image: [w, h, mr, mg, mb, std, aspect, 2.0]
             assert f[7] == 2.0 and f[0] == 16.0 and f[1] == 16.0
-            assert abs(f[4] - ((mid * 37) % 256) / 255) < 0.01  # B channel
+            # B channel is the planted id-constant; JPEG rows recover it
+            # within lossy-compression tolerance, BMP rows exactly
+            tol = 0.01 if mid % 3 == 1 else 0.04
+            assert abs(f[4] - ((mid * 37) % 256) / 255) < tol, mid
 
     # determinism across partitionings (payload built per-row from id)
     again = {r["media_id"]: r["features"]
-             for r in decode_image_features(real_media_table(spark, 8)).collect()}
+             for r in decode_image_features(real_media_table(spark, 9)).collect()}
     assert all(again[m] == feats[m]["features"] for m in feats)
 
 
@@ -248,3 +252,88 @@ def test_bmp_invalid_dimensions_raise_decode_error():
         struct.pack_into("<i", payload, 18, bad_w)  # width field
         with pytest.raises(MediaDecodeError, match="dimensions"):
             decode_bmp(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (multimodal/jpeg.py, ITU T.81)
+
+def test_jpeg_roundtrip_recovers_planted_stats():
+    """VERDICT r3 #5 done-criterion: encode→decode recovers planted
+    channel statistics through real Huffman entropy coding + IDCT.
+    Lossy, so tolerances are the quantization bound, not equality."""
+    import numpy as np
+    from sparkcheck.multimodal.jpeg import decode_jpeg, encode_jpeg, jpeg_features
+
+    img = np.zeros((24, 40, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 40, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.linspace(0, 255, 24, dtype=np.uint8)[:, None]
+    img[:, :, 2] = 77
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 6 and err.mean() < 1.5
+
+    # features recover planted channel stats within lossy tolerance —
+    # compared against the same 8x8 NN thumbnail the feature path uses
+    # (a gradient's thumbnail mean differs from its full-image mean)
+    from sparkcheck.multimodal.codecs import resize_nearest
+
+    w, h, mr, mg, mb, sg, aspect, tag = jpeg_features(encode_jpeg(img, quality=90))
+    assert (w, h, tag) == (40.0, 24.0, 2.0) and abs(aspect - 40 / 24) < 1e-9
+    assert abs(mb - 77 / 255) < 0.02
+    thumb = resize_nearest(img, 8, 8).astype(float) / 255.0
+    assert abs(mr - thumb[:, :, 0].mean()) < 0.02
+
+    # quality knob: lower quality ⇒ smaller payload, still decodable
+    lo, hi = encode_jpeg(img, quality=20), encode_jpeg(img, quality=95)
+    assert len(lo) < len(hi)
+    assert decode_jpeg(lo).shape == img.shape
+
+    # grayscale round-trip (1-component scan)
+    g = (np.arange(16, dtype=np.uint8)[:, None] * 16).repeat(16, axis=1)
+    og = decode_jpeg(encode_jpeg(g, quality=95))
+    assert og.shape == (16, 16, 3)
+    assert np.abs(og[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_info_metadata_parse():
+    """jpeg_info: dimensions/components/quant tables without entropy
+    decode — the cheap profiling scan."""
+    import numpy as np
+    from sparkcheck.multimodal.jpeg import QT_LUMA, encode_jpeg, jpeg_info
+
+    img = np.full((9, 33, 3), 128, dtype=np.uint8)
+    info = jpeg_info(encode_jpeg(img, quality=50))
+    assert (info["width"], info["height"]) == (33, 9)
+    assert info["n_components"] == 3 and info["baseline"]
+    assert all(c["h"] == 1 and c["v"] == 1 for c in info["components"])
+    # quality=50 ⇒ scale factor 100 ⇒ quant table == the Annex-K base
+    assert list(info["quant_tables"][0]) == list(QT_LUMA)
+
+
+def test_jpeg_unsupported_and_malformed_raise():
+    """Unsupported subsets fail loudly as MediaDecodeError (the
+    decode_ok=False path) — never a silently wrong image."""
+    import numpy as np
+    import pytest
+    from sparkcheck.multimodal.codecs import MediaDecodeError, sniff_media
+    from sparkcheck.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    good = bytearray(encode_jpeg(img))
+    assert sniff_media(bytes(good)) == "jpeg"
+
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(b"\x89PNG\r\n")  # not a JPEG
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(bytes(good[:40]))  # truncated in the marker stream
+    # flip SOF0 -> SOF2 (progressive) — unsupported, loud
+    sof = bytes(good).find(b"\xff\xc0")
+    prog = bytes(good[:sof]) + b"\xff\xc2" + bytes(good[sof + 2:])
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(prog)
+    # declare 2x2 luma subsampling — unsupported, loud
+    sub = bytearray(good)
+    sub[sof + 11] = 0x22  # first component h/v factors
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(bytes(sub))
