@@ -806,6 +806,29 @@ def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     return host_stats(d.select(url.alias("url")), k=10, salted=True)
 
 
+def q_fk_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """FK-candidate inference via inclusion dependencies
+    (integrity/fk.py — closes the reference's schema_introspector
+    PK/FK surface for catalog-less parquet): distinct-vs-distinct
+    anti-joins over three true TPC-H relationships plus one planted
+    non-FK, with containment evidence per pair."""
+    from sparkcheck.integrity import infer_foreign_keys
+
+    tables = {n: _t(spark, sf, n) for n in ("orders", "customer", "lineitem",
+                                            "part", "nation")}
+    return infer_foreign_keys(
+        tables,
+        keys={"customer": "c_custkey", "part": "p_partkey",
+              "nation": "n_nationkey"},
+        candidates=[
+            ("orders", "o_custkey", "customer"),      # true FK
+            ("lineitem", "l_partkey", "part"),        # true FK
+            ("customer", "c_nationkey", "nation"),    # true FK
+            ("orders", "o_orderkey", "customer"),     # NOT an FK
+        ],
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition rule: top-bigram fraction per doc + flag
     (textstats.repetition_stats) — the boilerplate/spam pre-filter."""
@@ -962,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "repetition_stats": q_repetition_stats,
         "dup_segment_stats": q_dup_segment_stats,
+        "fk_candidates": q_fk_candidates,
         "rules_summary": q_rules_summary,
         "profile_stats": q_profile_stats,
         "histogram_totalprice": q_histogram_totalprice,
@@ -1354,6 +1378,36 @@ SELECT count(*) AS orphan_count, count(DISTINCT l.l_partkey) AS distinct_orphan_
 FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
   ON l.l_partkey = p.p_partkey
 WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+""",
+        "fk_candidates": """
+WITH pairs AS (
+  SELECT 'orders' AS child_table, 'o_custkey' AS child_column,
+         'customer' AS parent_table, 'c_custkey' AS parent_column,
+         (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_custkey IS NOT NULL) AS child_distinct,
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL) c
+          WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.v)) AS missing_distinct
+  UNION ALL
+  SELECT 'lineitem', 'l_partkey', 'part', 'p_partkey',
+         (SELECT count(DISTINCT l_partkey) FROM lineitem WHERE l_partkey IS NOT NULL),
+         (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS v FROM lineitem WHERE l_partkey IS NOT NULL) c
+          WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.v))
+  UNION ALL
+  SELECT 'customer', 'c_nationkey', 'nation', 'n_nationkey',
+         (SELECT count(DISTINCT c_nationkey) FROM customer WHERE c_nationkey IS NOT NULL),
+         (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS v FROM customer WHERE c_nationkey IS NOT NULL) c
+          WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.v))
+  UNION ALL
+  SELECT 'orders', 'o_orderkey', 'customer', 'c_custkey',
+         (SELECT count(DISTINCT o_orderkey) FROM orders WHERE o_orderkey IS NOT NULL),
+         (SELECT count(*) FROM (SELECT DISTINCT o_orderkey AS v FROM orders WHERE o_orderkey IS NOT NULL) c
+          WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.v))
+)
+SELECT child_table, child_column, parent_table, parent_column,
+       CAST(child_distinct AS BIGINT) AS child_distinct,
+       CAST(missing_distinct AS BIGINT) AS missing_distinct,
+       ROUND(1.0 - missing_distinct / CAST(child_distinct AS DOUBLE), 6) AS containment,
+       (missing_distinct = 0) AS is_fk_candidate
+FROM pairs
 """,
         "completeness_events": """
 SELECT count(*) AS total_rows,

@@ -61,11 +61,25 @@ def cmd_validate(args) -> int:
 
     spark = _spark(args.cpus)
     rulesets = load_ruleset_yaml(args.rules)
+    # table bindings: --table is the default input; --bind name=path adds
+    # named tables that rule sets reference via their YAML `table:` key
+    tables = {"table": spark.read.parquet(args.table)}
+    for spec in getattr(args, "bind", None) or ():
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--bind expects name=path, got {spec!r}")
+        tables[name] = spark.read.parquet(path)
+
+    if getattr(args, "all_rulesets", False):
+        return _validate_all(args, spark, rulesets, tables)
+
     ruleset = rulesets[args.ruleset] if args.ruleset else next(iter(rulesets.values()))
-    df = spark.read.parquet(args.table)
     # capture_plans: non-fused rule jobs carry their physical plan so the
     # report's analysis section can flag cartesian joins / unpushed filters
-    report = ValidationEngine(spark, capture_plans=True).run(ruleset, {"table": df})
+    report = ValidationEngine(spark, capture_plans=True).run(
+        ruleset, tables,
+        default_table=ruleset.table if ruleset.table in tables else "table",
+    )
     write_report_json(report, args.out)
     # Split history views: the slow/flaky/degrading detectors compare the
     # current run against PRIOR runs only (with the current sample inside
@@ -95,6 +109,35 @@ def cmd_validate(args) -> int:
     print(json.dumps({"ruleset": ruleset.name, "passed": report.passed,
                       "violations": report.total_violations, "out": args.out}))
     return 0 if report.passed else 2
+
+
+def _validate_all(args, spark, rulesets, tables) -> int:
+    """--all-rulesets: orchestrate every rule set in the config into one
+    run with an aggregate report (run/orchestrate.py — the reference's
+    orchestration.py / enterprise_executor.py surface)."""
+    from sparkcheck.run import run_rulesets
+
+    # sets whose YAML table isn't bound fall back to the --table input
+    for rs in rulesets.values():
+        if rs.table and rs.table not in tables:
+            tables[rs.table] = tables["table"]
+    result = run_rulesets(
+        spark, rulesets, tables, default_table="table",
+        capture_plans=True, fail_fast=getattr(args, "fail_fast", False),
+        history_path=getattr(args, "history", None),
+    )
+    with open(args.out, "w") as f:
+        json.dump(result.summary_dict(), f, indent=2, default=str)
+    if getattr(args, "html", None):
+        from sparkcheck.io.html_report import render_orchestration_html
+
+        with open(args.html, "w") as f:
+            f.write(render_orchestration_html(result))
+    print(json.dumps({"rule_sets": len(result.reports),
+                      "passed": result.passed,
+                      "violations": result.total_violations,
+                      "out": args.out}))
+    return 0 if result.passed else 2
 
 
 def cmd_drift(args) -> int:
@@ -333,6 +376,14 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--csv", default=None, help="also export outcomes CSV")
     v.add_argument("--history", default=None,
                    help="append this run to a JSONL history (enables trends)")
+    v.add_argument("--all-rulesets", action="store_true", dest="all_rulesets",
+                   help="orchestrate EVERY rule set in the config into one "
+                        "aggregate run/report")
+    v.add_argument("--bind", action="append", default=None, metavar="NAME=PATH",
+                   help="bind a named table to a parquet path (repeatable; "
+                        "rule sets reference it via their YAML `table:` key)")
+    v.add_argument("--fail-fast", action="store_true", dest="fail_fast",
+                   help="with --all-rulesets: stop launching sets after one fails")
     v.set_defaults(fn=cmd_validate)
 
     d = sub.add_parser("drift", help="compare table vs stored baseline profile")

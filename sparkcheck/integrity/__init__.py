@@ -8,6 +8,10 @@ from sparkcheck.integrity.referential import (
     orphan_rows,
     orphan_summary,
 )
+from sparkcheck.integrity.fk import (
+    fk_containment,
+    infer_foreign_keys,
+)
 
 __all__ = [
     "distinct_count_by_key",
@@ -16,4 +20,6 @@ __all__ = [
     "uniqueness_summary",
     "orphan_rows",
     "orphan_summary",
+    "fk_containment",
+    "infer_foreign_keys",
 ]

@@ -187,6 +187,7 @@ def load_rulesets(
             description=rs.get("description", ""),
             fail_fast=rs.get("fail_fast", False),
             max_concurrent=rs.get("max_concurrent", 4),
+            table=rs.get("table", ""),
         )
     return out
 

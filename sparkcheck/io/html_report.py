@@ -390,6 +390,52 @@ def _topk_chart(
     )
 
 
+def render_orchestration_html(
+    result: Any, title: str = "sparkcheck orchestrated run"
+) -> str:
+    """Aggregate page for a multi-rule-set run (run/orchestrate.py —
+    reference orchestration.py/enterprise_executor.py aggregate
+    reporting): cross-suite summary table, then each suite's full
+    outcome section."""
+    reports = result.reports if hasattr(result, "reports") else dict(result)
+    skipped = list(getattr(result, "skipped", ()))
+    rows = []
+    for name, rep in reports.items():
+        passed = rep.passed if hasattr(rep, "passed") else rep.get("passed")
+        nviol = (rep.total_violations if hasattr(rep, "total_violations")
+                 else rep.get("total_violations", 0))
+        nrules = len(rep.outcomes if hasattr(rep, "outcomes")
+                     else rep.get("outcomes", []))
+        elapsed = (rep.elapsed_sec if hasattr(rep, "elapsed_sec")
+                   else rep.get("elapsed_sec", 0.0))
+        badge = ('<span class="pass">PASS</span>' if passed
+                 else '<span class="fail">FAIL</span>')
+        rows.append(
+            f'<tr><td><a href="#suite-{html.escape(name)}">{html.escape(name)}'
+            f"</a></td><td>{badge}</td><td>{nrules}</td>"
+            f"<td>{nviol:,}</td><td>{elapsed:.2f}s</td></tr>"
+        )
+    for name in skipped:
+        rows.append(
+            f"<tr><td>{html.escape(name)}</td>"
+            '<td><span class="meta">SKIPPED (fail_fast)</span></td>'
+            "<td>—</td><td>—</td><td>—</td></tr>"
+        )
+    sections = []
+    for name, rep in reports.items():
+        page = render_validation_html(rep, title=name)
+        body = page[page.index("<body>") + 6 : page.rindex("</body>")]
+        sections.append(f'<section id="suite-{html.escape(name)}">{body}</section>')
+    return (
+        f'<!doctype html><html><head><meta charset="utf-8">'
+        f"<title>{html.escape(title)}</title><style>{_CSS}</style></head>"
+        f"<body><h1>{html.escape(title)}</h1>"
+        "<table><tr><th>rule set</th><th>status</th><th>rules</th>"
+        "<th>violations</th><th>elapsed</th></tr>"
+        f"{''.join(rows)}</table>{''.join(sections)}</body></html>"
+    )
+
+
 def render_comparison_html(
     baseline: Any,
     current: Any,

@@ -205,6 +205,9 @@ class RuleSet:
     description: str = ""
     fail_fast: bool = False
     max_concurrent: int = 4
+    # logical table this set validates ("" = caller's default) — used by
+    # run.orchestrate to bind each set in a multi-suite run to its input
+    table: str = ""
 
     def enabled_rules(self) -> list[Rule]:
         return [r for r in self.rules if r.enabled]

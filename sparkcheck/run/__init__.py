@@ -16,6 +16,7 @@ from sparkcheck.run.analyze import (
     plan_smells,
     slow_rules,
 )
+from sparkcheck.run.orchestrate import OrchestrationResult, run_rulesets
 from sparkcheck.run.checkpoint import (
     CheckpointStore,
     GroupResult,
@@ -33,6 +34,8 @@ __all__ = [
     "CheckpointStore",
     "GroupResult",
     "checkpointed_validate",
+    "OrchestrationResult",
+    "run_rulesets",
     "merge_group_outcomes",
     "with_retry",
     "run_with_timeout",

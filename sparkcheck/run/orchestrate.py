@@ -1,0 +1,123 @@
+"""Cross-suite orchestration: compose multiple rule-sets into ONE run
+with aggregate reporting.
+
+Reference surface: ``sql_testing/orchestration.py:1-888`` (workflow
+composition of suites) and ``enterprise_executor.py:1-964`` (multi-
+rule-set enterprise runs with merged results). The Spark analog is
+deliberately thin — each rule-set already compiles to a fused
+single-pass job (compile/compiler.py), so orchestration is just
+binding every set to its input table, sequencing (or thread-
+overlapping) the runs on one SparkSession, and merging verdicts.
+
+Parallelism note: ``parallel=N`` overlaps rule-set DRIVER threads; the
+actual work is Spark jobs, which the FAIR scheduler (engine pool)
+interleaves across the cluster. On a shared 1000-executor cluster this
+keeps executors busy while one suite's small final stages drain —
+it does NOT multiply cluster capacity, so N beyond 2–4 buys nothing.
+
+``fail_fast=True`` stops launching new rule-sets once one has FAILED
+(error-severity violations); already-running ones finish. Skipped sets
+are reported by name so a resumed run knows what remains.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkcheck.rules.models import RuleSet
+from sparkcheck.run.engine import ValidationEngine, ValidationReport
+
+
+@dataclass
+class OrchestrationResult:
+    """Aggregate of one multi-suite run: per-suite reports in launch
+    order, plus the sets fail_fast skipped."""
+
+    reports: dict[str, ValidationReport] = field(default_factory=dict)
+    skipped: list[str] = field(default_factory=list)
+    elapsed_sec: float = 0.0
+
+    @property
+    def passed(self) -> bool:
+        return not self.skipped and all(r.passed for r in self.reports.values())
+
+    @property
+    def total_violations(self) -> int:
+        return sum(r.total_violations for r in self.reports.values())
+
+    def summary_dict(self) -> dict[str, Any]:
+        return {
+            "passed": self.passed,
+            "rule_sets": len(self.reports),
+            "failed_sets": [n for n, r in self.reports.items() if not r.passed],
+            "skipped_sets": list(self.skipped),
+            "total_violations": self.total_violations,
+            "elapsed_sec": self.elapsed_sec,
+            "sets": {n: r.summary_dict() for n, r in self.reports.items()},
+        }
+
+
+def run_rulesets(
+    spark: SparkSession,
+    rulesets: Mapping[str, RuleSet] | Sequence[RuleSet],
+    tables: Mapping[str, DataFrame],
+    default_table: str | None = None,
+    parallel: int = 0,
+    fail_fast: bool = False,
+    capture_plans: bool = False,
+    history_path: str | None = None,
+) -> OrchestrationResult:
+    """Run every rule-set against its bound table and merge results.
+
+    Each set binds to ``tables[set.table]`` when the set declares a
+    table (YAML ``table:``), else to ``default_table`` / the first
+    entry. ``parallel=N`` overlaps up to N sets via driver threads
+    (Spark FAIR pool interleaves their jobs); 0/1 = sequential.
+    ``history_path`` appends every suite's record for trend reports."""
+    sets = list(rulesets.values()) if isinstance(rulesets, Mapping) else list(rulesets)
+    if not sets:
+        raise ValueError("no rule sets to orchestrate")
+    fallback = default_table or next(iter(tables))
+    for rs in sets:
+        bind = rs.table or fallback
+        if bind not in tables:
+            raise KeyError(
+                f"rule set {rs.name!r} binds to unknown table {bind!r} "
+                f"(have: {sorted(tables)})"
+            )
+
+    result = OrchestrationResult()
+    t0 = time.monotonic()
+    engine = ValidationEngine(spark, capture_plans=capture_plans)
+
+    def _run_one(rs: RuleSet) -> ValidationReport:
+        bind = rs.table or fallback
+        return engine.run(rs, tables, default_table=bind)
+
+    if parallel and parallel > 1 and len(sets) > 1:
+        with ThreadPoolExecutor(max_workers=parallel) as pool:
+            futures = {rs.name: pool.submit(_run_one, rs) for rs in sets}
+            for rs in sets:
+                result.reports[rs.name] = futures[rs.name].result()
+    else:
+        failed = False
+        for rs in sets:
+            if fail_fast and failed:
+                result.skipped.append(rs.name)
+                continue
+            rep = _run_one(rs)
+            result.reports[rs.name] = rep
+            failed = failed or not rep.passed
+    result.elapsed_sec = time.monotonic() - t0
+
+    if history_path:
+        from sparkcheck.io.html_report import append_history
+
+        for rep in result.reports.values():
+            append_history(rep, history_path)
+    return result

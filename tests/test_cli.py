@@ -142,3 +142,35 @@ def test_cli_init_ci_gitlab_jenkins(tmp_path):
     assert "sparkcheck validate" in jf and "archiveArtifacts" in jf
 
     assert main(["init", "--dir", d2, "--ci", "nope"]) == 1
+
+
+def test_cli_validate_all_rulesets(spark, tmp_path):
+    """`validate --all-rulesets` orchestrates every set in the config
+    into one aggregate report (run/orchestrate.py), with --bind mapping
+    YAML table names to parquet paths."""
+    rules = tmp_path / "multi.yaml"
+    rules.write_text(
+        "rule_sets:\n"
+        "  - name: docs_checks\n"
+        "    table: docs\n"
+        "    rules:\n"
+        "      - {name: nn, type: null_check, column: text}\n"
+        "  - name: orders_checks\n"
+        "    table: orders\n"
+        "    rules:\n"
+        "      - {name: bad_enum, type: enum, column: o_orderstatus, values: [zz]}\n"
+    )
+    out = str(tmp_path / "agg.json")
+    page = str(tmp_path / "agg.html")
+    rc = main([
+        "validate", "--table", DOCS, "--rules", str(rules),
+        "--all-rulesets", "--out", out, "--html", page,
+        "--bind", f"docs={DOCS}",
+        "--bind", "orders=/root/testdata/sf0.001/orders.parquet",
+    ])
+    assert rc == 2  # bad_enum fails ⇒ aggregate gate trips
+    agg = json.load(open(out))
+    assert agg["rule_sets"] == 2 and agg["failed_sets"] == ["orders_checks"]
+    assert agg["sets"]["docs_checks"]["passed"]
+    doc = open(page).read()
+    assert doc.count('id="suite-') == 2 and "orders_checks" in doc

@@ -401,3 +401,56 @@ def test_unpushed_filter_smell_skips_having(spark):
         i.details["pattern"] == "unpushed_filter"
         for i in plan_smells(explain_str(having), "r")
     )
+
+
+def test_orchestrate_rulesets_merged_and_fail_fast(spark):
+    """Cross-suite orchestration (run/orchestrate.py — reference
+    orchestration.py/enterprise_executor.py): per-set table binding,
+    merged verdicts, fail_fast skip list, history append."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.rules.models import EnumRule, NullCheckRule, RuleSet
+    from sparkcheck.run import run_rulesets
+
+    users = spark.range(20).select(
+        F.col("id"), F.lit("active").alias("status"))
+    events = spark.range(30).select(
+        F.col("id"), F.when(F.col("id") < 3, None).otherwise("e").alias("kind"))
+    tables = {"users": users, "events": events}
+
+    ok_set = RuleSet(name="users_ok", table="users", rules=(
+        EnumRule(name="st", column="status", allowed_values=("active",)),))
+    bad_set = RuleSet(name="events_bad", table="events", rules=(
+        NullCheckRule(name="nn_kind", column="kind"),))
+    tail_set = RuleSet(name="users_tail", table="users", rules=(
+        NullCheckRule(name="nn_id", column="id"),))
+
+    res = run_rulesets(spark, [ok_set, bad_set, tail_set], tables)
+    assert list(res.reports) == ["users_ok", "events_bad", "users_tail"]
+    assert not res.passed and res.total_violations == 3
+    assert res.reports["users_ok"].passed and not res.reports["events_bad"].passed
+    sd = res.summary_dict()
+    assert sd["failed_sets"] == ["events_bad"] and sd["rule_sets"] == 3
+
+    # fail_fast: the set AFTER the failing one is skipped, not run
+    ff = run_rulesets(spark, [ok_set, bad_set, tail_set], tables, fail_fast=True)
+    assert list(ff.reports) == ["users_ok", "events_bad"]
+    assert ff.skipped == ["users_tail"] and not ff.passed
+
+    # parallel path produces the same verdicts
+    par = run_rulesets(spark, [ok_set, bad_set, tail_set], tables, parallel=2)
+    assert {n: r.passed for n, r in par.reports.items()} == \
+           {n: r.passed for n, r in res.reports.items()}
+
+    # unknown binding is a loud error before any job runs
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        run_rulesets(spark, [RuleSet(name="x", table="nope", rules=(
+            NullCheckRule(name="n", column="id"),))], tables)
+
+    # aggregate HTML: summary row per set + per-suite sections + skip row
+    from sparkcheck.io.html_report import render_orchestration_html
+
+    doc = render_orchestration_html(ff)
+    assert doc.count('id="suite-') == 2 and "SKIPPED (fail_fast)" in doc
+    assert '<span class="fail">FAIL</span>' in doc and "users_tail" in doc

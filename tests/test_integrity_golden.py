@@ -101,3 +101,44 @@ def test_distinct_count_by_key_salted_parity(spark):
               distinct_count_by_key(df, "k", "v", salted=True, salt_buckets=16).collect()}
     assert plain == salted
     assert plain["hot"] == 900
+
+
+def test_fk_candidate_inference(spark):
+    """Inclusion-dependency FK inference (integrity/fk.py, closing the
+    reference schema_introspector.py:168-455 FK surface): contained
+    columns flagged, near-contained ones carry the containment ratio,
+    auto-enumeration prunes by type, and distinct-vs-distinct anti-joins
+    never touch full rows."""
+    from sparkcheck.integrity import fk_containment, infer_foreign_keys
+
+    dim = spark.createDataFrame([(i, f"n{i}") for i in range(10)],
+                                "dim_id long, name string")
+    fact = spark.createDataFrame(
+        [(i, i % 10, f"e{i}") for i in range(100)] + [(100, 99, "e100")],
+        "fact_id long, dim_ref long, label string")  # one orphan ref (99)
+
+    one = fk_containment(fact, "dim_ref", dim, "dim_id").collect()[0]
+    assert (one["child_distinct"], one["missing_distinct"]) == (11, 1)
+    assert abs(one["containment"] - round(1 - 1 / 11, 6)) < 1e-9
+
+    tables = {"dim": dim, "fact": fact}
+    rep = {(r["child_table"], r["child_column"]): r
+           for r in infer_foreign_keys(
+               tables, keys={"dim": "dim_id"}, min_containment=0.9).collect()}
+    # auto-enumeration: only long columns tested against the long key;
+    # the key itself excluded; string columns never enumerated
+    assert set(rep) == {("fact", "fact_id"), ("fact", "dim_ref")}
+    assert rep[("fact", "dim_ref")]["is_fk_candidate"]      # 10/11 ≥ 0.9
+    assert not rep[("fact", "fact_id")]["is_fk_candidate"]  # 0..100 ⊄ 0..9
+    # strict inclusion: the orphan ref disqualifies
+    strict = {(r["child_table"], r["child_column"]): r["is_fk_candidate"]
+              for r in infer_foreign_keys(
+                  tables, keys={"dim": "dim_id"}).collect()}
+    assert not strict[("fact", "dim_ref")]
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        infer_foreign_keys(tables, keys={"nope": "x"})
+    with _pytest.raises(ValueError):
+        infer_foreign_keys({"dim": dim}, keys={"dim": "name"},
+                           candidates=[])
