@@ -133,6 +133,10 @@ def _validate_all(args, spark, rulesets, tables) -> int:
 
         with open(args.html, "w") as f:
             f.write(render_orchestration_html(result))
+    if getattr(args, "csv", None):
+        from sparkcheck.io.html_report import write_merged_outcomes_csv
+
+        write_merged_outcomes_csv(result.reports, args.csv)
     print(json.dumps({"rule_sets": len(result.reports),
                       "passed": result.passed,
                       "violations": result.total_violations,

@@ -44,18 +44,29 @@ def fk_containment(
 ) -> DataFrame:
     """One-row frame for a single candidate pair:
     (child_distinct, missing_distinct, containment) over DISTINCT
-    non-null child values vs the parent key set."""
+    non-null child values vs the parent key set.
+
+    ONE child scan: the distinct child values LEFT JOIN the (distinct,
+    hit-marked) parent keys, and one aggregation counts both totals —
+    the earlier two-branch shape (count agg + anti-join) scanned and
+    distinct-shuffled the child twice per candidate pair."""
     cvals = (
         child.select(F.col(child_col).alias("__v"))
         .where(F.col("__v").isNotNull())
         .distinct()
     )
-    pvals = parent.select(F.col(parent_key).alias("__v")).distinct()
-    missing = cvals.join(pvals, "__v", "left_anti")
-    stats = cvals.agg(F.count(F.lit(1)).alias("child_distinct")).crossJoin(
-        missing.agg(F.count(F.lit(1)).alias("missing_distinct"))
+    pvals = (
+        parent.select(F.col(parent_key).alias("__v"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    return stats.select(
+    joined = cvals.join(pvals, "__v", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("child_distinct"),
+        F.coalesce(
+            F.sum(F.col("__hit").isNull().cast("long")), F.lit(0)
+        ).alias("missing_distinct"),
+    ).select(
         "child_distinct",
         "missing_distinct",
         F.when(
@@ -127,7 +138,11 @@ def infer_foreign_keys(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    # verdict from the UNROUNDED ratio: the displayed containment is
+    # rounded to 6 dp, so at child ndv > ~2M a single orphan would round
+    # to 1.0 and a "strict" inclusion dependency would be mis-flagged
+    raw = 1.0 - F.col("missing_distinct") / F.col("child_distinct")
     return out.withColumn(
         "is_fk_candidate",
-        F.col("containment").isNotNull() & (F.col("containment") >= min_containment),
+        (F.col("child_distinct") > 0) & (raw >= F.lit(min_containment)),
     )

@@ -24,6 +24,7 @@ import csv
 import html
 import json
 import os
+import re
 import time
 from typing import Any, Iterable, Mapping, Sequence
 
@@ -152,6 +153,24 @@ def write_outcomes_csv(report: Any, path: str) -> None:
         for o in outcomes:
             d = o if isinstance(o, Mapping) else {k: getattr(o, k, "") for k in OUTCOME_FIELDS}
             w.writerow({k: d.get(k, "") for k in OUTCOME_FIELDS})
+
+
+def write_merged_outcomes_csv(reports: Mapping[str, Any], path: str) -> None:
+    """CSV across an orchestrated multi-suite run: every suite's outcome
+    rows with a leading ``rule_set`` column."""
+    fields = ["rule_set", *OUTCOME_FIELDS]
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
+        w.writeheader()
+        for name, report in reports.items():
+            outcomes = (report["outcomes"] if isinstance(report, Mapping)
+                        else report.outcomes)
+            for o in outcomes:
+                d = (o if isinstance(o, Mapping)
+                     else {k: getattr(o, k, "") for k in OUTCOME_FIELDS})
+                row = {k: d.get(k, "") for k in OUTCOME_FIELDS}
+                row["rule_set"] = name
+                w.writerow(row)
 
 
 # ---------------------------------------------------------------------------
@@ -399,6 +418,12 @@ def render_orchestration_html(
     outcome section."""
     reports = result.reports if hasattr(result, "reports") else dict(result)
     skipped = list(getattr(result, "skipped", ()))
+
+    def _slug(name: str) -> str:
+        # anchors must be valid HTML ids (no whitespace) or the summary
+        # links silently stop navigating
+        return re.sub(r"[^A-Za-z0-9_-]", "-", name)
+
     rows = []
     for name, rep in reports.items():
         passed = rep.passed if hasattr(rep, "passed") else rep.get("passed")
@@ -411,7 +436,7 @@ def render_orchestration_html(
         badge = ('<span class="pass">PASS</span>' if passed
                  else '<span class="fail">FAIL</span>')
         rows.append(
-            f'<tr><td><a href="#suite-{html.escape(name)}">{html.escape(name)}'
+            f'<tr><td><a href="#suite-{_slug(name)}">{html.escape(name)}'
             f"</a></td><td>{badge}</td><td>{nrules}</td>"
             f"<td>{nviol:,}</td><td>{elapsed:.2f}s</td></tr>"
         )
@@ -425,7 +450,7 @@ def render_orchestration_html(
     for name, rep in reports.items():
         page = render_validation_html(rep, title=name)
         body = page[page.index("<body>") + 6 : page.rindex("</body>")]
-        sections.append(f'<section id="suite-{html.escape(name)}">{body}</section>')
+        sections.append(f'<section id="suite-{_slug(name)}">{body}</section>')
     return (
         f'<!doctype html><html><head><meta charset="utf-8">'
         f"<title>{html.escape(title)}</title><style>{_CSS}</style></head>"

@@ -10,18 +10,24 @@ binding every set to its input table, sequencing (or thread-
 overlapping) the runs on one SparkSession, and merging verdicts.
 
 Parallelism note: ``parallel=N`` overlaps rule-set DRIVER threads; the
-actual work is Spark jobs, which the FAIR scheduler (engine pool)
-interleaves across the cluster. On a shared 1000-executor cluster this
-keeps executors busy while one suite's small final stages drain —
-it does NOT multiply cluster capacity, so N beyond 2–4 buys nothing.
+actual work is Spark jobs, which the FAIR scheduler interleaves across
+the cluster (``get_spark`` sets ``spark.scheduler.mode=FAIR``; each
+worker thread here pins the ``sparkcheck-orchestrate`` pool so one
+suite's large scan cannot serialize the others behind it under FIFO).
+On a shared 1000-executor cluster this keeps executors busy while one
+suite's small final stages drain — it does NOT multiply cluster
+capacity, so N beyond 2–4 buys nothing.
 
 ``fail_fast=True`` stops launching new rule-sets once one has FAILED
-(error-severity violations); already-running ones finish. Skipped sets
-are reported by name so a resumed run knows what remains.
+(error-severity violations); already-running ones finish — on the
+parallel path a shared stop flag is checked as each queued set comes up
+for execution, so sets queued behind a failure are skipped there too.
+Skipped sets are reported by name so a resumed run knows what remains.
 """
 
 from __future__ import annotations
 
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -82,6 +88,12 @@ def run_rulesets(
     sets = list(rulesets.values()) if isinstance(rulesets, Mapping) else list(rulesets)
     if not sets:
         raise ValueError("no rule sets to orchestrate")
+    names = [rs.name for rs in sets]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        # reports are keyed by name — a duplicate would silently drop a
+        # suite's verdict from the aggregate gate
+        raise ValueError(f"duplicate rule-set names: {dupes}")
     fallback = default_table or next(iter(tables))
     for rs in sets:
         bind = rs.table or fallback
@@ -94,25 +106,40 @@ def run_rulesets(
     result = OrchestrationResult()
     t0 = time.monotonic()
     engine = ValidationEngine(spark, capture_plans=capture_plans)
+    stop = threading.Event()  # set on first failure when fail_fast
 
-    def _run_one(rs: RuleSet) -> ValidationReport:
-        bind = rs.table or fallback
-        return engine.run(rs, tables, default_table=bind)
+    def _run_one(rs: RuleSet) -> ValidationReport | None:
+        if fail_fast and stop.is_set():
+            return None  # queued behind a failure — skip
+        # thread-local FAIR pool so overlapped suites' jobs interleave
+        # instead of FIFO-serializing behind one suite's large scan
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "sparkcheck-orchestrate"
+        )
+        try:
+            rep = engine.run(rs, tables, default_table=rs.table or fallback)
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+        if fail_fast and not rep.passed:
+            stop.set()
+        return rep
 
     if parallel and parallel > 1 and len(sets) > 1:
         with ThreadPoolExecutor(max_workers=parallel) as pool:
             futures = {rs.name: pool.submit(_run_one, rs) for rs in sets}
             for rs in sets:
-                result.reports[rs.name] = futures[rs.name].result()
+                rep = futures[rs.name].result()
+                if rep is None:
+                    result.skipped.append(rs.name)
+                else:
+                    result.reports[rs.name] = rep
     else:
-        failed = False
         for rs in sets:
-            if fail_fast and failed:
-                result.skipped.append(rs.name)
-                continue
             rep = _run_one(rs)
-            result.reports[rs.name] = rep
-            failed = failed or not rep.passed
+            if rep is None:
+                result.skipped.append(rs.name)
+            else:
+                result.reports[rs.name] = rep
     result.elapsed_sec = time.monotonic() - t0
 
     if history_path:

@@ -162,9 +162,10 @@ def test_cli_validate_all_rulesets(spark, tmp_path):
     )
     out = str(tmp_path / "agg.json")
     page = str(tmp_path / "agg.html")
+    csvp = str(tmp_path / "agg.csv")
     rc = main([
         "validate", "--table", DOCS, "--rules", str(rules),
-        "--all-rulesets", "--out", out, "--html", page,
+        "--all-rulesets", "--out", out, "--html", page, "--csv", csvp,
         "--bind", f"docs={DOCS}",
         "--bind", "orders=/root/testdata/sf0.001/orders.parquet",
     ])
@@ -174,3 +175,7 @@ def test_cli_validate_all_rulesets(spark, tmp_path):
     assert agg["sets"]["docs_checks"]["passed"]
     doc = open(page).read()
     assert doc.count('id="suite-') == 2 and "orders_checks" in doc
+    import csv as _csv
+    rows = list(_csv.DictReader(open(csvp)))
+    assert {(r["rule_set"], r["rule_id"]) for r in rows} == \
+           {("docs_checks", "nn"), ("orders_checks", "bad_enum")}

@@ -454,3 +454,57 @@ def test_orchestrate_rulesets_merged_and_fail_fast(spark):
     doc = render_orchestration_html(ff)
     assert doc.count('id="suite-') == 2 and "SKIPPED (fail_fast)" in doc
     assert '<span class="fail">FAIL</span>' in doc and "users_tail" in doc
+
+
+def test_orchestrate_guards_and_parallel_fail_fast(spark):
+    """Review fixes: duplicate set names rejected loudly (silent report
+    drop), parallel fail_fast skips sets queued behind a failure (weak
+    deterministic form: reports ∪ skipped partition the input), anchor
+    slugs valid for names with spaces."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.rules.models import NullCheckRule, RuleSet
+    from sparkcheck.run import run_rulesets
+
+    df = spark.range(5).select(
+        F.col("id"), F.when(F.col("id") < 2, None).otherwise("x").alias("v"))
+    tables = {"t": df}
+    bad = RuleSet(name="bad set", table="t",
+                  rules=(NullCheckRule(name="nn", column="v"),))
+    ok = RuleSet(name="ok", table="t",
+                 rules=(NullCheckRule(name="nnid", column="id"),))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate"):
+        run_rulesets(spark, [ok, ok], tables)
+
+    res = run_rulesets(spark, [bad, ok, ok.__class__(name="ok2", table="t",
+                       rules=ok.rules)], tables, parallel=2, fail_fast=True)
+    ran_or_skipped = set(res.reports) | set(res.skipped)
+    assert ran_or_skipped == {"bad set", "ok", "ok2"}
+    assert "bad set" in res.reports and not res.reports["bad set"].passed
+    assert not res.passed
+
+    # whitespace-containing suite names get valid HTML ids + hrefs
+    from sparkcheck.io.html_report import render_orchestration_html
+
+    doc = render_orchestration_html(res)
+    assert 'id="suite-bad-set"' in doc and 'href="#suite-bad-set"' in doc
+    assert 'id="suite-bad set"' not in doc
+
+
+def test_merged_outcomes_csv(tmp_path):
+    """write_merged_outcomes_csv: one CSV across suites with a leading
+    rule_set column (the --all-rulesets --csv path)."""
+    import csv as _csv
+
+    from sparkcheck.io.html_report import write_merged_outcomes_csv
+
+    reports = {
+        "s1": {"outcomes": [{"rule_id": "a", "violations": 1, "passed": False}]},
+        "s2": {"outcomes": [{"rule_id": "b", "violations": 0, "passed": True}]},
+    }
+    p = str(tmp_path / "m.csv")
+    write_merged_outcomes_csv(reports, p)
+    rows = list(_csv.DictReader(open(p)))
+    assert [(r["rule_set"], r["rule_id"]) for r in rows] == [("s1", "a"), ("s2", "b")]

@@ -142,3 +142,23 @@ def test_fk_candidate_inference(spark):
     with _pytest.raises(ValueError):
         infer_foreign_keys({"dim": dim}, keys={"dim": "name"},
                            candidates=[])
+
+
+def test_fk_strict_verdict_not_fooled_by_rounding(spark):
+    """Review fix: the displayed containment rounds to 6 dp, so at
+    ndv > ~2M one orphan rounds to containment 1.0 — the strict verdict
+    must come from the raw counts, matching the oracle's
+    missing_distinct = 0."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.integrity import infer_foreign_keys
+
+    parent = spark.range(2_100_000).select(F.col("id").alias("pid"))
+    child = spark.range(2_100_001).select(F.col("id").alias("ref"))  # 1 orphan
+    row = infer_foreign_keys(
+        {"p": parent, "c": child}, keys={"p": "pid"},
+        candidates=[("c", "ref", "p")],
+    ).collect()[0]
+    assert row["containment"] == 1.0          # rounded display value
+    assert row["missing_distinct"] == 1
+    assert not row["is_fk_candidate"]         # verdict from counts, not display
