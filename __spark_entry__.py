@@ -829,6 +829,32 @@ def q_fk_candidates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_canonical_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (webtext/urls.py — the dedup-key normalizer):
+    messy URLs synthesized deterministically from doc_id (mixed-case
+    scheme+host, default port, tracking params, fragment, www prefix)
+    are canonicalized map-only; the oracle rebuilds the identical bytes
+    with the same regexp decomposition in SQL."""
+    from sparkcheck.webtext import canonicalize_url
+
+    d = _t(spark, sf, "documents")
+    key = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), (key % 7).cast("string"), F.lit(".COM"),
+        F.when(key % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(key % 3 == 0, F.lit("/")).otherwise(
+            F.concat(F.lit("/p/"), key.cast("string"))
+        ),
+        F.when(key % 2 == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(F.lit("")),
+        F.when(key % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", url.alias("url"))
+    return base.select(
+        "doc_id", "url",
+        canonicalize_url(F.col("url"), strip_www=True).alias("canonical_url"),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition rule: top-bigram fraction per doc + flag
     (textstats.repetition_stats) — the boilerplate/spam pre-filter."""
@@ -986,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dup_segment_stats": q_dup_segment_stats,
         "fk_candidates": q_fk_candidates,
+        "canonical_urls": q_canonical_urls,
         "rules_summary": q_rules_summary,
         "profile_stats": q_profile_stats,
         "histogram_totalprice": q_histogram_totalprice,
@@ -1378,6 +1405,44 @@ SELECT count(*) AS orphan_count, count(DISTINCT l.l_partkey) AS distinct_orphan_
 FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
   ON l.l_partkey = p.p_partkey
 WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+""",
+        "canonical_urls": """
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example' || (doc_id % 7) || '.COM'
+         || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '/p/' || doc_id END
+         || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM raw
+), norm AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(
+           CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END,
+           '^www\\.', '') AS host,
+         CASE WHEN path = '/' THEN '' ELSE path END AS path,
+         COALESCE(array_to_string(
+           list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$'))),
+           '&'), '') AS qnorm
+  FROM parts
+)
+SELECT doc_id, url,
+       CASE WHEN scheme = '' THEN ''
+            ELSE scheme || '://' || host || path
+                 || CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END
+       END AS canonical_url
+FROM norm
 """,
         "fk_candidates": """
 WITH pairs AS (

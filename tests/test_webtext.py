@@ -172,3 +172,40 @@ def test_host_stats_salted_matches_plain(spark):
     assert plain["hot.example"] == (60, 50)
     assert plain["h0.example:8080"] == (1, 1)
     assert "not a url" not in plain and "" not in plain
+
+
+def test_canonicalize_url_golden(spark):
+    """Hand-checked canonicalization cases (webtext/urls.py): case
+    folding, default ports (scheme-matched only), tracking-param strip
+    + sort, fragment strip, bare-path merge, www strip, near-miss
+    params kept, unparseable input -> ''."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.webtext import canonicalize_url, url_dedup_stats
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/?utm_source=a&b=2&a=1#frag", "https://ex.com?a=1&b=2"),
+        ("http://Ex.com:80/p/1", "http://ex.com/p/1"),
+        ("http://ex.com:443/p", "http://ex.com:443/p"),   # 443 not http's default
+        ("https://ex.com/path/?fbclid=xyz", "https://ex.com/path/"),  # inner slash kept
+        ("https://ex.com/?referer=keep", "https://ex.com?referer=keep"),  # not 'ref'
+        ("https://ex.com/?ref=drop&ref", "https://ex.com"),
+        ("not a url", ""),
+        ("https://ex.com/a?z=1&y=2&utm_campaign=c", "https://ex.com/a?y=2&z=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", canonicalize_url(F.col("url"), strip_www=True).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+    # dedup pre-flight: raw variants of one page merge to one canonical
+    variants = spark.createDataFrame(
+        [(1, "https://WWW.ex.com/p?utm_source=a"),
+         (2, "https://ex.com/p"),
+         (3, "https://ex.com:443/p#x"),
+         (4, "https://other.com/q")], "doc_id long, url string")
+    s = url_dedup_stats(variants).collect()[0]
+    assert (s["total_urls"], s["distinct_raw"], s["distinct_canonical"],
+            s["merged"]) == (4, 4, 2, 2)
