@@ -855,6 +855,17 @@ def q_canonical_urls(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_span_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-dedup REWRITE (textstats.remove_duplicate_spans — the
+    transform half of Lee et al. '22): 6-word blocks shared by ≥2
+    distinct docs removed from every doc, survivors + trailing
+    remainder re-joined; byte-compared against the oracle's identical
+    reconstruction."""
+    from sparkcheck.textstats import remove_duplicate_spans
+
+    return remove_duplicate_spans(_t(spark, sf, "documents"), k=6, min_docs=2)
+
+
 def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition rule: top-bigram fraction per doc + flag
     (textstats.repetition_stats) — the boilerplate/spam pre-filter."""
@@ -1013,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_segment_stats": q_dup_segment_stats,
         "fk_candidates": q_fk_candidates,
         "canonical_urls": q_canonical_urls,
+        "span_dedup_rewrite": q_span_dedup_rewrite,
         "rules_summary": q_rules_summary,
         "profile_stats": q_profile_stats,
         "histogram_totalprice": q_histogram_totalprice,
@@ -1405,6 +1417,35 @@ SELECT count(*) AS orphan_count, count(DISTINCT l.l_partkey) AS distinct_orphan_
 FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
   ON l.l_partkey = p.p_partkey
 WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+""",
+        "span_dedup_rewrite": """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS arr
+  FROM documents WHERE text IS NOT NULL
+), sized AS (
+  SELECT doc_id, arr, CAST(floor(len(arr) / 6.0) AS INT) AS nblk FROM base
+), blocks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(arr[(i-1)*6+1:(i-1)*6+6], ' ') AS block
+  FROM sized, unnest(generate_series(1, nblk)) AS u(i)
+), shared AS (
+  SELECT block FROM (SELECT DISTINCT doc_id, block FROM blocks) t
+  GROUP BY block HAVING count(*) >= 2
+), kept AS (
+  SELECT b.doc_id, b.pos, b.block FROM blocks b
+  WHERE b.block NOT IN (SELECT block FROM shared)
+), reass AS (
+  SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS kept_text,
+         CAST(count(*) AS BIGINT) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       COALESCE(array_to_string(list_filter(
+         [r.kept_text, array_to_string(s.arr[s.nblk*6+1:len(s.arr)], ' ')],
+         x -> x IS NOT NULL AND x <> ''), ' '), '') AS clean_text,
+       CAST(s.nblk AS BIGINT) AS n_spans,
+       CAST(s.nblk - COALESCE(r.kept_n, 0) AS BIGINT) AS removed_spans
+FROM sized s LEFT JOIN reass r USING (doc_id)
 """,
         "canonical_urls": """
 WITH raw AS (

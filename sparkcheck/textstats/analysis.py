@@ -398,6 +398,102 @@ def span_contamination(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REWRITE half of span dedup (Lee et al. '22 style):
+    ``cross_doc_span_stats`` reports corpus boilerplate; this removes
+    it. Text is cut into non-overlapping ``k``-word blocks; every block
+    occurring in ≥ ``min_docs`` DISTINCT documents is dropped from
+    every document, the survivors (plus the trailing < k-word
+    remainder, always kept) are re-joined with single spaces. Output:
+    (id, clean_text, n_spans, removed_spans).
+
+    Whitespace contract: tokens re-join with ' ', so runs of spaces in
+    the input are preserved as their empty-token placeholders — byte-
+    deterministic and oracle-reproducible, not a normalizer.
+
+    Scale shape:
+      1. shared-block set = distinct (id, block) → groupBy(block) with
+         map-side partials → filter n_docs ≥ min_docs. Boilerplate sets
+         are small next to the corpus, so AQE broadcasts them;
+      2. positioned blocks (id, pos, block) LEFT ANTI the shared set —
+         map-only under that broadcast;
+      3. per-doc reassembly: ONE groupBy(id) collecting (pos, block)
+         structs, array_sort (pos is the leading struct field), join.
+         This is the only O(text)-volume shuffle — the same order of
+         work as the suffix-array sort the paper's ExactSubstr dedup
+         performs, and it is keyed by uniform doc ids.
+
+    Docs shorter than k words pass through with zero spans; NULL text
+    is dropped (engine-wide NULL-skip contract)."""
+    toks = _tokens(F.col(text_col))
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.floor(F.size(toks) / k).cast("int").alias("_nblk"),
+    )
+    positioned = base.where(F.col("_nblk") >= 1).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_nblk")),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(
+                        F.slice(F.col("_toks"), (i - 1) * k + 1, k), " "
+                    ).alias("block"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.pos").alias("pos"), F.col("b.block").alias("block"))
+    shared = (
+        positioned.select("id", "block").distinct()
+        .groupBy("block")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("block")
+    )
+    kept = positioned.join(shared, "block", "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "block"))),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("_kept"),
+        F.count(F.lit(1)).cast("long").alias("_kept_n"),
+    )
+    remainder = F.array_join(
+        F.slice(
+            F.col("_toks"),
+            F.col("_nblk") * k + 1,
+            F.greatest(F.size(F.col("_toks")) - F.col("_nblk") * k, F.lit(0)),
+        ),
+        " ",
+    )
+    out = base.join(reassembled, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.array_join(
+            F.filter(
+                F.array(F.col("_kept"), remainder),
+                lambda x: x.isNotNull() & (x != ""),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.col("_nblk").cast("long").alias("n_spans"),
+        (F.col("_nblk") - F.coalesce(F.col("_kept_n"), F.lit(0)))
+        .cast("long")
+        .alias("removed_spans"),
+    )
+    return out
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of raw text and md5 of the normalized
     (lowercased, whitespace-collapsed, trimmed) text — the exact-dedup

@@ -324,3 +324,43 @@ def test_cross_doc_span_stats_duplicate_ids_not_double_counted(spark):
     )
     out2 = {r["doc_id"]: r for r in cross_doc_span_stats(df2, k=2).collect()}
     assert out2[7]["shared_spans"] == 1 and out2[8]["shared_spans"] == 1
+
+
+def test_remove_duplicate_spans_golden(spark):
+    """Rewrite half of span dedup: a 6-word block shared by 2+ docs is
+    removed from every doc; unique blocks and the <k trailing remainder
+    survive; short docs pass through; a fully-boilerplate doc empties."""
+    from sparkcheck.textstats import remove_duplicate_spans
+
+    boiler = "please accept cookies to continue reading"        # 6 words
+    a_rest = "unique alpha content words here one"              # 6 words
+    b_rest = "different beta content words here two"            # 6 words
+    rows = [
+        (1, f"{boiler} {a_rest} tail bit"),   # boiler + unique + 2-word remainder
+        (2, f"{boiler} {b_rest}"),            # boiler + unique
+        (3, boiler),                          # all boilerplate -> empties
+        (4, "short doc"),                     # < k words: unchanged
+        (5, None),                            # NULL skipped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, k=6, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["clean_text"] == f"{a_rest} tail bit"
+    assert (out[1]["n_spans"], out[1]["removed_spans"]) == (2, 1)
+    assert out[2]["clean_text"] == b_rest
+    assert out[3]["clean_text"] == "" and out[3]["removed_spans"] == 1
+    assert out[4]["clean_text"] == "short doc" and out[4]["n_spans"] == 0
+
+    # min_docs above the block's 3-doc spread -> nothing removed
+    out4 = {r["doc_id"]: r["removed_spans"] for r in
+            remove_duplicate_spans(df, k=6, min_docs=4).collect()}
+    assert all(v == 0 for v in out4.values())
+
+    # a doc repeating the shared block twice loses BOTH positions
+    df2 = spark.createDataFrame(
+        [(1, f"{boiler} {boiler} {a_rest}"), (2, boiler)],
+        "doc_id long, text string")
+    r1 = {r["doc_id"]: r for r in
+          remove_duplicate_spans(df2, k=6, min_docs=2).collect()}
+    assert r1[1]["clean_text"] == a_rest and r1[1]["removed_spans"] == 2
