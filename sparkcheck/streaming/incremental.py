@@ -90,6 +90,88 @@ def subscribe_changes(
     return writer.start()
 
 
+def monitor_drift_stream(
+    stream_df: DataFrame,
+    baseline,
+    on_batch: Callable[[list, int], None],
+    checkpoint_dir: str,
+    columns: Sequence[str] | None = None,
+    psi_threshold: float = 0.25,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming distribution-drift monitor — the north star's "PSI
+    against a baseline profile" run continuously: every micro-batch is
+    histogrammed ON THE BASELINE'S STORED BIN EDGES (one fused
+    conditional-sum aggregation for all monitored columns —
+    profile.fused_histograms, no per-column jobs) and scored with PSI
+    driver-side (O(bins × columns) arithmetic).
+
+    ``baseline``: a TableProfile whose columns carry histogram +
+    histogram_lo/hi (the drift baseline written by ``sparkcheck
+    profile``). ``on_batch(findings, batch_id)`` receives one dict per
+    monitored column: {column, psi, drifted, n_rows, batch_id} — append
+    it to an alerts table / history file. Columns without a stored
+    histogram (or with degenerate lo==hi edges) are skipped, same as
+    batch ``compare_profiles``.
+
+    Scale: the per-batch work is the same no-row-shuffle fused
+    aggregation as the batch profiler; state is zero (each batch scores
+    independently against the immutable baseline), so the monitor
+    sustains the batch engine's throughput within a trigger."""
+    from sparkcheck.drift.stats import psi_from_counts
+    from sparkcheck.profile.profiler import fused_histograms
+
+    specs: dict[str, tuple[float, float]] = {}
+    base_counts: dict[str, list[int]] = {}
+    bins = None
+    for name, cs in baseline.columns.items():
+        if columns is not None and name not in columns:
+            continue
+        if not cs.histogram or cs.histogram_lo is None or cs.histogram_hi is None:
+            continue
+        if float(cs.histogram_hi) == float(cs.histogram_lo):
+            continue
+        specs[name] = (float(cs.histogram_lo), float(cs.histogram_hi))
+        base_counts[name] = [int(h["count"]) for h in cs.histogram]
+        bins = len(base_counts[name]) if bins is None else bins
+        if len(base_counts[name]) != bins:
+            raise ValueError(
+                f"baseline histograms disagree on bin count at {name!r}"
+            )
+    if not specs:
+        raise ValueError(
+            "baseline has no usable histograms for the requested columns "
+            "(profile with with_histograms=True)"
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        n_rows = batch_df.count()
+        findings: list[dict] = []
+        if n_rows:
+            hists = fused_histograms(batch_df, specs, bins=bins)
+            for col, counts in hists.items():
+                try:
+                    psi = psi_from_counts(base_counts[col], counts)
+                except ValueError:
+                    continue  # empty batch slice for this column
+                findings.append({
+                    "column": col,
+                    "psi": psi,
+                    "drifted": psi > psi_threshold,
+                    "n_rows": n_rows,
+                    "batch_id": batch_id,
+                })
+        on_batch(findings, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_rule_counts(
     stream_df: DataFrame,
     violated: F.Column,

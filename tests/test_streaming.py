@@ -141,3 +141,49 @@ def test_subscribe_changes_cdc_resume(spark, tmp_path):
                            where=F.col("flagged"), trigger_once=True)
     q2.awaitTermination(120)
     assert sorted(seen) == list(range(50, 60, 2))
+
+
+def test_monitor_drift_stream(spark, tmp_path):
+    """Streaming PSI drift monitor: batches histogrammed on the
+    BASELINE's stored bin edges, PSI per column per micro-batch; an
+    in-distribution batch scores low, a shifted batch flags."""
+    from sparkcheck.profile import profile_table
+    from sparkcheck.streaming import monitor_drift_stream
+
+    # baseline: uniform values in [0, 100)
+    base_df = spark.range(2000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    baseline = profile_table(base_df, approx_distinct=False,
+                             detect_patterns=False, with_top_k=False)
+
+    src = str(tmp_path / "src")
+    # batch 0: same distribution; batch 1: hard shift into the top decile
+    spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v") \
+        .coalesce(1).write.parquet(src)
+    spark.range(1000).selectExpr("CAST(90 + id % 10 AS DOUBLE) AS v") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("v double").parquet(src)
+    got: list[tuple[int, list]] = []
+    q = monitor_drift_stream(
+        stream, baseline, on_batch=lambda f, b: got.append((b, f)),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    findings = [f for _, fs in got for f in fs]
+    # availableNow may read both files as one batch or two; either way
+    # the union contains the shifted rows, so v must flag somewhere,
+    # with PSI scored on 10 aligned bins
+    assert findings and all(f["column"] == "v" for f in findings)
+    assert any(f["drifted"] and f["psi"] > 0.25 for f in findings)
+    if len(findings) == 2:  # two batches: the in-distribution one is quiet
+        by_batch = sorted(findings, key=lambda f: f["batch_id"])
+        assert not by_batch[0]["drifted"] and by_batch[1]["drifted"]
+
+    # no usable baseline histograms -> loud error, not a silent no-op
+    import pytest as _pytest
+
+    flat = profile_table(base_df, approx_distinct=False, with_histograms=False,
+                         detect_patterns=False, with_top_k=False)
+    with _pytest.raises(ValueError, match="histograms"):
+        monitor_drift_stream(stream, flat, on_batch=lambda f, b: None,
+                             checkpoint_dir=str(tmp_path / "ckpt2"))
