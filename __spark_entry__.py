@@ -855,6 +855,27 @@ def q_canonical_urls(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_url_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonicalization merge pre-flight (webtext.url_dedup_stats):
+    two-phase distinct counting over the same synthesized messy URLs as
+    canonical_urls — one groupBy(url) + a single-distinct agg, never the
+    Expand-planning mixed-distinct shape."""
+    from sparkcheck.webtext import url_dedup_stats
+
+    d = _t(spark, sf, "documents")
+    key = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), (key % 7).cast("string"), F.lit(".COM"),
+        F.when(key % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(key % 3 == 0, F.lit("/")).otherwise(
+            F.concat(F.lit("/p/"), key.cast("string"))
+        ),
+        F.when(key % 2 == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(F.lit("")),
+        F.when(key % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return url_dedup_stats(d.select(url.alias("url")), strip_www=True)
+
+
 def q_span_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     """Span-dedup REWRITE (textstats.remove_duplicate_spans — the
     transform half of Lee et al. '22): 6-word blocks shared by ≥2
@@ -1024,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_segment_stats": q_dup_segment_stats,
         "fk_candidates": q_fk_candidates,
         "canonical_urls": q_canonical_urls,
+        "url_dedup_stats": q_url_dedup_stats,
         "span_dedup_rewrite": q_span_dedup_rewrite,
         "rules_summary": q_rules_summary,
         "profile_stats": q_profile_stats,
@@ -1418,6 +1440,50 @@ FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
   ON l.l_partkey = p.p_partkey
 WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
 """,
+        "url_dedup_stats": """
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example' || (doc_id % 7) || '.COM'
+         || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '/p/' || doc_id END
+         || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query
+  FROM raw
+), norm AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(
+           CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END,
+           '^www\\.', '') AS host,
+         CASE WHEN path = '/' THEN '' ELSE path END AS path,
+         COALESCE(array_to_string(
+           list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$'))),
+           '&'), '') AS qnorm
+  FROM parts
+), canon AS (
+  SELECT url,
+         CASE WHEN scheme = '' THEN ''
+              ELSE scheme || '://' || host || path
+                   || CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END
+         END AS canonical_url
+  FROM norm
+)
+SELECT CAST(count(*) AS BIGINT) AS total_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS distinct_raw,
+       CAST(count(DISTINCT canonical_url) AS BIGINT) AS distinct_canonical,
+       CAST(count(DISTINCT url) - count(DISTINCT canonical_url) AS BIGINT) AS merged
+FROM canon
+""",
         "span_dedup_rewrite": """
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS arr
@@ -1461,7 +1527,7 @@ WITH raw AS (
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-         regexp_extract(url, '\\?([^#]*)', 1) AS query
+         regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query
   FROM raw
 ), norm AS (
   SELECT doc_id, url, scheme,

@@ -204,16 +204,14 @@ def profile_table(
     return TableProfile(table=table_name, total_rows=total, columns=out)
 
 
-def fused_histograms(
-    df: DataFrame, specs: Mapping[str, tuple[float, float]], bins: int = 10
-) -> dict[str, list[int]]:
-    """Equi-width histograms for MANY columns in ONE aggregation pass:
-    bins × columns conditional sums (sum of bucket-indicator), map-side
-    combined by whole-stage codegen — the fix for the round-1 per-column
-    histogram job loop. Same bucket semantics as ``histogram()`` (floor
-    bucketing, both ends clamped, NULLs dropped)."""
-    if not specs:
-        return {}
+def histogram_exprs(
+    specs: Mapping[str, tuple[float, float]], bins: int = 10
+) -> list:
+    """The bins × columns conditional-sum expressions behind
+    ``fused_histograms`` — exposed so callers that need MORE aggregates
+    in the same pass (e.g. streaming.monitor_drift_stream adding a row
+    count) can extend ONE scan instead of launching a second job.
+    Aliases are ``{col}__h{b}``."""
     exprs = []
     for c, (lo, hi) in specs.items():
         col = F.col(c).cast("double")
@@ -226,7 +224,20 @@ def fused_histograms(
             exprs.append(
                 F.sum((col.isNotNull() & (bucket == b)).cast("long")).alias(f"{c}__h{b}")
             )
-    row = df.agg(*exprs).collect()[0]
+    return exprs
+
+
+def fused_histograms(
+    df: DataFrame, specs: Mapping[str, tuple[float, float]], bins: int = 10
+) -> dict[str, list[int]]:
+    """Equi-width histograms for MANY columns in ONE aggregation pass:
+    bins × columns conditional sums (sum of bucket-indicator), map-side
+    combined by whole-stage codegen — the fix for the round-1 per-column
+    histogram job loop. Same bucket semantics as ``histogram()`` (floor
+    bucketing, both ends clamped, NULLs dropped)."""
+    if not specs:
+        return {}
+    row = df.agg(*histogram_exprs(specs, bins)).collect()[0]
     return {c: [int(row[f"{c}__h{b}"] or 0) for b in range(bins)] for c in specs}
 
 

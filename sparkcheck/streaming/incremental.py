@@ -114,12 +114,15 @@ def monitor_drift_stream(
     histogram (or with degenerate lo==hi edges) are skipped, same as
     batch ``compare_profiles``.
 
-    Scale: the per-batch work is the same no-row-shuffle fused
-    aggregation as the batch profiler; state is zero (each batch scores
+    Scale: EXACTLY ONE scan per micro-batch — the row count rides the
+    same fused aggregation as the histogram conditional sums
+    (profile.histogram_exprs); state is zero (each batch scores
     independently against the immutable baseline), so the monitor
     sustains the batch engine's throughput within a trigger."""
+    from pyspark.sql import functions as _F
+
     from sparkcheck.drift.stats import psi_from_counts
-    from sparkcheck.profile.profiler import fused_histograms
+    from sparkcheck.profile.profiler import histogram_exprs
 
     specs: dict[str, tuple[float, float]] = {}
     base_counts: dict[str, list[int]] = {}
@@ -144,12 +147,17 @@ def monitor_drift_stream(
             "(profile with with_histograms=True)"
         )
 
+    exprs = histogram_exprs(specs, bins=bins) + [
+        _F.count(_F.lit(1)).alias("__n_rows")
+    ]
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        n_rows = batch_df.count()
+        row = batch_df.agg(*exprs).collect()[0]  # the batch's ONE job
+        n_rows = int(row["__n_rows"])
         findings: list[dict] = []
         if n_rows:
-            hists = fused_histograms(batch_df, specs, bins=bins)
-            for col, counts in hists.items():
+            for col in specs:
+                counts = [int(row[f"{col}__h{b}"] or 0) for b in range(bins)]
                 try:
                     psi = psi_from_counts(base_counts[col], counts)
                 except ValueError:

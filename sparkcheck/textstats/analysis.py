@@ -404,6 +404,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     k: int = 6,
     min_docs: int = 2,
+    storage_level=None,
 ) -> DataFrame:
     """The REWRITE half of span dedup (Lee et al. '22 style):
     ``cross_doc_span_stats`` reports corpus boilerplate; this removes
@@ -425,9 +426,16 @@ def remove_duplicate_spans(
          map-only under that broadcast;
       3. per-doc reassembly: ONE groupBy(id) collecting (pos, block)
          structs, array_sort (pos is the leading struct field), join.
-         This is the only O(text)-volume shuffle — the same order of
-         work as the suffix-array sort the paper's ExactSubstr dedup
-         performs, and it is keyed by uniform doc ids.
+         This is the only O(text)-volume SHUFFLE — but the tokenize
+         subtree appears in three consumers (shared set, anti-join
+         probe, final remainder join) and Spark does not dedup common
+         subplans, so by default the source is scanned+tokenized three
+         times (the re-scan of a pruned columnar source usually beats
+         caching decoded rows — BENCH/VERDICTS_SINK.md). Pass
+         ``storage_level`` (e.g. ``StorageLevel.MEMORY_AND_DISK``) to
+         persist the tokenized base ONCE instead — the right call when
+         the source is remote/non-columnar or tokenization dominates;
+         the frame stays persisted for the caller to release.
 
     Docs shorter than k words pass through with zero spans; NULL text
     is dropped (engine-wide NULL-skip contract)."""
@@ -437,6 +445,8 @@ def remove_duplicate_spans(
         toks.alias("_toks"),
         F.floor(F.size(toks) / k).cast("int").alias("_nblk"),
     )
+    if storage_level is not None:
+        base = base.persist(storage_level)
     positioned = base.where(F.col("_nblk") >= 1).select(
         "id",
         F.explode(

@@ -30,7 +30,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-QUERY_RE = r"\?([^#]*)"
+# the query starts at the first '?' BEFORE any '#': a '?' inside the
+# fragment (SPA routes like /#/route?x=1) is fragment content, not a
+# query — [^#?]* forbids crossing a '#' to find one
+QUERY_RE = r"^[^#?]*\?([^#]*)"
 # a param is dropped when its NAME matches (with or without a value)
 TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$"
 
@@ -76,11 +79,28 @@ def url_dedup_stats(
 ) -> DataFrame:
     """One-row summary of how much URL canonicalization merges:
     (total_urls, distinct_raw, distinct_canonical, merged) — the
-    pre-flight a crawl dedup runs to size the win. One aggregation."""
+    pre-flight a crawl dedup runs to size the win.
+
+    Two-phase shape: ONE groupBy(url) with map-side combine reduces the
+    corpus to its distinct URLs (canonical form rides along — it is a
+    function of the url, so one per group), then a single-distinct agg
+    over that much smaller frame. Two distinct aggregates over
+    different expressions in one agg would plan an Expand that triples
+    the shuffled row volume (the CLAUDE.md Expand-blowup class); this
+    shuffles each distinct url once."""
     canon = canonicalize_url(F.col(url_col), strip_www=strip_www)
-    return df.where(F.col(url_col).isNotNull()).agg(
-        F.count(F.lit(1)).alias("total_urls"),
-        F.count_distinct(F.col(url_col)).alias("distinct_raw"),
-        F.count_distinct(canon).alias("distinct_canonical"),
-        (F.count_distinct(F.col(url_col)) - F.count_distinct(canon)).alias("merged"),
+    per_url = (
+        df.where(F.col(url_col).isNotNull())
+        .groupBy(F.col(url_col).alias("_u"))
+        .agg(F.count(F.lit(1)).alias("_n"), F.first(canon).alias("_c"))
+    )
+    return per_url.agg(
+        F.sum("_n").cast("long").alias("total_urls"),
+        F.count(F.lit(1)).cast("long").alias("distinct_raw"),
+        F.count_distinct(F.col("_c")).alias("distinct_canonical"),
+    ).select(
+        "total_urls",
+        "distinct_raw",
+        "distinct_canonical",
+        (F.col("distinct_raw") - F.col("distinct_canonical")).alias("merged"),
     )

@@ -364,3 +364,22 @@ def test_remove_duplicate_spans_golden(spark):
     r1 = {r["doc_id"]: r for r in
           remove_duplicate_spans(df2, k=6, min_docs=2).collect()}
     assert r1[1]["clean_text"] == a_rest and r1[1]["removed_spans"] == 2
+
+
+def test_remove_duplicate_spans_persisted_path_identical(spark):
+    """storage_level= persists the tokenized base (one tokenize pass);
+    output must be identical to the default re-scan path."""
+    from pyspark import StorageLevel
+
+    from sparkcheck.textstats import remove_duplicate_spans
+
+    boiler = "please accept cookies to continue reading"
+    rows = [(1, f"{boiler} unique alpha text body words here"),
+            (2, f"{boiler} other beta text body words there")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, remove_duplicate_spans(df, k=6, min_docs=2).collect()))
+    b = sorted(map(tuple, remove_duplicate_spans(
+        df, k=6, min_docs=2,
+        storage_level=StorageLevel.MEMORY_AND_DISK).collect()))
+    assert a == b
+    spark.catalog.clearCache()

@@ -192,6 +192,10 @@ def test_canonicalize_url_golden(spark):
         ("https://ex.com/?ref=drop&ref", "https://ex.com"),
         ("not a url", ""),
         ("https://ex.com/a?z=1&y=2&utm_campaign=c", "https://ex.com/a?y=2&z=1"),
+        # a '?' inside the fragment is fragment content, NOT a query
+        # (SPA routes) — review r4 finding
+        ("https://app.com/#/route?x=1", "https://app.com"),
+        ("https://app.com/p#frag?x=1&y=2", "https://app.com/p"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i long, url string")
