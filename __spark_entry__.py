@@ -876,6 +876,25 @@ def q_url_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
     return url_dedup_stats(d.select(url.alias("url")), strip_www=True)
 
 
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingest dedup (dedup.incremental_near_duplicates):
+    a synthetic 'new batch' (every 10th doc, re-keyed +100000) probes
+    the corpus's LSH band index with one cross-frame equi-join — cost
+    scales with the batch, never a corpus self-join. The oracle
+    reproduces signatures, bands, the cross join and the exact-Jaccard
+    verify byte-for-byte."""
+    from sparkcheck.dedup import incremental_near_duplicates
+
+    d = _t(spark, sf, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return incremental_near_duplicates(
+        new, d, k=3, num_hashes=8, rows_per_band=2, threshold=0.5,
+        max_bucket=None,
+    )
+
+
 def q_span_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     """Span-dedup REWRITE (textstats.remove_duplicate_spans — the
     transform half of Lee et al. '22): 6-word blocks shared by ≥2
@@ -1046,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_candidates": q_fk_candidates,
         "canonical_urls": q_canonical_urls,
         "url_dedup_stats": q_url_dedup_stats,
+        "incremental_dedup": q_incremental_dedup,
         "span_dedup_rewrite": q_span_dedup_rewrite,
         "rules_summary": q_rules_summary,
         "profile_stats": q_profile_stats,
@@ -1439,6 +1459,66 @@ SELECT count(*) AS orphan_count, count(DISTINCT l.l_partkey) AS distinct_orphan_
 FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
   ON l.l_partkey = p.p_partkey
 WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+""",
+        "incremental_dedup": """
+WITH corpus_sh AS (
+  SELECT DISTINCT doc_id AS id,
+         CASE WHEN len(arr) >= 3
+              THEN array_to_string(arr[i:i+2], ' ')
+              ELSE array_to_string(arr, ' ') END AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        WHERE text IS NOT NULL) t,
+       unnest(generate_series(1, GREATEST(len(arr) - 2, 1))) AS u(i)
+), new_sh AS (
+  SELECT DISTINCT doc_id + 100000 AS id,
+         CASE WHEN len(arr) >= 3
+              THEN array_to_string(arr[i:i+2], ' ')
+              ELSE array_to_string(arr, ' ') END AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        WHERE text IS NOT NULL AND doc_id % 10 = 0) t,
+       unnest(generate_series(1, GREATEST(len(arr) - 2, 1))) AS u(i)
+), corpus_sigs AS (
+  SELECT id, min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+         min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+         min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
+         min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
+  FROM corpus_sh GROUP BY id
+), new_sigs AS (
+  SELECT id, min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+         min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+         min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
+         min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
+  FROM new_sh GROUP BY id
+), corpus_bands AS (
+  SELECT id, 0 AS band_idx, mh_0 || mh_1 AS band_key FROM corpus_sigs UNION ALL
+  SELECT id, 1, mh_2 || mh_3 FROM corpus_sigs UNION ALL
+  SELECT id, 2, mh_4 || mh_5 FROM corpus_sigs UNION ALL
+  SELECT id, 3, mh_6 || mh_7 FROM corpus_sigs
+), new_bands AS (
+  SELECT id, 0 AS band_idx, mh_0 || mh_1 AS band_key FROM new_sigs UNION ALL
+  SELECT id, 1, mh_2 || mh_3 FROM new_sigs UNION ALL
+  SELECT id, 2, mh_4 || mh_5 FROM new_sigs UNION ALL
+  SELECT id, 3, mh_6 || mh_7 FROM new_sigs
+), cands AS (
+  SELECT DISTINCT n.id AS id_a, c.id AS id_b
+  FROM new_bands n JOIN corpus_bands c
+    ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+), sizes_new AS (SELECT id, count(*) AS sz FROM new_sh GROUP BY id),
+sizes_corpus AS (SELECT id, count(*) AS sz FROM corpus_sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM new_sh a JOIN corpus_sh b ON a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT id_a, id_b,
+         round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+  FROM inter JOIN sizes_new sa ON sa.id = id_a
+             JOIN sizes_corpus sb ON sb.id = id_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+)
+SELECT v.* FROM verified v SEMI JOIN cands c
+  ON v.id_a = c.id_a AND v.id_b = c.id_b
 """,
         "url_dedup_stats": """
 WITH raw AS (

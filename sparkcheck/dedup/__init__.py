@@ -1,6 +1,8 @@
 from sparkcheck.dedup.exact import drop_exact_duplicates, exact_duplicate_groups
 from sparkcheck.dedup.jaccard import jaccard_for_pairs, jaccard_pairs, shingles
 from sparkcheck.dedup.minhash import (
+    band_assignments,
+    incremental_near_duplicates,
     lsh_candidate_pairs,
     minhash_near_duplicates,
     minhash_signatures,
@@ -18,7 +20,9 @@ __all__ = [
     "jaccard_for_pairs",
     "jaccard_pairs",
     "minhash_signatures",
+    "band_assignments",
     "lsh_candidate_pairs",
+    "incremental_near_duplicates",
     "minhash_near_duplicates",
     "simhash",
     "simhash_near_duplicates",

@@ -50,17 +50,15 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_assignments(
     signatures: DataFrame,
     num_hashes: int = 8,
     rows_per_band: int = 2,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
-
-    Bands are materialized by ONE explode (band_idx, band_key) rather
-    than b separate self-joins; the self-join happens once on
-    (band_idx, band_key)."""
+    """(id, band_idx, band_key) — one row per doc per band, materialized
+    by ONE explode. This frame IS the corpus's LSH index: persist it as
+    a table and incremental batches probe it without touching corpus
+    text (incremental_near_duplicates)."""
     assert num_hashes % rows_per_band == 0
     bands = num_hashes // rows_per_band
     band_structs = F.array(
@@ -74,9 +72,23 @@ def lsh_candidate_pairs(
             for j in range(bands)
         ]
     )
-    banded = signatures.select("id", F.explode(band_structs).alias("b")).select(
+    return signatures.select("id", F.explode(band_structs).alias("b")).select(
         "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Bands are materialized by ONE explode (band_idx, band_key) rather
+    than b separate self-joins; the self-join happens once on
+    (band_idx, band_key)."""
+    banded = band_assignments(signatures, num_hashes, rows_per_band)
     if max_bucket is not None:
         hot = (
             banded.groupBy("band_idx", "band_key")
@@ -118,3 +130,68 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, rows_per_band, max_bucket)
     return jaccard_for_pairs(df, cands, text_col, id_col, k, threshold)
+
+
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_bands: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an EXISTING corpus —
+    the incremental-ingest question ("is this crawl batch already in
+    the training set?") answered WITHOUT re-self-joining the corpus:
+
+      1. the corpus's band index (``band_assignments``) is built once —
+         or passed in pre-materialized via ``corpus_bands`` (the
+         intended shape: a persisted table the pipeline appends to as
+         batches are accepted);
+      2. the new batch's bands PROBE it with one equi-join on
+         (band_idx, band_key) — cost scales with the BATCH, not the
+         corpus (the corpus side is touched only at matching keys);
+      3. hot corpus buckets (> ``max_bucket`` members — boilerplate
+         clusters) are dropped before the probe, same guard as the
+         batch path;
+      4. candidates verify with the pair-restricted exact Jaccard over
+         the union of both frames — corpus docs not in any candidate
+         pair are never shingled (jaccard_for_pairs' semi-join
+         restriction).
+
+    Ids must be globally unique across both frames (pairs are
+    (id_a=new, id_b=corpus)). Returns (id_a, id_b, jaccard ≥ threshold).
+    New-batch-internal duplicates are NOT reported — run
+    ``minhash_near_duplicates`` on the batch for those."""
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
+    new_bands = band_assignments(new_sigs, num_hashes, rows_per_band)
+    if corpus_bands is None:
+        corpus_bands = band_assignments(
+            minhash_signatures(corpus_docs, text_col, id_col, k, num_hashes),
+            num_hashes,
+            rows_per_band,
+        )
+    if max_bucket is not None:
+        hot = (
+            corpus_bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .where(F.col("f") > max_bucket)
+            .select("band_idx", "band_key")
+        )
+        corpus_bands = corpus_bands.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
+    cands = (
+        new_bands.alias("n")
+        .join(corpus_bands.alias("c"), on=["band_idx", "band_key"])
+        .select(F.col("n.id").alias("id_a"), F.col("c.id").alias("id_b"))
+        .distinct()
+    )
+    both = new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+        corpus_docs.select(F.col(id_col), F.col(text_col))
+    )
+    return jaccard_for_pairs(both, cands, text_col, id_col, k, threshold)

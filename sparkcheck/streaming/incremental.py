@@ -109,10 +109,12 @@ def monitor_drift_stream(
     ``baseline``: a TableProfile whose columns carry histogram +
     histogram_lo/hi (the drift baseline written by ``sparkcheck
     profile``). ``on_batch(findings, batch_id)`` receives one dict per
-    monitored column: {column, psi, drifted, n_rows, batch_id} — append
-    it to an alerts table / history file. Columns without a stored
-    histogram (or with degenerate lo==hi edges) are skipped, same as
-    batch ``compare_profiles``.
+    monitored column: {column, psi, ks, drifted, n_rows, batch_id} —
+    append it to an alerts table / history file (ks is the binned-CDF
+    sup-distance, computed from the same counts at zero extra cost;
+    the drifted verdict is PSI-gated like batch compare_profiles).
+    Columns without a stored histogram (or with degenerate lo==hi
+    edges) are skipped, same as batch ``compare_profiles``.
 
     Scale: EXACTLY ONE scan per micro-batch — the row count rides the
     same fused aggregation as the histogram conditional sums
@@ -121,7 +123,7 @@ def monitor_drift_stream(
     sustains the batch engine's throughput within a trigger."""
     from pyspark.sql import functions as _F
 
-    from sparkcheck.drift.stats import psi_from_counts
+    from sparkcheck.drift.stats import ks_from_binned, psi_from_counts
     from sparkcheck.profile.profiler import histogram_exprs
 
     specs: dict[str, tuple[float, float]] = {}
@@ -160,11 +162,13 @@ def monitor_drift_stream(
                 counts = [int(row[f"{col}__h{b}"] or 0) for b in range(bins)]
                 try:
                     psi = psi_from_counts(base_counts[col], counts)
+                    ks = ks_from_binned(base_counts[col], counts)
                 except ValueError:
                     continue  # empty batch slice for this column
                 findings.append({
                     "column": col,
                     "psi": psi,
+                    "ks": ks,
                     "drifted": psi > psi_threshold,
                     "n_rows": n_rows,
                     "batch_id": batch_id,

@@ -474,3 +474,49 @@ def test_dedup_corpus_checkpoint_resume(spark, tmp_path, monkeypatch):
         dedup_corpus(df, quality_col="quality", threshold=0.5, num_hashes=8,
                      rows_per_band=2, checkpoint_dir=ckpt,
                      input_fingerprint="snap-2")
+
+
+def test_incremental_near_duplicates_probe(spark):
+    """Incremental ingest: a new batch probes the corpus's persisted
+    band index; cross-frame near-dups found, batch-internal and
+    corpus-internal pairs NOT reported, id semi-restriction keeps
+    untouched corpus docs out of the verify stage."""
+    from sparkcheck.dedup import (
+        band_assignments,
+        incremental_near_duplicates,
+        minhash_signatures,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(100, base + " corpus one"),
+         (101, "totally unrelated corpus text with other words entirely"),
+         (102, base + " corpus one")],       # corpus-internal dup of 100
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base + " corpus one"),          # dup of corpus 100/102
+         (2, "fresh new content that matches nothing in the corpus"),
+         (3, base + " corpus one")],         # dup of corpus AND of new 1
+        "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           incremental_near_duplicates(new, corpus, threshold=0.5,
+                                       num_hashes=8, rows_per_band=2).collect()}
+    assert set(got) == {(1, 100), (1, 102), (3, 100), (3, 102)}
+    assert all(j == 1.0 for j in got.values())
+    # pairs are (new, corpus) only: no (100,102) corpus pair, no (1,3)
+
+    # pre-materialized band index path gives identical results
+    bands = band_assignments(minhash_signatures(corpus, num_hashes=8),
+                             num_hashes=8, rows_per_band=2)
+    got2 = {(r["id_a"], r["id_b"]) for r in
+            incremental_near_duplicates(new, corpus, corpus_bands=bands,
+                                        threshold=0.5, num_hashes=8,
+                                        rows_per_band=2).collect()}
+    assert got2 == set(got)
+
+    # hot-bucket cap drops boilerplate corpus buckets entirely
+    capped = incremental_near_duplicates(new, corpus, threshold=0.5,
+                                         num_hashes=8, rows_per_band=2,
+                                         max_bucket=1).count()
+    assert capped == 0  # the shared-text bucket has 2 corpus members > 1

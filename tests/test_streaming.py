@@ -175,6 +175,10 @@ def test_monitor_drift_stream(spark, tmp_path):
     # with PSI scored on 10 aligned bins
     assert findings and all(f["column"] == "v" for f in findings)
     assert any(f["drifted"] and f["psi"] > 0.25 for f in findings)
+    # KS rides the same counts: even if availableNow merges both files
+    # into one 50/50 batch, the CDF gap at the 9th bin edge is >= 0.45
+    assert any(f["ks"] >= 0.4 for f in findings)
+    assert all(0.0 <= f["ks"] <= 1.0 for f in findings)
     if len(findings) == 2:  # two batches: the in-distribution one is quiet
         by_batch = sorted(findings, key=lambda f: f["batch_id"])
         assert not by_batch[0]["drifted"] and by_batch[1]["drifted"]
