@@ -54,6 +54,25 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """One-call corpus report card (webtext.corpus_report): volume,
+    tokens, quality, language mix, PII, repetition, duplication."""
+    from sparkcheck.webtext import corpus_report, render_corpus_html
+
+    spark = _spark(args.cpus)
+    df = spark.read.parquet(args.table)
+    rep = corpus_report(df, text_col=args.text_col, id_col=args.id_col)
+    with open(args.out, "w") as f:
+        json.dump(rep, f, indent=2)
+    if getattr(args, "html", None):
+        with open(args.html, "w") as f:
+            f.write(render_corpus_html(rep, title=f"corpus report — {args.table}"))
+    print(json.dumps({"docs": rep["docs"], "out": args.out,
+                      "exact_dup_rate": rep["duplication"]["exact_dup_rate"],
+                      "pii_rate": rep["pii"]["any_pii_rate"]}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from sparkcheck.io.config import load_ruleset_yaml
     from sparkcheck.io.sinks import write_report_json
@@ -370,6 +389,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="exact distinct counts (default: HLL approx — the "
                         "skew-proof profiling mode)")
     p.set_defaults(fn=cmd_profile)
+
+    cr = sub.add_parser("corpus", help="corpus quality report card → JSON")
+    cr.add_argument("--table", required=True)
+    cr.add_argument("--text-col", default="text", dest="text_col")
+    cr.add_argument("--id-col", default="doc_id", dest="id_col")
+    cr.add_argument("--out", required=True)
+    cr.add_argument("--html", default=None, help="also render the report page")
+    cr.set_defaults(fn=cmd_corpus)
 
     v = sub.add_parser("validate", help="run a YAML rule suite")
     v.add_argument("--table", required=True)

@@ -1,6 +1,7 @@
 from sparkcheck.webtext.generate import webtext_table, PLANTED, webtext_rules
 from sparkcheck.webtext.hosts import host_stats, url_host
 from sparkcheck.webtext.urls import canonicalize_url, url_dedup_stats
+from sparkcheck.webtext.report import corpus_report, render_corpus_html
 
 __all__ = [
     "webtext_table",
@@ -10,4 +11,6 @@ __all__ = [
     "url_host",
     "canonicalize_url",
     "url_dedup_stats",
+    "corpus_report",
+    "render_corpus_html",
 ]

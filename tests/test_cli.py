@@ -179,3 +179,14 @@ def test_cli_validate_all_rulesets(spark, tmp_path):
     rows = list(_csv.DictReader(open(csvp)))
     assert {(r["rule_set"], r["rule_id"]) for r in rows} == \
            {("docs_checks", "nn"), ("orders_checks", "bad_enum")}
+
+
+def test_cli_corpus_report(spark, tmp_path):
+    out = str(tmp_path / "corpus.json")
+    page = str(tmp_path / "corpus.html")
+    assert main(["corpus", "--table", DOCS, "--out", out, "--html", page]) == 0
+    rep = json.load(open(out))
+    assert rep["docs"] == 500 and rep["tokens"]["total"] > 0
+    assert "langs" in rep and rep["quality"]["mean_quality"] > 0
+    doc = open(page).read()
+    assert "Language mix" in doc and "exact duplicate docs" in doc

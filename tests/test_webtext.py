@@ -213,3 +213,41 @@ def test_canonicalize_url_golden(spark):
     s = url_dedup_stats(variants).collect()[0]
     assert (s["total_urls"], s["distinct_raw"], s["distinct_canonical"],
             s["merged"]) == (4, 4, 2, 2)
+
+
+def test_corpus_report_card(spark):
+    """One-call corpus report: planted nulls/dups/PII/spam/Spanish show
+    up in the right buckets; HTML renders the metric table + lang bars."""
+    from sparkcheck.webtext import corpus_report, render_corpus_html
+
+    good = "the cat and the dog walk over to the house of a friend today"
+    rows = [
+        (0, good),
+        (1, good),                                    # exact dup of 0
+        (2, "el perro de la casa que ladra mucho y duerme poco cada noche"),
+        (3, "buy now buy now buy now buy now buy now buy now"),   # spam
+        (4, "contact me at a@b.com for the offer please and thanks a lot"),
+        (5, None),                                    # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = corpus_report(df)
+    assert rep["docs"] == 6 and rep["null_text"] == 1
+    assert rep["duplication"]["exact_dup_docs"] == 1
+    assert rep["duplication"]["exact_dup_rate"] == 0.2  # 1 of 5 non-null
+    assert rep["pii"]["total_hits"] == 1 and 0 < rep["pii"]["any_pii_rate"] <= 0.2
+    assert rep["repetition"]["repetitive_rate"] >= 0.2  # the spam doc flags
+    assert rep["langs"].get("en", 0) >= 3 and rep["langs"].get("es", 0) >= 1
+    assert rep["tokens"]["total"] > 0 and 0 < rep["quality"]["mean_quality"] <= 1
+
+    import json
+    json.dumps(rep)  # JSON-serializable contract
+
+    doc = render_corpus_html(rep)
+    assert "exact duplicate docs" in doc and "Language mix" in doc
+    assert 'class="kbar"' in doc  # lang bars rendered
+
+    # persisted-base path returns identical numbers
+    from pyspark import StorageLevel
+    rep2 = corpus_report(df, storage_level=StorageLevel.MEMORY_AND_DISK)
+    assert rep2 == rep
+    spark.catalog.clearCache()
