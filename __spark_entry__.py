@@ -1138,6 +1138,35 @@ shingles AS (
 )
 """
 
+def _shingles_cte(name: str, id_expr: str = "doc_id", extra_where: str = "") -> str:
+    """Parameterized form of _SHINGLES for multi-frame oracles
+    (incremental_dedup) — one definition of the shingle convention."""
+    return f"""{name} AS (
+  SELECT DISTINCT {id_expr} AS id,
+         CASE WHEN len(arr) >= 3
+              THEN array_to_string(arr[i:i+2], ' ')
+              ELSE array_to_string(arr, ' ') END AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        WHERE text IS NOT NULL{extra_where}) t,
+       unnest(generate_series(1, GREATEST(len(arr) - 2, 1))) AS u(i)
+)"""
+
+
+def _sigs_cte(name: str, src: str) -> str:
+    """8-hash MinHash signature CTE (min over md5('{i}|'||shingle))."""
+    cols = ", ".join(f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(8))
+    return f"{name} AS (\n  SELECT id, {cols}\n  FROM {src} GROUP BY id\n)"
+
+
+def _bands_cte(name: str, src: str) -> str:
+    """4 bands × 2 rows banding CTE over an 8-hash signature frame."""
+    body = " UNION ALL ".join(
+        f"SELECT id, {j} AS band_idx, mh_{2 * j} || mh_{2 * j + 1} AS band_key FROM {src}"
+        for j in range(4)
+    )
+    return f"{name} AS (\n  {body}\n)"
+
+
 _JACCARD = f"""
 WITH {_SHINGLES},
 sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
@@ -1460,46 +1489,15 @@ FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
   ON l.l_partkey = p.p_partkey
 WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
 """,
-        "incremental_dedup": """
-WITH corpus_sh AS (
-  SELECT DISTINCT doc_id AS id,
-         CASE WHEN len(arr) >= 3
-              THEN array_to_string(arr[i:i+2], ' ')
-              ELSE array_to_string(arr, ' ') END AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-        WHERE text IS NOT NULL) t,
-       unnest(generate_series(1, GREATEST(len(arr) - 2, 1))) AS u(i)
-), new_sh AS (
-  SELECT DISTINCT doc_id + 100000 AS id,
-         CASE WHEN len(arr) >= 3
-              THEN array_to_string(arr[i:i+2], ' ')
-              ELSE array_to_string(arr, ' ') END AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-        WHERE text IS NOT NULL AND doc_id % 10 = 0) t,
-       unnest(generate_series(1, GREATEST(len(arr) - 2, 1))) AS u(i)
-), corpus_sigs AS (
-  SELECT id, min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
-         min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
-         min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
-         min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
-  FROM corpus_sh GROUP BY id
-), new_sigs AS (
-  SELECT id, min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
-         min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
-         min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
-         min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
-  FROM new_sh GROUP BY id
-), corpus_bands AS (
-  SELECT id, 0 AS band_idx, mh_0 || mh_1 AS band_key FROM corpus_sigs UNION ALL
-  SELECT id, 1, mh_2 || mh_3 FROM corpus_sigs UNION ALL
-  SELECT id, 2, mh_4 || mh_5 FROM corpus_sigs UNION ALL
-  SELECT id, 3, mh_6 || mh_7 FROM corpus_sigs
-), new_bands AS (
-  SELECT id, 0 AS band_idx, mh_0 || mh_1 AS band_key FROM new_sigs UNION ALL
-  SELECT id, 1, mh_2 || mh_3 FROM new_sigs UNION ALL
-  SELECT id, 2, mh_4 || mh_5 FROM new_sigs UNION ALL
-  SELECT id, 3, mh_6 || mh_7 FROM new_sigs
-), cands AS (
+        "incremental_dedup": f"""
+WITH {_shingles_cte("corpus_sh")},
+{_shingles_cte("new_sh", id_expr="doc_id + 100000",
+               extra_where=" AND doc_id % 10 = 0")},
+{_sigs_cte("corpus_sigs", "corpus_sh")},
+{_sigs_cte("new_sigs", "new_sh")},
+{_bands_cte("corpus_bands", "corpus_sigs")},
+{_bands_cte("new_bands", "new_sigs")},
+cands AS (
   SELECT DISTINCT n.id AS id_a, c.id AS id_b
   FROM new_bands n JOIN corpus_bands c
     ON n.band_idx = c.band_idx AND n.band_key = c.band_key

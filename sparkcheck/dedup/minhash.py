@@ -77,6 +77,18 @@ def band_assignments(
     )
 
 
+def _hot_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """(band_idx, band_key) of buckets whose membership exceeds the cap
+    — the h²-blowup guard shared by the batch and incremental paths (a
+    single definition so their counting semantics cannot diverge)."""
+    return (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .where(F.col("f") > max_bucket)
+        .select("band_idx", "band_key")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 8,
@@ -90,12 +102,7 @@ def lsh_candidate_pairs(
     (band_idx, band_key)."""
     banded = band_assignments(signatures, num_hashes, rows_per_band)
     if max_bucket is not None:
-        hot = (
-            banded.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("f"))
-            .where(F.col("f") > max_bucket)
-            .select("band_idx", "band_key")
-        )
+        hot = _hot_buckets(banded, max_bucket)
         banded = banded.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -155,9 +162,11 @@ def incremental_near_duplicates(
       2. the new batch's bands PROBE it with one equi-join on
          (band_idx, band_key) — cost scales with the BATCH, not the
          corpus (the corpus side is touched only at matching keys);
-      3. hot corpus buckets (> ``max_bucket`` members — boilerplate
-         clusters) are dropped before the probe, same guard as the
-         batch path;
+      3. hot buckets (> ``max_bucket`` COMBINED members across the
+         corpus index and the new batch — boilerplate clusters) are
+         dropped from both sides before the probe, the same counting
+         rule as the batch path: a boilerplate-heavy batch must not
+         re-grow the m×cap blowup a corpus-only count would allow;
       4. candidates verify with the pair-restricted exact Jaccard over
          the union of both frames — corpus docs not in any candidate
          pair are never shingled (jaccard_for_pairs' semi-join
@@ -176,13 +185,16 @@ def incremental_near_duplicates(
             rows_per_band,
         )
     if max_bucket is not None:
-        hot = (
-            corpus_bands.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("f"))
-            .where(F.col("f") > max_bucket)
-            .select("band_idx", "band_key")
+        hot = _hot_buckets(
+            corpus_bands.select("band_idx", "band_key").unionByName(
+                new_bands.select("band_idx", "band_key")
+            ),
+            max_bucket,
         )
         corpus_bands = corpus_bands.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
+        new_bands = new_bands.join(
             F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
         )
     cands = (

@@ -30,6 +30,19 @@ def corpus_report(
     storage_level=None,
 ) -> dict[str, Any]:
     """Corpus-quality summary dict (JSON-serializable)."""
+    base = df
+    if storage_level is not None:
+        base = base.persist(storage_level)
+    try:
+        return _collect_report(base, text_col, id_col, lang_top_k)
+    finally:
+        if storage_level is not None:
+            base.unpersist()
+
+
+def _collect_report(
+    base: DataFrame, text_col: str, id_col: str, lang_top_k: int
+) -> dict[str, Any]:
     from sparkcheck.dedup import exact_duplicate_groups
     from sparkcheck.textstats import (
         gopher_quality_flags,
@@ -39,10 +52,6 @@ def corpus_report(
         repetition_stats,
         token_stats,
     )
-
-    base = df
-    if storage_level is not None:
-        base = base.persist(storage_level)
 
     vol = base.agg(
         F.count(F.lit(1)).alias("docs"),
@@ -91,11 +100,14 @@ def corpus_report(
         ),
     ).collect()[0]
     n_docs = int(vol["docs"])
-    n_nonnull = n_docs - int(vol["null_text"])
+    # sum over zero rows is NULL — an empty table must return a zeroed
+    # report, not a TypeError
+    n_null = int(vol["null_text"] or 0)
+    n_nonnull = n_docs - n_null
 
     return {
         "docs": n_docs,
-        "null_text": int(vol["null_text"]),
+        "null_text": n_null,
         "tokens": {
             "total": int(tok["total_tokens"] or 0),
             "mean_per_doc": float(tok["mean_tokens_per_doc"] or 0.0),

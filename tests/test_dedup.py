@@ -520,3 +520,25 @@ def test_incremental_near_duplicates_probe(spark):
                                          num_hashes=8, rows_per_band=2,
                                          max_bucket=1).count()
     assert capped == 0  # the shared-text bucket has 2 corpus members > 1
+
+
+def test_incremental_cap_counts_both_sides(spark):
+    """Review fix: the hot-bucket cap counts COMBINED corpus+batch
+    membership — a boilerplate-heavy batch alone must trip it, even
+    when the corpus side of the bucket is cold."""
+    from sparkcheck.dedup import incremental_near_duplicates
+
+    boiler = "x y z w v u t s r q"
+    corpus = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    new = spark.createDataFrame([(i, boiler) for i in range(8)],
+                                "doc_id long, text string")
+    # corpus bucket membership is 1 (under any corpus-only cap of 5);
+    # combined membership is 9 > 5 -> the bucket must be dropped
+    capped = incremental_near_duplicates(new, corpus, threshold=0.5,
+                                         num_hashes=8, rows_per_band=2,
+                                         max_bucket=5).count()
+    assert capped == 0
+    uncapped = incremental_near_duplicates(new, corpus, threshold=0.5,
+                                           num_hashes=8, rows_per_band=2,
+                                           max_bucket=None).count()
+    assert uncapped == 8  # every batch doc pairs with the corpus doc

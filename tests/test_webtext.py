@@ -251,3 +251,16 @@ def test_corpus_report_card(spark):
     rep2 = corpus_report(df, storage_level=StorageLevel.MEMORY_AND_DISK)
     assert rep2 == rep
     spark.catalog.clearCache()
+
+
+def test_corpus_report_empty_table(spark):
+    """Review fix: an empty corpus returns a zeroed report, not a
+    TypeError from NULL sums."""
+    from sparkcheck.webtext import corpus_report
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rep = corpus_report(empty)
+    assert rep["docs"] == 0 and rep["null_text"] == 0
+    assert rep["tokens"]["total"] == 0
+    assert rep["duplication"] == {"exact_dup_docs": 0, "exact_dup_rate": 0.0}
+    assert rep["langs"] == {}
