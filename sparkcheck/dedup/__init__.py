@@ -6,6 +6,7 @@ from sparkcheck.dedup.minhash import (
     lsh_candidate_pairs,
     minhash_near_duplicates,
     minhash_signatures,
+    write_band_index,
 )
 from sparkcheck.dedup.simhash import simhash, simhash_near_duplicates
 from sparkcheck.dedup.embedding import auto_lsh_params, embedding_near_duplicates
@@ -23,6 +24,7 @@ __all__ = [
     "band_assignments",
     "lsh_candidate_pairs",
     "incremental_near_duplicates",
+    "write_band_index",
     "minhash_near_duplicates",
     "simhash",
     "simhash_near_duplicates",

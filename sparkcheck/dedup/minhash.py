@@ -139,6 +139,29 @@ def minhash_near_duplicates(
     return jaccard_for_pairs(df, cands, text_col, id_col, k, threshold)
 
 
+def write_band_index(
+    bands: DataFrame,
+    table: str,
+    num_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an LSH band index (``band_assignments`` output) as a
+    catalog table BUCKETED on (band_idx, band_key) — exactly the
+    incremental probe's join keys, which Spark requires in full for
+    co-partitioning (spark.sql.requireAllClusterKeysForCoPartition,
+    default true): every later probe joins with NO Exchange on the
+    INDEX side — only the (small) new batch shuffles, to the bucket
+    count. The one-time bucketed-write shuffle amortizes across every
+    future batch; in production the same shape is Iceberg's
+    bucket(N, ...) partition transform."""
+    from sparkcheck.io.bucketed import write_bucketed
+
+    write_bucketed(
+        bands, table, bucket_cols=["band_idx", "band_key"],
+        num_buckets=num_buckets, sort_cols=["band_idx", "band_key"], mode=mode,
+    )
+
+
 def incremental_near_duplicates(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

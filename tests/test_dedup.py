@@ -542,3 +542,50 @@ def test_incremental_cap_counts_both_sides(spark):
                                            num_hashes=8, rows_per_band=2,
                                            max_bucket=None).count()
     assert uncapped == 8  # every batch doc pairs with the corpus doc
+
+
+def test_band_index_bucketed_probe_no_index_exchange(spark, tmp_path):
+    """write_band_index persists the LSH index bucketed on band_key:
+    a probe join re-shuffles ONLY the new batch — the index side scans
+    its co-located buckets with no Exchange (the 100 TB shape: batch
+    cost per probe, corpus cost once)."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.dedup import (
+        band_assignments,
+        minhash_signatures,
+        write_band_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta doc {i}") for i in range(50)],
+        "doc_id long, text string")
+    bands = band_assignments(minhash_signatures(corpus, num_hashes=8),
+                             num_hashes=8, rows_per_band=2)
+    write_band_index(bands, "band_index_test", num_buckets=4)
+    try:
+        idx = spark.table("band_index_test")
+        new = spark.createDataFrame(
+            [(1000, "alpha beta gamma delta epsilon zeta eta doc 7")],
+            "doc_id long, text string")
+        nb = band_assignments(minhash_signatures(new, num_hashes=8),
+                              num_hashes=8, rows_per_band=2)
+        probe = nb.alias("n").join(idx.alias("c"), on=["band_idx", "band_key"]) \
+            .select(F.col("n.id").alias("id_a"), F.col("c.id").alias("id_b")).distinct()
+        assert probe.count() >= 1  # the near-identical doc matches
+        # force SMJ (a tiny index would broadcast, hiding the property
+        # under test) and assert: bucketed index scan, NO Exchange on
+        # the index side, exactly one band-key Exchange (the batch)
+        import re
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Bucketed: true" in plan, plan
+        assert len(re.findall(r"Exchange hashpartitioning\(band", plan)) == 1, plan
+        scan_pos = plan.find("FileScan parquet")
+        assert "Exchange" not in plan[scan_pos - 400:scan_pos], plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_test")
