@@ -40,6 +40,21 @@ from sparkcheck.dedup.exact import drop_exact_duplicates
 from sparkcheck.dedup.minhash import minhash_near_duplicates
 
 
+def _drop_url_duplicates(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative per CANONICAL url; NULL-url rows
+    are exempt (pass through) — same contract as exact content dedup."""
+    from sparkcheck.webtext.urls import canonicalize_url
+
+    keep = (
+        df.where(F.col(url_col).isNotNull())
+        .groupBy(canonicalize_url(F.col(url_col), strip_www=True).alias("_cu"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    kept = df.join(keep, on=id_col, how="left_semi")
+    return kept.unionByName(df.where(F.col(url_col).isNull()))
+
+
 def _stage_cached(
     base_dir: str, stage: str, build: Callable[[], DataFrame], spark
 ) -> DataFrame:
@@ -66,10 +81,19 @@ def dedup_corpus(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     input_fingerprint: str | None = None,
+    url_col: str | None = None,
 ) -> DataFrame:
     """Deduplicated corpus: full rows of the surviving docs.
 
-    Exact duplicates collapse first (cheap md5 groupBy — they would
+    ``url_col`` (optional, stage 0): the standard crawl recipe dedups
+    by CANONICAL URL before touching content — re-crawls of one page
+    differ only in tracking params / fragment / host case
+    (webtext.canonicalize_url), and dropping them first (keep min id
+    per canonical URL; NULL-url docs exempt) shrinks every later stage.
+    One groupBy on the canonical key + a semi-join — the same two
+    narrow shuffles as exact content dedup.
+
+    Exact duplicates collapse next (cheap md5 groupBy — they would
     otherwise all land in one LSH bucket anyway); near-dup clusters
     then keep their highest-``quality_col`` member (ties and absence of
     a quality column fall back to the minimum id — deterministic at any
@@ -87,6 +111,8 @@ def dedup_corpus(
     affects final survivor choice, so cached stages are reusable across
     quality policies."""
     if checkpoint_dir is None:
+        if url_col is not None:
+            df = _drop_url_duplicates(df, url_col, id_col)
         exact = drop_exact_duplicates(df, text_col=text_col, id_col=id_col)
         pairs = minhash_near_duplicates(
             exact, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes,
@@ -107,12 +133,20 @@ def dedup_corpus(
                     "id_col": id_col, "k": k, "num_hashes": num_hashes,
                     "rows_per_band": rows_per_band, "threshold": threshold,
                     "max_bucket": max_bucket, "max_iter": max_iter,
+                    "url_col": url_col,
                 },
                 sort_keys=True,
             ).encode()
         ).hexdigest()
         base = os.path.join(checkpoint_dir, key)
         spark = df.sparkSession
+        if url_col is not None:
+            url_ids = _stage_cached(
+                base, "url_ids",
+                lambda: _drop_url_duplicates(df, url_col, id_col).select(id_col),
+                spark,
+            )
+            df = df.join(url_ids, on=id_col, how="left_semi")
         exact_ids = _stage_cached(
             base, "exact_ids",
             lambda: drop_exact_duplicates(

@@ -589,3 +589,40 @@ def test_band_index_bucketed_probe_no_index_exchange(spark, tmp_path):
         assert "Exchange" not in plan[scan_pos - 400:scan_pos], plan
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_test")
+
+
+def test_dedup_corpus_url_first_stage(spark, tmp_path):
+    """url_col= enables the standard crawl recipe: canonical-URL dedup
+    (stage 0) before content dedup — tracking-param/www/fragment
+    variants of one page collapse to the min id even when their TEXT
+    differs; NULL urls exempt; the stage participates in checkpointing."""
+    from sparkcheck.dedup import dedup_corpus
+
+    rows = [
+        (1, "https://WWW.ex.com/p?utm_source=a", "version one of the page text here today"),
+        (2, "https://ex.com/p", "version two of the page text here today"),  # same canon URL
+        (3, "https://ex.com/q", "completely different second page content words"),
+        (4, None, "doc with no url at all passes through fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    kept = sorted(r["doc_id"] for r in
+                  dedup_corpus(df, url_col="url", threshold=0.9,
+                               num_hashes=8, rows_per_band=2).collect())
+    assert kept == [1, 3, 4]  # 2 dropped as canonical-URL dup of 1
+    # without the url stage, both text versions survive (texts differ)
+    kept2 = sorted(r["doc_id"] for r in
+                   dedup_corpus(df, threshold=0.9,
+                                num_hashes=8, rows_per_band=2).collect())
+    assert kept2 == [1, 2, 3, 4]
+
+    # checkpointed: url_ids stage persists and the key includes url_col
+    import os
+    ck = str(tmp_path / "ck")
+    out = sorted(r["doc_id"] for r in
+                 dedup_corpus(df, url_col="url", threshold=0.9,
+                              num_hashes=8, rows_per_band=2,
+                              checkpoint_dir=ck,
+                              input_fingerprint="s1").collect())
+    assert out == [1, 3, 4]
+    key_dir = os.path.join(ck, os.listdir(ck)[0])
+    assert os.path.exists(os.path.join(key_dir, "url_ids", "_SUCCESS"))
