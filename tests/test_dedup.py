@@ -626,3 +626,24 @@ def test_dedup_corpus_url_first_stage(spark, tmp_path):
     assert out == [1, 3, 4]
     key_dir = os.path.join(ck, os.listdir(ck)[0])
     assert os.path.exists(os.path.join(key_dir, "url_ids", "_SUCCESS"))
+
+
+def test_auto_lsh_params_property_sweep():
+    """Property sweep: for every (threshold, target_recall) grid point
+    the chosen geometry is feasible (budget respected) and its
+    theoretical recall at the threshold meets the target."""
+    import math as m
+
+    from sparkcheck.dedup import auto_lsh_params
+
+    for t in (0.1, 0.3, 0.5, 0.7, 0.9, 0.99):
+        for r in (0.5, 0.8, 0.9, 0.95):
+            bands, bits = auto_lsh_params(t, target_recall=r)
+            assert bands >= 1 and bits >= 1
+            assert bands <= 64 and bands * bits <= 256, (t, r, bands, bits)
+            p_bit = 1 - m.acos(t) / m.pi
+            recall = 1 - (1 - p_bit**bits) ** bands
+            # the fallback (max_bands, 1) may undershoot only when even
+            # 64 single-bit bands cannot reach the target
+            if (bands, bits) != (64, 1):
+                assert recall >= r, (t, r, bands, bits, recall)

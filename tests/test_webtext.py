@@ -264,3 +264,31 @@ def test_corpus_report_empty_table(spark):
     assert rep["tokens"]["total"] == 0
     assert rep["duplication"] == {"exact_dup_docs": 0, "exact_dup_rate": 0.0}
     assert rep["langs"] == {}
+
+
+def test_canonicalize_url_idempotent(spark):
+    """Property: canonicalization is idempotent — canon(canon(u)) ==
+    canon(u) for every structural variant (a non-idempotent normalizer
+    produces unstable dedup keys across pipeline stages)."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.webtext import canonicalize_url
+
+    variants = [
+        "HTTPS://WWW.Ex.COM:443/a/b?utm_source=x&z=1&a=2#f",
+        "http://ex.com:80/",
+        "https://app.com/#/route?x=1",
+        "ftp://Host.Example/Path",
+        "https://ex.com/p?b=2&a=1&a=1",   # duplicate param survives sorted
+        "not a url",
+        "",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(variants)],
+                               "i long, url string")
+    once = canonicalize_url(F.col("url"), strip_www=True)
+    rows = df.select(
+        "i", once.alias("c1"),
+    ).select("i", "c1", canonicalize_url(F.col("c1"), strip_www=True).alias("c2")) \
+     .collect()
+    for r in rows:
+        assert r["c2"] == r["c1"], (variants[r["i"]], r["c1"], r["c2"])
