@@ -93,6 +93,16 @@ def cmd_validate(args) -> int:
         return _validate_all(args, spark, rulesets, tables)
 
     ruleset = rulesets[args.ruleset] if args.ruleset else next(iter(rulesets.values()))
+    if ruleset.table and ruleset.table not in tables:
+        # the YAML declares a table this invocation never bound — falling
+        # back to --table silently would validate a different table than
+        # the suite declares
+        print(
+            f"warning: rule set {ruleset.name!r} declares table: "
+            f"{ruleset.table!r} but no --bind {ruleset.table}=<path> was "
+            f"given; validating the --table input instead",
+            file=sys.stderr,
+        )
     # capture_plans: non-fused rule jobs carry their physical plan so the
     # report's analysis section can flag cartesian joins / unpushed filters
     report = ValidationEngine(spark, capture_plans=True).run(

@@ -280,7 +280,16 @@ def embedding_near_duplicates(
     join (small inputs / recall oracle). When ``bands``/``bits`` are
     None the LSH parameters are derived from (threshold,
     target_recall) via ``auto_lsh_params`` — pass both explicitly to
-    pin a geometry (e.g. for oracle parity)."""
+    pin a geometry (e.g. for oracle parity).
+
+    .. versionchanged:: round 4
+        The bucketed default geometry changed from the fixed
+        ``bands=8, bits=16`` to ``auto_lsh_params(threshold,
+        target_recall)``-derived values (e.g. ~13 bands × 17 bits at
+        threshold 0.95). Candidate sets, recall, and cost therefore
+        differ from earlier versions unless ``bands`` AND ``bits`` are
+        passed explicitly; callers needing the old geometry should pin
+        ``bands=8, bits=16``."""
     if bucketed:
         if bands is None or bits is None:
             auto_bands, auto_bits = auto_lsh_params(threshold, target_recall)

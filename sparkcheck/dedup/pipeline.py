@@ -41,18 +41,37 @@ from sparkcheck.dedup.minhash import minhash_near_duplicates
 
 
 def _drop_url_duplicates(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
-    """Keep the min-id representative per CANONICAL url; NULL-url rows
-    are exempt (pass through) — same contract as exact content dedup."""
+    """Keep the min-id representative per CANONICAL url; rows whose URL
+    is NULL or does not canonicalize (canonicalize_url returns '' for
+    anything without a scheme:// — relative and malformed URLs, common
+    in real crawls) are exempt and pass through — same contract as exact
+    content dedup's NULL-text exemption. Grouping the unparseables under
+    the shared '' key would silently collapse them all into one
+    surviving doc."""
     from sparkcheck.webtext.urls import canonicalize_url
 
+    canon = canonicalize_url(F.col(url_col), strip_www=True)
+    dedupable = df.where(F.col(url_col).isNotNull() & (canon != ""))
     keep = (
-        df.where(F.col(url_col).isNotNull())
-        .groupBy(canonicalize_url(F.col(url_col), strip_www=True).alias("_cu"))
+        dedupable.groupBy(canon.alias("_cu"))
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    kept = df.join(keep, on=id_col, how="left_semi")
-    return kept.unionByName(df.where(F.col(url_col).isNull()))
+    kept = dedupable.join(keep, on=id_col, how="left_semi")
+    exempt = df.where(F.col(url_col).isNull() | (canon == ""))
+    return kept.unionByName(exempt)
+
+
+def _marker_exists(spark, path: str) -> bool:
+    """True when ``path`` exists on the filesystem the STAGE WRITE uses —
+    probed through Spark's Hadoop FileSystem API, not driver-local
+    ``os.path``, so resume works for hdfs:// / s3a:// checkpoint dirs
+    too (a local os.path probe is always False there and every 'resume'
+    would silently recompute all stages)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def _stage_cached(
@@ -62,8 +81,8 @@ def _stage_cached(
     absent. Completion marker is Spark's own _SUCCESS file (written
     atomically after all tasks commit), so a killed mid-write stage is
     rebuilt with mode=overwrite on resume."""
-    path = os.path.join(base_dir, stage)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path = base_dir.rstrip("/") + "/" + stage
+    if not _marker_exists(spark, path + "/_SUCCESS"):
         build().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

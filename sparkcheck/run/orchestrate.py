@@ -125,14 +125,25 @@ def run_rulesets(
         return rep
 
     if parallel and parallel > 1 and len(sets) > 1:
+        # Under fail_fast, submit in WAVES of `parallel`: submitting every
+        # set up front would start them all before the first failure can
+        # raise the stop flag (fail_fast degrades to a no-op whenever
+        # max_workers >= len(sets)). Without fail_fast there is nothing to
+        # stop, so one wave (= full submission) keeps maximum overlap.
+        wave_size = parallel if fail_fast else len(sets)
         with ThreadPoolExecutor(max_workers=parallel) as pool:
-            futures = {rs.name: pool.submit(_run_one, rs) for rs in sets}
-            for rs in sets:
-                rep = futures[rs.name].result()
-                if rep is None:
-                    result.skipped.append(rs.name)
-                else:
-                    result.reports[rs.name] = rep
+            for i in range(0, len(sets), wave_size):
+                wave = sets[i : i + wave_size]
+                if fail_fast and stop.is_set():
+                    result.skipped.extend(rs.name for rs in wave)
+                    continue
+                futures = {rs.name: pool.submit(_run_one, rs) for rs in wave}
+                for rs in wave:
+                    rep = futures[rs.name].result()
+                    if rep is None:
+                        result.skipped.append(rs.name)
+                    else:
+                        result.reports[rs.name] = rep
     else:
         for rs in sets:
             rep = _run_one(rs)

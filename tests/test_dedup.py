@@ -628,6 +628,29 @@ def test_dedup_corpus_url_first_stage(spark, tmp_path):
     assert os.path.exists(os.path.join(key_dir, "url_ids", "_SUCCESS"))
 
 
+def test_dedup_corpus_unparseable_urls_exempt(spark):
+    """URLs that don't canonicalize (no scheme:// prefix — relative and
+    malformed URLs, common in real crawls) are exempt from the URL dedup
+    stage like NULLs: canonicalize_url maps them all to '' and grouping
+    on that shared key would silently collapse every such doc into one
+    survivor (round-4 ADVICE high finding)."""
+    from sparkcheck.dedup import dedup_corpus
+
+    rows = [
+        (1, "relative/path/only", "first unparseable url doc unique words alpha beta"),
+        (2, "also not a url", "second unparseable url doc other words gamma delta"),
+        (3, "/rooted/but/schemeless", "third unparseable doc different words epsilon zeta"),
+        (4, "https://ex.com/a?utm_source=x", "a real page with plenty of words right here"),
+        (5, "https://ex.com/a", "same real page changed words entirely new body text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    kept = sorted(r["doc_id"] for r in
+                  dedup_corpus(df, url_col="url", threshold=0.9,
+                               num_hashes=8, rows_per_band=2).collect())
+    # all three unparseable-URL docs survive; 5 drops as canonical dup of 4
+    assert kept == [1, 2, 3, 4]
+
+
 def test_auto_lsh_params_property_sweep():
     """Property sweep: for every (threshold, target_recall) grid point
     the chosen geometry is feasible (budget respected) and its
