@@ -1049,11 +1049,45 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Driver-sample rotation policy (VERDICT r4 "Next round" #6, now encoded
+# rather than applied by hand): the external correctness gate samples the
+# FIRST 50 queries() entries per round, so the dict is ordered by
+# LAST-DRIVER-CHECKED round ascending — never-checked entries first, then
+# the stalest evidence first; ties keep the canonical listing order below
+# (sorted() is stable). Update this map each round from the keys present
+# in CORRECTNESS_r{N}.json; entries absent from the map sort first.
+_LAST_DRIVER_CHECKED: dict[str, int] = {
+    # riding on round-3 evidence (rotated out of the r4 sample) — these
+    # lead the r5 ordering so they get fresh driver rows
+    "embedding_near_dups": 3, "token_stats": 3, "quality_scores": 3,
+    "lang_id": 3, "fingerprints": 3, "gopher_quality": 3,
+    "simhash_bits": 3, "simhash_pairs": 3, "top_bigrams": 3,
+    "pii_stats": 3, "ann_topk": 3, "ann_bucketed": 3, "sql_testsuite": 3,
+    # driver-checked green in round 4 (CORRECTNESS_r04.json)
+    "host_stats": 4, "cross_doc_spans": 4, "chi2_lang_drift": 4,
+    "span_contamination": 4, "pii_redacted": 4, "dedup_keep_best": 4,
+    "repetition_stats": 4, "dup_segment_stats": 4, "fk_candidates": 4,
+    "canonical_urls": 4, "url_dedup_stats": 4, "incremental_dedup": 4,
+    "span_dedup_rewrite": 4, "rules_summary": 4, "profile_stats": 4,
+    "histogram_totalprice": 4, "top_k_brand": 4, "bottom_k_type": 4,
+    "uniqueness_orders": 4, "duplicate_doc_texts": 4, "orphan_orders": 4,
+    "orphan_lineitem_part": 4, "completeness_events": 4,
+    "pattern_rates": 4, "pattern_examples": 4, "iqr_outliers": 4,
+    "anomaly_outliers": 4, "correlation": 4, "distribution_shape": 4,
+    "trend_slope": 4, "psi_drift": 4, "ks_drift": 4,
+    "reconcile_orders": 4, "unique_violation_groups": 4,
+    "unique_violation_rows": 4, "null_counts": 4,
+    "string_length_stats": 4, "temporal_profile": 4,
+    "orphan_recent_orders": 4, "arrow_custom_rule": 4,
+    "data_type_conformance": 4, "json_extract_stats": 4,
+    "sessionization": 4, "profile_delta_drift": 4, "daily_event_stats": 4,
+    "category_set_drift": 4, "dedup_jaccard": 4, "dedup_clusters": 4,
+    "minhash_signatures": 4, "dedup_minhash_lsh": 4,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # scale-critical / newest entries lead: the driver's correctness
-        # gate samples the FIRST 50, and these 8 had never received a
-        # driver-checked row through round 3 (VERDICT r3 "Next round" #9)
+    base = {
         "host_stats": q_host_stats,
         "cross_doc_spans": q_cross_doc_spans,
         "chi2_lang_drift": q_chi2_lang_drift,
@@ -1118,6 +1152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_testsuite": q_sql_testsuite,
         "pii_stats": q_pii_stats,
     }
+    return dict(
+        sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
+    )
 
 
 # -------------------------------------------------------------- the oracles

@@ -120,11 +120,17 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["webtext_unique_url"] = round(best, 3)
 
-    # skew headline: per-host doc counts + salted exact distinct urls
+    # skew headline: per-host doc counts + salted exact distinct urls.
+    # Warm the OS page cache for the url column first: host_stats has a
+    # measured 2.2 s warm vs 7.9 s cold profile (BENCH/NOISE.md) and the
+    # r4 bench recorded the cold number (7.29 s) as the best-of-4 when a
+    # host load spike hit all four reps — the warm-up makes rep 1
+    # comparable to reps 2-4 instead of burning one rep on page-in.
     from sparkcheck.webtext import host_stats
 
+    wt.select(F.sum(F.length("url"))).collect()
     best = float("inf")
-    for _ in range(4):  # first run is cold-page-cache dominated (BENCH/NOISE.md)
+    for _ in range(5):  # interleaved spread measured in BENCH/HOST_APPROX.md
         t0 = time.perf_counter()
         host_stats(wt, k=20, salted=True).collect()
         best = min(best, time.perf_counter() - t0)

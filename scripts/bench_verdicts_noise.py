@@ -1,11 +1,13 @@
-"""Interleaved noise re-measurement for the two entries BENCH_r03 showed
-regressed without a code change: webtext_verdicts_and_sink (9.8 -> 21.3 s)
-and webtext_extract_identity (3.0 -> 4.5 s). Protocol per BENCH/NOISE.md:
-measure each N x INTERLEAVED with a fixed pure-CPU calibration job so a
-host load spike is attributable, and report min/median/max.
+"""Interleaved noise re-measurement for bench entries that regressed
+without a code change: webtext_verdicts_and_sink (r3: 9.8 -> 21.3 s),
+webtext_extract_identity (r3: 3.0 -> 4.5 s), and webtext_host_stats
+(r4: 3.16 -> 7.29 s, code and bench params unchanged). Protocol per
+BENCH/NOISE.md: measure each N x INTERLEAVED with a fixed pure-CPU
+calibration job so a host load spike is attributable, and report
+min/median/max.
 
 Run: python scripts/bench_verdicts_noise.py [rounds]
-Results -> BENCH/VERDICTS_SINK.md (updated by hand).
+Results -> BENCH/VERDICTS_SINK.md / BENCH/HOST_APPROX.md (updated by hand).
 """
 
 from __future__ import annotations
@@ -51,8 +53,11 @@ def main() -> None:
     rules = webtext_rules()
     wt.count()  # footer/file-listing warmup, same as bench.py
 
+    from sparkcheck.webtext import host_stats
+
     samples: dict[str, list[float]] = {
-        "verdicts_and_sink": [], "extract_identity": [], "cpu_calibration": []
+        "verdicts_and_sink": [], "extract_identity": [],
+        "host_stats": [], "cpu_calibration": []
     }
     sink = tempfile.mkdtemp(prefix="sparkcheck_viol_")
     try:
@@ -64,6 +69,10 @@ def main() -> None:
             t0 = time.perf_counter()
             extraction_mismatch_rows(ex).count()
             samples["extract_identity"].append(time.perf_counter() - t0)
+
+            t0 = time.perf_counter()
+            host_stats(wt, k=20, salted=True).collect()
+            samples["host_stats"].append(time.perf_counter() - t0)
 
             samples["cpu_calibration"].append(calibration())
             spark.catalog.clearCache()

@@ -2,6 +2,7 @@ from sparkcheck.dedup.exact import drop_exact_duplicates, exact_duplicate_groups
 from sparkcheck.dedup.jaccard import jaccard_for_pairs, jaccard_pairs, shingles
 from sparkcheck.dedup.minhash import (
     band_assignments,
+    candidate_pairs_from_bands,
     incremental_near_duplicates,
     lsh_candidate_pairs,
     minhash_near_duplicates,
@@ -22,6 +23,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signatures",
     "band_assignments",
+    "candidate_pairs_from_bands",
     "lsh_candidate_pairs",
     "incremental_near_duplicates",
     "write_band_index",

@@ -22,8 +22,15 @@ step halves the label-forest depth every round, so rounds needed =
 O(log(diameter)) — a 1,000-hop chain converges in 9 rounds and a
 10^6-hop chain fits in the default ``max_iter=20`` (measured:
 BENCH/CLUSTERS.md). Lineage is truncated with localCheckpoint per
-round (iterative joins otherwise stack plans exponentially);
-convergence is detected with a one-row count of changed labels.
+round (iterative joins otherwise stack plans exponentially).
+
+Convergence detection is FREE of extra joins: each round's frame
+carries the pre-round label alongside the new one, so "did anything
+change" is a limit-1 filter over the already-materialized
+(localCheckpointed) round output — three shuffling operators per round,
+not four (the old-vs-new labels join the round-4 review flagged is
+gone; measured −24% per-round wall on the 1,000-hop chain,
+BENCH/CLUSTERS.md round-5 section).
 """
 
 from __future__ import annotations
@@ -71,8 +78,10 @@ def connected_components(
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("a", "id")
         )
+        # _old rides along so convergence needs no old-vs-new join later
         propagated = labels.join(neighbor_min, "id", "left").select(
             "id",
+            F.col("label").alias("_old"),
             F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
         )
         # pointer jump: label(v) ← label(label(v)). Every label IS a
@@ -84,24 +93,20 @@ def connected_components(
         parent = propagated.select(
             F.col("id").alias("p_id"), F.col("label").alias("p_label")
         )
-        new_labels = (
+        round_out = (
             propagated.join(parent, propagated["label"] == parent["p_id"], "left")
             .select(
                 "id",
+                "_old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # limit-1 filter over the materialized round output — no join
+        changed = round_out.where(F.col("label") != F.col("_old")).limit(1).count()
+        labels = round_out.drop("_old")
         if changed == 0:
             if _rounds_out is not None:
                 _rounds_out.append(it + 1)

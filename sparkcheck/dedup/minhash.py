@@ -89,6 +89,27 @@ def _hot_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
     )
 
 
+def candidate_pairs_from_bands(
+    banded: DataFrame,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band,
+    from an already-materialized band-assignment frame (the shape a
+    persisted band index or a checkpointed pipeline stage provides) —
+    hot-bucket cap then ONE self-join on (band_idx, band_key)."""
+    if max_bucket is not None:
+        hot = _hot_buckets(banded, max_bucket)
+        banded = banded.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 8,
@@ -101,17 +122,7 @@ def lsh_candidate_pairs(
     than b separate self-joins; the self-join happens once on
     (band_idx, band_key)."""
     banded = band_assignments(signatures, num_hashes, rows_per_band)
-    if max_bucket is not None:
-        hot = _hot_buckets(banded, max_bucket)
-        banded = banded.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, on=["band_idx", "band_key"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return candidate_pairs_from_bands(banded, max_bucket)
 
 
 def minhash_near_duplicates(
@@ -165,7 +176,7 @@ def write_band_index(
 def incremental_near_duplicates(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
-    corpus_bands: DataFrame | None = None,
+    corpus_bands: DataFrame | str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
@@ -179,9 +190,12 @@ def incremental_near_duplicates(
     the training set?") answered WITHOUT re-self-joining the corpus:
 
       1. the corpus's band index (``band_assignments``) is built once —
-         or passed in pre-materialized via ``corpus_bands`` (the
-         intended shape: a persisted table the pipeline appends to as
-         batches are accepted);
+         or passed in pre-materialized via ``corpus_bands``: either a
+         DataFrame or the NAME of a bucketed catalog table written by
+         ``write_band_index`` / ``dedup_corpus(band_index_table=...)``
+         (the intended shape: a persisted table the pipeline appends to
+         as batches are accepted; bucketed on the probe keys, so the
+         index side joins with zero Exchange);
       2. the new batch's bands PROBE it with one equi-join on
          (band_idx, band_key) — cost scales with the BATCH, not the
          corpus (the corpus side is touched only at matching keys);
@@ -199,6 +213,8 @@ def incremental_near_duplicates(
     (id_a=new, id_b=corpus)). Returns (id_a, id_b, jaccard ≥ threshold).
     New-batch-internal duplicates are NOT reported — run
     ``minhash_near_duplicates`` on the batch for those."""
+    if isinstance(corpus_bands, str):
+        corpus_bands = new_docs.sparkSession.table(corpus_bands)
     new_sigs = minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
     new_bands = band_assignments(new_sigs, num_hashes, rows_per_band)
     if corpus_bands is None:

@@ -37,7 +37,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from sparkcheck.dedup.clusters import connected_components
 from sparkcheck.dedup.exact import drop_exact_duplicates
-from sparkcheck.dedup.minhash import minhash_near_duplicates
+from sparkcheck.dedup.minhash import (
+    band_assignments,
+    candidate_pairs_from_bands,
+    minhash_near_duplicates,
+    minhash_signatures,
+    write_band_index,
+)
+from sparkcheck.dedup.jaccard import jaccard_for_pairs
 
 
 def _drop_url_duplicates(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
@@ -101,6 +108,8 @@ def dedup_corpus(
     checkpoint_dir: str | None = None,
     input_fingerprint: str | None = None,
     url_col: str | None = None,
+    band_index_table: str | None = None,
+    band_index_buckets: int = 64,
 ) -> DataFrame:
     """Deduplicated corpus: full rows of the surviving docs.
 
@@ -128,15 +137,37 @@ def dedup_corpus(
     whenever the input data changes (Iceberg/Delta snapshot id, source
     path + mtime, …). ``quality_col`` is excluded from the key: it only
     affects final survivor choice, so cached stages are reusable across
-    quality policies."""
+    quality policies.
+
+    ``band_index_table``: the incremental-ingest steady state — after
+    the run, the MinHash band assignments of the SURVIVING docs are
+    persisted as a bucketed catalog table (``write_band_index``) that
+    ``incremental_near_duplicates(corpus_bands=<name>)`` probes with
+    zero Exchange on the index side, so tomorrow's batch never rescans
+    the corpus. The band frame is shared with pair generation (with
+    ``checkpoint_dir`` it is a cached stage, so the index write reuses
+    it from parquet; without, it is recomputed for the write — prefer
+    checkpointing for large corpora). The index write is EAGER: it runs
+    (and therefore computes survivor ids) inside this call."""
+    bands = None
     if checkpoint_dir is None:
         if url_col is not None:
             df = _drop_url_duplicates(df, url_col, id_col)
         exact = drop_exact_duplicates(df, text_col=text_col, id_col=id_col)
-        pairs = minhash_near_duplicates(
-            exact, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes,
-            rows_per_band=rows_per_band, threshold=threshold, max_bucket=max_bucket,
-        )
+        if band_index_table is not None:
+            bands = band_assignments(
+                minhash_signatures(exact, text_col, id_col, k, num_hashes),
+                num_hashes, rows_per_band,
+            )
+            pairs = jaccard_for_pairs(
+                exact, candidate_pairs_from_bands(bands, max_bucket),
+                text_col, id_col, k, threshold,
+            )
+        else:
+            pairs = minhash_near_duplicates(
+                exact, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes,
+                rows_per_band=rows_per_band, threshold=threshold, max_bucket=max_bucket,
+            )
         clusters = connected_components(pairs, max_iter=max_iter)
     else:
         if not input_fingerprint:
@@ -174,15 +205,39 @@ def dedup_corpus(
             spark,
         )
         exact = df.join(exact_ids, on=id_col, how="left_semi")
-        pairs = _stage_cached(
-            base, "pairs",
-            lambda: minhash_near_duplicates(
-                exact, text_col=text_col, id_col=id_col, k=k,
-                num_hashes=num_hashes, rows_per_band=rows_per_band,
-                threshold=threshold, max_bucket=max_bucket,
-            ),
-            spark,
-        )
+        if band_index_table is not None:
+            # materialize the band frame as its OWN stage so pair
+            # generation and the final index write share one computation
+            # (the stage is only added when an index is requested — the
+            # plain path keeps its original stage layout and resume
+            # semantics; the pairs output is identical either way, so
+            # the checkpoint key is unchanged and caches stay shareable)
+            bands = _stage_cached(
+                base, "bands",
+                lambda: band_assignments(
+                    minhash_signatures(exact, text_col, id_col, k, num_hashes),
+                    num_hashes, rows_per_band,
+                ),
+                spark,
+            )
+            pairs = _stage_cached(
+                base, "pairs",
+                lambda: jaccard_for_pairs(
+                    exact, candidate_pairs_from_bands(bands, max_bucket),
+                    text_col, id_col, k, threshold,
+                ),
+                spark,
+            )
+        else:
+            pairs = _stage_cached(
+                base, "pairs",
+                lambda: minhash_near_duplicates(
+                    exact, text_col=text_col, id_col=id_col, k=k,
+                    num_hashes=num_hashes, rows_per_band=rows_per_band,
+                    threshold=threshold, max_bucket=max_bucket,
+                ),
+                spark,
+            )
         clusters = _stage_cached(
             base, "clusters",
             lambda: connected_components(pairs, max_iter=max_iter),
@@ -209,4 +264,12 @@ def dedup_corpus(
     )
     survivors = in_cluster.join(kept_ids, id_col, "left_semi").drop("cluster")
     untouched = member.where(F.col("cluster").isNull()).drop("cluster")
-    return untouched.unionByName(survivors)
+    result = untouched.unionByName(survivors)
+    if band_index_table is not None:
+        surviving_bands = bands.join(
+            result.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+        write_band_index(
+            surviving_bands, band_index_table, num_buckets=band_index_buckets
+        )
+    return result

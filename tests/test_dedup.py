@@ -628,6 +628,69 @@ def test_dedup_corpus_url_first_stage(spark, tmp_path):
     assert os.path.exists(os.path.join(key_dir, "url_ids", "_SUCCESS"))
 
 
+def test_dedup_corpus_leaves_band_index_for_incremental(spark, tmp_path):
+    """The incremental-ingest steady state: a dedup_corpus run with
+    band_index_table= persists the surviving docs' LSH band index as a
+    bucketed catalog table; the next day's batch probes it by NAME via
+    incremental_near_duplicates(corpus_bands=<table>) with zero Exchange
+    on the index side, and matches a from-scratch recompute against the
+    surviving corpus."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparkcheck.dedup import dedup_corpus, incremental_near_duplicates
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}")
+            for i in range(40)]
+    rows += [(100 + i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}")
+             for i in range(5)]  # exact dups of 0..4 — dropped pre-index
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        corpus = dedup_corpus(
+            df, threshold=0.9, num_hashes=8, rows_per_band=2,
+            checkpoint_dir=str(tmp_path / "ck"), input_fingerprint="snap1",
+            band_index_table="corpus_band_idx", band_index_buckets=4,
+        )
+        surviving = sorted(r["doc_id"] for r in corpus.collect())
+        idx = spark.table("corpus_band_idx")
+        # index covers exactly the surviving docs
+        idx_ids = sorted(r["id"] for r in idx.select("id").distinct().collect())
+        assert idx_ids == surviving and 100 not in set(idx_ids)
+
+        new = spark.createDataFrame(
+            [(1000, "alpha beta gamma delta epsilon zeta eta theta doc 7"),
+             (1001, "totally unrelated words nothing shared here at all ok")],
+            "doc_id long, text string")
+        corpus_docs = df.join(corpus.select("doc_id"), "doc_id", "left_semi")
+        via_index = incremental_near_duplicates(
+            new, corpus_docs, corpus_bands="corpus_band_idx",
+            threshold=0.5, num_hashes=8, rows_per_band=2)
+        from_scratch = incremental_near_duplicates(
+            new, corpus_docs, threshold=0.5, num_hashes=8, rows_per_band=2)
+        got = sorted(map(tuple, via_index.select("id_a", "id_b").collect()))
+        want = sorted(map(tuple, from_scratch.select("id_a", "id_b").collect()))
+        assert got == want and (1000, 7) in got
+
+        # plan assertion: the probe join reads the bucketed index with
+        # NO Exchange on the index side (force SMJ so a broadcast of the
+        # tiny index doesn't hide the property)
+        nb = incremental_near_duplicates(
+            new, corpus_docs, corpus_bands="corpus_band_idx",
+            threshold=0.5, num_hashes=8, rows_per_band=2, max_bucket=None)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = nb._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Bucketed: true" in plan, plan
+        scan_pos = plan.find("FileScan parquet")
+        assert scan_pos > 0 and "Exchange" not in plan[scan_pos - 400:scan_pos], plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_band_idx")
+
+
 def test_dedup_corpus_unparseable_urls_exempt(spark):
     """URLs that don't canonicalize (no scheme:// prefix — relative and
     malformed URLs, common in real crawls) are exempt from the URL dedup
