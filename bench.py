@@ -177,6 +177,30 @@ def main() -> None:
     timings["webtext_extract_identity"] = round(best, 3)
     assert n_mismatch == 2 * (EXTRACT_N // 1000), "planted extraction violations"
 
+    # whole-pipeline regression guard (VERDICT r4 #2): one-call
+    # dedup_corpus (URL → exact → LSH pairs → components → keep-best) on
+    # a 250k-doc slice of the webtext table. Tracked as its OWN metric,
+    # not a headline query: it is a multi-stage pipeline, not a p95-class
+    # interactive query — the full-scale evidence (8M docs, per-stage
+    # wall + shuffle + kill-resume) lives in BENCH/PIPELINE.md. r=4 /
+    # t=0.8 geometry per that note (the synthetic 32-word vocab floods
+    # the permissive r=2 curve with candidates).
+    from sparkcheck.dedup import dedup_corpus
+
+    # subset via a PUSHED-DOWN id filter, never .limit(): GlobalLimit
+    # single-partitions the frame AND recomputes the limited scan for
+    # every consumer subtree in the pipeline (measured 321 s vs 23 s
+    # for the same 250k docs)
+    pipe_n = min(WEBTEXT_N, 250_000)
+    pipe_df = spark.read.parquet(wt_path).where(F.col("doc_id") < pipe_n)
+    t0 = time.perf_counter()
+    pipe_survivors = dedup_corpus(
+        pipe_df, text_col="text", id_col="doc_id", url_col="url",
+        threshold=0.8, num_hashes=8, rows_per_band=4, max_bucket=1000,
+    ).count()
+    pipe_sec = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -188,6 +212,9 @@ def main() -> None:
                 "sf": sf_dir,
                 "webtext_rows": wt_rows,
                 "webtext_docs_per_sec": round(wt_rows / wt_sec, 1),
+                "dedup_corpus_sec": pipe_sec,
+                "dedup_corpus_docs": pipe_n,
+                "dedup_corpus_survivors": pipe_survivors,
                 "cpus": int(cpus),
             }
         )

@@ -151,9 +151,26 @@ def dedup_corpus(
     (and therefore computes survivor ids) inside this call."""
     bands = None
     if checkpoint_dir is None:
+        # Materialize the narrow SURVIVOR-ID frames (localCheckpoint —
+        # the in-memory analog of the checkpointed path's parquet
+        # stages): `exact` feeds pair generation AND the final member
+        # join, and each un-materialized consumer would re-run the whole
+        # url+exact groupBy/semi-join chain (measured 2.4× the whole
+        # pipeline wall at 250k docs). Ids only — full rows re-join the
+        # pruned source, same shape as the checkpointed path.
         if url_col is not None:
-            df = _drop_url_duplicates(df, url_col, id_col)
-        exact = drop_exact_duplicates(df, text_col=text_col, id_col=id_col)
+            url_ids = (
+                _drop_url_duplicates(df, url_col, id_col)
+                .select(id_col)
+                .localCheckpoint()
+            )
+            df = df.join(url_ids, on=id_col, how="left_semi")
+        exact_ids = (
+            drop_exact_duplicates(df, text_col=text_col, id_col=id_col)
+            .select(id_col)
+            .localCheckpoint()
+        )
+        exact = df.join(exact_ids, on=id_col, how="left_semi")
         if band_index_table is not None:
             bands = band_assignments(
                 minhash_signatures(exact, text_col, id_col, k, num_hashes),

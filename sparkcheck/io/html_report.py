@@ -461,6 +461,40 @@ def render_orchestration_html(
     )
 
 
+# Zero-dependency interactivity (the last user-visible gap vs the
+# reference's interactive.py dashboards): a substring column filter and
+# a flagged-only toggle, pure inline JS over data-col / data-flag
+# attributes — pages stay fully self-contained (no external assets).
+_FILTER_JS = """<script>
+(function(){
+  var inp=document.getElementById('colfilter');
+  var tog=document.getElementById('flagonly');
+  function apply(){
+    var q=(inp&&inp.value?inp.value:'').toLowerCase();
+    var only=!!(tog&&tog.checked);
+    var els=document.querySelectorAll('[data-col]');
+    for(var i=0;i<els.length;i++){
+      var el=els[i];
+      var hit=el.getAttribute('data-col').toLowerCase().indexOf(q)>=0;
+      if(only&&el.getAttribute('data-flag')!=='1')hit=false;
+      el.style.display=hit?'':'none';
+    }
+  }
+  if(inp)inp.addEventListener('input',apply);
+  if(tog)tog.addEventListener('change',apply);
+})();
+</script>"""
+
+
+def _filter_bar(toggle_label: str) -> str:
+    return (
+        '<p class="filterbar"><input id="colfilter" type="search" '
+        'placeholder="filter columns…"> '
+        '<label><input id="flagonly" type="checkbox"> '
+        f"{html.escape(toggle_label)}</label></p>"
+    )
+
+
 def render_comparison_html(
     baseline: Any,
     current: Any,
@@ -545,13 +579,35 @@ def render_comparison_html(
             btv, ctv = b.get("top_values") or [], c.get("top_values") or []
             if not btv or not ctv:
                 continue
-            mx = max([int(t.get("count", 0)) for t in btv]
-                     + [int(t.get("count", 0)) for t in ctv])
-            left = _topk_chart(btv, y_max=mx)
-            right = _topk_chart(ctv, y_max=mx)
-            kind = "top values"
+            # Chart the SAME pooled category set the chi-square verdict
+            # used (drift/compare.py): intersection of the two top-ks,
+            # with every one-sided / tail category folded into a shared
+            # '<other>' residual bar per side. A category that churns
+            # across the top-k boundary between profiles previously
+            # rendered as a missing bar on one side with no verdict —
+            # now its mass shows up in '<other>' on both charts and the
+            # visual agrees with the chip.
+            bcnt = {str(t.get("value")): int(t.get("count", 0)) for t in btv}
+            ccnt = {str(t.get("value")): int(t.get("count", 0)) for t in ctv}
+            cats = sorted(set(bcnt) & set(ccnt),
+                          key=lambda v: (-(bcnt[v] + ccnt[v]), v))[:9]
+            rest_b = max(int(b.get("non_null_count", 0))
+                         - sum(bcnt[v] for v in cats), 0)
+            rest_c = max(int(c.get("non_null_count", 0))
+                         - sum(ccnt[v] for v in cats), 0)
+            bl = [{"value": v, "count": bcnt[v]} for v in cats]
+            cl = [{"value": v, "count": ccnt[v]} for v in cats]
+            if rest_b or rest_c:
+                bl.append({"value": "<other>", "count": rest_b})
+                cl.append({"value": "<other>", "count": rest_c})
+            mx = max([t["count"] for t in bl] + [t["count"] for t in cl], default=1)
+            left = _topk_chart(bl, y_max=mx)
+            right = _topk_chart(cl, y_max=mx)
+            kind = "top values, tail pooled"
         figures.append(
-            f'<figure class="cmp"><figcaption>{html.escape(col)} '
+            f'<figure class="cmp" data-col="{html.escape(col)}" '
+            f'data-flag="{1 if col in drifted else 0}">'
+            f'<figcaption>{html.escape(col)} '
             f'<span class="meta">({kind})</span> {_chips(col)}</figcaption>'
             f'<div class="cmpgrid"><div><p class="meta">baseline</p>{left}</div>'
             f'<div><p class="meta">current</p>{right}</div></div></figure>'
@@ -561,7 +617,9 @@ def render_comparison_html(
     if figures:
         body += (
             "<h2>Per-column comparison (baseline | current)</h2>"
-            f'<div class="chartgrid">{"".join(figures)}</div>'
+            + _filter_bar("drifted columns only")
+            + f'<div class="chartgrid">{"".join(figures)}</div>'
+            + _FILTER_JS
         )
     return (
         f'<!doctype html><html><head><meta charset="utf-8">'
@@ -634,8 +692,10 @@ def render_profile_html(profile: Any, title: str | None = None) -> str:
             'a uniqueness rule)">PK?</span>'
             if cs.get("pk_candidate") else ""
         )
+        flag = 1 if (null_pct > 0 or cs.get("pk_candidate")) else 0
         rows.append(
-            f"<tr><td>{html.escape(name)}{pk}</td>"
+            f'<tr data-col="{html.escape(name)}" data-flag="{flag}">'
+            f"<td>{html.escape(name)}{pk}</td>"
             f"<td>{html.escape(str(cs.get('data_type', '')))}</td>"
             f"<td>{null_pct:.1f}%</td>"
             f"<td>{cs.get('distinct_count') or ''}</td>"
@@ -655,7 +715,8 @@ def render_profile_html(profile: Any, title: str | None = None) -> str:
             kind = "top values"
         if chart:
             charts.append(
-                f'<figure class="colchart"><figcaption>'
+                f'<figure class="colchart" data-col="{html.escape(name)}" '
+                f'data-flag="{flag}"><figcaption>'
                 f"{html.escape(name)} <span class='meta'>({kind})</span>"
                 f"</figcaption>{chart}</figure>"
             )
@@ -670,10 +731,11 @@ def render_profile_html(profile: Any, title: str | None = None) -> str:
 <p class="meta">{profile.get('total_rows', 0):,} rows ·
 {len(profile.get('columns', {}))} columns ·
 generated {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}</p>
+{_filter_bar('columns with nulls / PK candidates only')}
 <table><tr><th>column</th><th>type</th><th>null%</th><th>ndv</th>
 <th>range</th><th>mean</th><th>histogram</th><th>top values</th>
 <th>patterns</th></tr>{''.join(rows)}</table>
-{charts_html}</body></html>"""
+{charts_html}{_FILTER_JS}</body></html>"""
 
 
 def render_full_html(

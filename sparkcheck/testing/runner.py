@@ -47,12 +47,46 @@ from sparkcheck.testing.models import (
 )
 
 
-def register_fixture(spark: SparkSession, fixture: TestFixture) -> DataFrame:
+def _cached_generated_fixture(
+    spark: SparkSession, cfg: dict, cache_dir: str
+) -> DataFrame:
+    """Content-hash fixture cache (the reference's enhanced_fixtures.py
+    caching, re-shaped for Spark: most fixture types are lazy views and
+    need no cache, but a LARGE generated fixture reused across suites
+    recomputes its column expressions on every test scan). Key =
+    md5(canonical JSON of the generation spec) — the generator is
+    deterministic, so equal specs mean byte-equal data; the parquet
+    materialization is written once and every later suite reads it."""
+    import hashlib
+    import json
+    import os
+
+    key = hashlib.md5(
+        json.dumps(
+            {"n": int(cfg["n"]), "columns": dict(cfg["columns"]),
+             "seed": int(cfg.get("seed", 42))},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
+    path = os.path.join(cache_dir, f"gen_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generated_fixture(
+            spark, n=int(cfg["n"]), columns=cfg["columns"],
+            seed=int(cfg.get("seed", 42)),
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def register_fixture(
+    spark: SparkSession, fixture: TestFixture, cache_dir: str | None = None
+) -> DataFrame:
     """Materialize one fixture as a temp view named ``table_name``.
 
     Maps the reference's loaders (fixtures.py:72-161) onto Spark readers;
     the SQL type executes a .sql script statement-by-statement
     (fixtures.py:110-124) and registers the LAST statement's result.
+    ``cache_dir`` enables the content-hash cache for GENERATED fixtures
+    (other types are lazy views over existing data — nothing to cache).
     """
     ft = fixture.fixture_type
     if ft in (FixtureType.CSV, FixtureType.JSON, FixtureType.PARQUET):
@@ -61,9 +95,12 @@ def register_fixture(spark: SparkSession, fixture: TestFixture) -> DataFrame:
         df = inline_fixture(spark, fixture.data_source, schema=fixture.schema)
     elif ft == FixtureType.GENERATED:
         cfg = dict(fixture.data_source)
-        df = generated_fixture(
-            spark, n=int(cfg["n"]), columns=cfg["columns"], seed=int(cfg.get("seed", 42))
-        )
+        if cache_dir is not None:
+            df = _cached_generated_fixture(spark, cfg, cache_dir)
+        else:
+            df = generated_fixture(
+                spark, n=int(cfg["n"]), columns=cfg["columns"], seed=int(cfg.get("seed", 42))
+            )
     elif ft == FixtureType.SQL:
         df = run_sql_script(spark, str(fixture.data_source))
         if df is None:
@@ -126,10 +163,14 @@ class SparkTestRunner:
         spark: SparkSession,
         max_result_rows: int = 10_000,
         fair_pool: str | None = "sparkcheck-tests",
+        fixture_cache_dir: str | None = None,
     ):
         self.spark = spark
         self.max_result_rows = max_result_rows
         self.fair_pool = fair_pool
+        # content-hash cache for GENERATED fixtures reused across
+        # suites/tests (see _cached_generated_fixture); None = off
+        self.fixture_cache_dir = fixture_cache_dir
         self._executed: set[str] = set()
 
     # -- single test ----------------------------------------------------
@@ -170,7 +211,7 @@ class SparkTestRunner:
                         "spark.scheduler.pool", self.fair_pool
                     )
                 for fx in fixtures:
-                    register_fixture(session, fx)
+                    register_fixture(session, fx, cache_dir=self.fixture_cache_dir)
                     registered.append(fx)
                 if test.setup_sql:
                     run_sql_statements(session, test.setup_sql)

@@ -312,3 +312,42 @@ def test_comparison_page_side_by_side():
     # delta=None path computes the same verdicts from the profiles
     doc2 = render_comparison_html(baseline.to_dict(), current.to_dict())
     assert '<span class="chip fail">DRIFT</span>' in doc2
+
+
+def test_comparison_page_pooled_topk_and_filter():
+    """VERDICT r4 #4+#5: a category that churns out of the top-k between
+    profiles must NOT render as a missing bar — both charts show the
+    chi-square statistic's category set (intersection + a pooled
+    '<other>' residual), so the visual and the chip agree; and the page
+    carries the zero-dependency inline filter (data-col/data-flag
+    attributes + the filter bar + script)."""
+    from sparkcheck.drift import compare_profiles
+    from sparkcheck.io.html_report import render_comparison_html
+    from sparkcheck.profile.models import ColumnStatistics, TableProfile
+
+    def col(top, total=1000):
+        return ColumnStatistics(
+            name="lang", data_type="string", total_count=total,
+            non_null_count=total, null_count=0, distinct_count=10,
+            top_values=[{"value": v, "count": n} for v, n in top],
+        )
+
+    baseline = TableProfile(table="t", total_rows=1000, columns={
+        "lang": col([("en", 600), ("de", 250), ("fr", 150)]),
+    })
+    # fr drops out of the top-k, it enters — rank churn at the boundary
+    current = TableProfile(table="t", total_rows=1000, columns={
+        "lang": col([("en", 600), ("de", 250), ("it", 150)]),
+    })
+    delta = compare_profiles(baseline, current)
+    doc = render_comparison_html(baseline, current, delta)
+    # intersection {en, de} + one pooled residual bar per side = 3 + 3
+    assert doc.count('class="kbar"') == 6
+    assert "&lt;other&gt;" in doc and "&lt;other&gt;: 150" in doc
+    assert "tail pooled" in doc
+    # fr/it never render as one-sided bars
+    assert ">fr<" not in doc and ">it<" not in doc
+    # interactive filter plumbing: attributes, bar, script, self-contained
+    assert 'data-col="lang"' in doc and 'data-flag=' in doc
+    assert 'id="colfilter"' in doc and 'id="flagonly"' in doc
+    assert "<script>" in doc and "http" not in doc.split("</style>")[1]

@@ -199,6 +199,13 @@ def test_profile_html_per_column_charts():
     # string top-k: 2 horizontal bars, escaped label, count tooltip
     assert doc.count('class="kbar"') == 2
     assert "acme &amp; co" in doc and "acme &amp; co: 60" in doc
+    # interactive filter (VERDICT r4 #5): every column carries data
+    # attributes on its table row AND its chart; the inline filter bar
+    # + script are present and the page stays self-contained
+    for name in ("price", "brand"):
+        assert doc.count(f'data-col="{name}"') == 2
+    assert 'id="colfilter"' in doc and 'id="flagonly"' in doc
+    assert "<script>" in doc
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):

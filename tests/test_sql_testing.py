@@ -574,6 +574,40 @@ def test_suite_fixture_visible_to_all_tests(spark, tmp_path):
         (r.test_name, r.error_message) for r in res.test_results]
 
 
+def test_generated_fixture_content_hash_cache(spark, tmp_path, monkeypatch):
+    """fixture_cache_dir: a GENERATED fixture is materialized to parquet
+    once, keyed by md5 of its generation spec; a second registration of
+    the SAME spec (e.g. another suite) reads the cache and never calls
+    the generator, while a DIFFERENT spec gets its own entry."""
+    import sparkcheck.testing.runner as R
+    from sparkcheck.testing.models import FixtureType, TestFixture
+
+    cache = str(tmp_path / "fixcache")
+    spec = {"n": 100, "columns": {"id": "id", "v": "int"}, "seed": 7}
+    fx = TestFixture(name="g", table_name="g_tbl",
+                     fixture_type=FixtureType.GENERATED, data_source=spec)
+    df1 = R.register_fixture(spark, fx, cache_dir=cache)
+    rows1 = sorted((r["id"], r["v"]) for r in df1.collect())
+
+    # second registration must be a pure cache read
+    def _boom(*a, **k):
+        raise AssertionError("generator re-invoked despite warm cache")
+    monkeypatch.setattr(R, "generated_fixture", _boom)
+    df2 = R.register_fixture(spark, fx, cache_dir=cache)
+    assert sorted((r["id"], r["v"]) for r in df2.collect()) == rows1
+    monkeypatch.undo()
+
+    # a different spec misses the cache and creates a second entry
+    import os
+    fx2 = TestFixture(name="g2", table_name="g2_tbl",
+                      fixture_type=FixtureType.GENERATED,
+                      data_source={**spec, "seed": 8})
+    R.register_fixture(spark, fx2, cache_dir=cache)
+    assert len([d for d in os.listdir(cache) if d.startswith("gen_")]) == 2
+    # runner plumbing: the knob reaches execute_test's registrations
+    assert SparkTestRunner(spark, fixture_cache_dir=cache).fixture_cache_dir == cache
+
+
 def test_inline_fixture_comma_bearing_types(spark):
     from decimal import Decimal
 
