@@ -59,10 +59,10 @@ EXTRACT_N = min(WEBTEXT_N, 1_000_000)
 
 
 def webtext_parquet(spark, n: int) -> str:
+    from sparkcheck.io.cache import cached_parquet
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", f"webtext_n{n}")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        webtext_table(spark, n, num_partitions=64).write.mode("overwrite").parquet(path)
+    cached_parquet(spark, path, lambda: webtext_table(spark, n, num_partitions=64))
     return path
 
 

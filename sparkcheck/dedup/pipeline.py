@@ -69,29 +69,16 @@ def _drop_url_duplicates(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     return kept.unionByName(exempt)
 
 
-def _marker_exists(spark, path: str) -> bool:
-    """True when ``path`` exists on the filesystem the STAGE WRITE uses —
-    probed through Spark's Hadoop FileSystem API, not driver-local
-    ``os.path``, so resume works for hdfs:// / s3a:// checkpoint dirs
-    too (a local os.path probe is always False there and every 'resume'
-    would silently recompute all stages)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
-
-
 def _stage_cached(
     base_dir: str, stage: str, build: Callable[[], DataFrame], spark
 ) -> DataFrame:
     """Return the stage's persisted output, building + persisting it if
-    absent. Completion marker is Spark's own _SUCCESS file (written
-    atomically after all tasks commit), so a killed mid-write stage is
-    rebuilt with mode=overwrite on resume."""
-    path = base_dir.rstrip("/") + "/" + stage
-    if not _marker_exists(spark, path + "/_SUCCESS"):
-        build().write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    absent (io.cache.cached_parquet: Hadoop-FS _SUCCESS probe so
+    hdfs://s3a:// checkpoint dirs resume too, per-path lock against
+    concurrent driver threads, overwrite-on-partial-write)."""
+    from sparkcheck.io.cache import cached_parquet
+
+    return cached_parquet(spark, base_dir.rstrip("/") + "/" + stage, build)
 
 
 def dedup_corpus(
@@ -283,10 +270,18 @@ def dedup_corpus(
     untouched = member.where(F.col("cluster").isNull()).drop("cluster")
     result = untouched.unionByName(survivors)
     if band_index_table is not None:
+        # The index write is an eager action; without materialization it
+        # would run the whole final assembly (member join + kept_ids
+        # groupBy + survivor semi-join) and the CALLER's action would
+        # re-run it all again. localCheckpoint the narrow survivor-ID
+        # frame once, then both the index write and the returned frame
+        # are one cheap semi-join against it.
+        final_ids = result.select(id_col).localCheckpoint()
         surviving_bands = bands.join(
-            result.select(F.col(id_col).alias("id")), "id", "left_semi"
+            final_ids.withColumnRenamed(id_col, "id"), "id", "left_semi"
         )
         write_band_index(
             surviving_bands, band_index_table, num_buckets=band_index_buckets
         )
+        result = exact.join(final_ids, on=id_col, how="left_semi")
     return result

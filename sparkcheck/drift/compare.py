@@ -30,6 +30,41 @@ DELTA_THRESHOLD_PCT = 5.0  # percentage points, analyzer.py:406-427
 PSI_THRESHOLD = 0.25       # major-shift rule of thumb
 
 
+def pooled_category_counts(
+    baseline_counts: dict[str, float],
+    current_counts: dict[str, float],
+    baseline_total: float,
+    current_total: float,
+) -> tuple[list[str], list[float], list[float]]:
+    """THE pooled category set for two-profile categorical comparison —
+    single definition shared by the chi-square statistic below and the
+    comparison page's charts (io/html_report.py), so the visual and the
+    verdict cannot diverge.
+
+    Categories = the INTERSECTION of the two top-k sets (a category in
+    only one side's top-k has an UNKNOWN — not zero — count on the
+    other side; scoring it against 0 fabricates drift from rank churn at
+    the top-k boundary), ordered by pooled count descending. Each side's
+    residual mass (total non-null minus its counted intersection mass,
+    which includes every one-sided top-k member) is appended as a final
+    '<other>' bucket when nonzero. Returns (labels, baseline_counts,
+    current_counts) aligned by position."""
+    cats = sorted(
+        set(baseline_counts) & set(current_counts),
+        key=lambda v: (-(baseline_counts[v] + current_counts[v]), v),
+    )
+    e = [float(baseline_counts[v]) for v in cats]
+    a = [float(current_counts[v]) for v in cats]
+    rest_e = max(float(baseline_total) - sum(e), 0.0)
+    rest_a = max(float(current_total) - sum(a), 0.0)
+    labels = list(cats)
+    if rest_e or rest_a:
+        labels.append("<other>")
+        e.append(rest_e)
+        a.append(rest_a)
+    return labels, e, a
+
+
 @dataclass
 class ProfileDelta:
     table: str
@@ -99,20 +134,11 @@ def compare_profiles(baseline: TableProfile, current: TableProfile) -> ProfileDe
         if b.top_values and n.top_values:
             bc = {str(t["value"]): float(t["count"]) for t in b.top_values}
             nc = {str(t["value"]): float(t["count"]) for t in n.top_values}
-            # INTERSECTION of the two top-k sets, not the union: a
-            # category in only one side's top-k has an UNKNOWN (not
-            # zero) count on the other side — scoring it against 0
-            # fabricates drift from mere rank churn at the top-k
-            # boundary. One-sided members stay in each side's <other>
-            # residual, where their mass is still accounted for.
-            cats = sorted(set(bc) & set(nc))
-            e = [bc[v] for v in cats]
-            a = [nc[v] for v in cats]
-            rest_e = max(float(b.non_null_count) - sum(e), 0.0)
-            rest_a = max(float(n.non_null_count) - sum(a), 0.0)
-            if rest_e or rest_a:
-                e.append(rest_e)
-                a.append(rest_a)
+            # intersection + <other> residual semantics: see
+            # pooled_category_counts (shared with the comparison charts)
+            _, e, a = pooled_category_counts(
+                bc, nc, float(b.non_null_count), float(n.non_null_count)
+            )
             try:
                 stat, dof = chi2_from_counts(e, a)
                 p = chi2_pvalue(stat, dof)

@@ -579,30 +579,25 @@ def render_comparison_html(
             btv, ctv = b.get("top_values") or [], c.get("top_values") or []
             if not btv or not ctv:
                 continue
-            # Chart the SAME pooled category set the chi-square verdict
-            # used (drift/compare.py): intersection of the two top-ks,
-            # with every one-sided / tail category folded into a shared
-            # '<other>' residual bar per side. A category that churns
-            # across the top-k boundary between profiles previously
-            # rendered as a missing bar on one side with no verdict —
-            # now its mass shows up in '<other>' on both charts and the
-            # visual agrees with the chip.
-            bcnt = {str(t.get("value")): int(t.get("count", 0)) for t in btv}
-            ccnt = {str(t.get("value")): int(t.get("count", 0)) for t in ctv}
-            cats = sorted(set(bcnt) & set(ccnt),
-                          key=lambda v: (-(bcnt[v] + ccnt[v]), v))[:9]
-            rest_b = max(int(b.get("non_null_count", 0))
-                         - sum(bcnt[v] for v in cats), 0)
-            rest_c = max(int(c.get("non_null_count", 0))
-                         - sum(ccnt[v] for v in cats), 0)
-            bl = [{"value": v, "count": bcnt[v]} for v in cats]
-            cl = [{"value": v, "count": ccnt[v]} for v in cats]
-            if rest_b or rest_c:
-                bl.append({"value": "<other>", "count": rest_b})
-                cl.append({"value": "<other>", "count": rest_c})
+            # Chart EXACTLY the pooled category set the chi-square
+            # verdict used — same helper, no truncation, so a category
+            # that churns across the top-k boundary shows up in
+            # '<other>' on both charts (previously a missing bar on one
+            # side with no verdict) and the bar driving a DRIFT chip is
+            # always one of the bars drawn.
+            from sparkcheck.drift.compare import pooled_category_counts
+
+            labels, e, a = pooled_category_counts(
+                {str(t.get("value")): float(t.get("count", 0)) for t in btv},
+                {str(t.get("value")): float(t.get("count", 0)) for t in ctv},
+                float(b.get("non_null_count", 0)),
+                float(c.get("non_null_count", 0)),
+            )
+            bl = [{"value": v, "count": int(n)} for v, n in zip(labels, e)]
+            cl = [{"value": v, "count": int(n)} for v, n in zip(labels, a)]
             mx = max([t["count"] for t in bl] + [t["count"] for t in cl], default=1)
-            left = _topk_chart(bl, y_max=mx)
-            right = _topk_chart(cl, y_max=mx)
+            left = _topk_chart(bl, y_max=mx, max_rows=len(bl))
+            right = _topk_chart(cl, y_max=mx, max_rows=len(cl))
             kind = "top values, tail pooled"
         figures.append(
             f'<figure class="cmp" data-col="{html.escape(col)}" '

@@ -56,10 +56,14 @@ def _cached_generated_fixture(
     recomputes its column expressions on every test scan). Key =
     md5(canonical JSON of the generation spec) — the generator is
     deterministic, so equal specs mean byte-equal data; the parquet
-    materialization is written once and every later suite reads it."""
+    materialization is written once (io.cache.cached_parquet: Hadoop-FS
+    probe for remote cache dirs, per-path lock so PARALLEL tests sharing
+    a cold suite fixture don't race the write) and every later suite
+    reads it."""
     import hashlib
     import json
-    import os
+
+    from sparkcheck.io.cache import cached_parquet
 
     key = hashlib.md5(
         json.dumps(
@@ -68,13 +72,14 @@ def _cached_generated_fixture(
             sort_keys=True,
         ).encode()
     ).hexdigest()
-    path = os.path.join(cache_dir, f"gen_{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        generated_fixture(
+    return cached_parquet(
+        spark,
+        cache_dir.rstrip("/") + f"/gen_{key}",
+        lambda: generated_fixture(
             spark, n=int(cfg["n"]), columns=cfg["columns"],
             seed=int(cfg.get("seed", 42)),
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        ),
+    )
 
 
 def register_fixture(

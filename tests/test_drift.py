@@ -351,3 +351,15 @@ def test_comparison_page_pooled_topk_and_filter():
     assert 'data-col="lang"' in doc and 'data-flag=' in doc
     assert 'id="colfilter"' in doc and 'id="flagonly"' in doc
     assert "<script>" in doc and "http" not in doc.split("</style>")[1]
+
+    # >9 shared categories must NOT be truncated (review finding: the
+    # chart's category set must stay identical to the statistic's — a
+    # drift driven by the 12th-ranked shared category must be visible)
+    many = [(f"c{i:02d}", 100 - i) for i in range(12)]
+    b12 = TableProfile(table="t", total_rows=1200, columns={"lang": col(many)})
+    c12 = TableProfile(table="t", total_rows=1200, columns={"lang": col(many)})
+    doc12 = render_comparison_html(b12, c12, compare_profiles(b12, c12))
+    # all 12 shared categories render on both sides (+ residual bars)
+    for i in range(12):
+        assert f">c{i:02d}<" in doc12
+    assert doc12.count('class="kbar"') >= 24

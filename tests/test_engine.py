@@ -480,13 +480,15 @@ def test_orchestrate_guards_and_parallel_fail_fast(spark):
 
     res = run_rulesets(spark, [bad, ok, ok.__class__(name="ok2", table="t",
                        rules=ok.rules)], tables, parallel=2, fail_fast=True)
-    # wave submission (round-4 ADVICE fix) makes parallel fail_fast
-    # deterministic: wave 1 = [bad, ok] both run (bad fails), wave 2 =
-    # [ok2] is never submitted — previously all three were submitted up
-    # front and fail_fast degraded to a no-op when max_workers >= n sets
-    assert set(res.reports) == {"bad set", "ok"}
-    assert res.skipped == ["ok2"]
-    assert not res.reports["bad set"].passed
+    # wave submission (round-4 ADVICE fix): wave 2 = [ok2] is never
+    # submitted once wave 1's failure sets the stop flag — previously
+    # all three were submitted up front and fail_fast degraded to a
+    # no-op when max_workers >= n sets. 'ok' shares wave 1 with the
+    # failing set and usually runs, but a delayed worker thread can
+    # legitimately observe the flag first — either outcome is valid.
+    assert "bad set" in res.reports and not res.reports["bad set"].passed
+    assert "ok2" in res.skipped
+    assert set(res.reports) | set(res.skipped) == {"bad set", "ok", "ok2"}
     assert not res.passed
 
     # whitespace-containing suite names get valid HTML ids + hrefs

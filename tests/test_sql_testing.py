@@ -608,6 +608,47 @@ def test_generated_fixture_content_hash_cache(spark, tmp_path, monkeypatch):
     assert SparkTestRunner(spark, fixture_cache_dir=cache).fixture_cache_dir == cache
 
 
+def test_fixture_cache_cold_start_not_raced(spark, tmp_path, monkeypatch):
+    """Parallel tests sharing one GENERATED suite fixture hit a cold
+    cache together; the per-path lock in io.cache must serialize the
+    probe+write so the generator runs ONCE and no thread overwrites
+    another's in-flight parquet job (review finding)."""
+    import threading
+    import time as _time
+
+    import sparkcheck.testing.runner as R
+    from sparkcheck.io.sources import generated_fixture as real_gen
+    from sparkcheck.testing.models import FixtureType, TestFixture
+
+    calls = []
+
+    def slow_gen(spark_, **kw):
+        calls.append(1)
+        _time.sleep(0.3)  # widen the race window
+        return real_gen(spark_, **kw)
+
+    monkeypatch.setattr(R, "generated_fixture", slow_gen)
+    cache = str(tmp_path / "racecache")
+    spec = {"n": 50, "columns": {"id": "id", "v": "int"}, "seed": 3}
+    errors = []
+
+    def _register(i):
+        try:
+            fx = TestFixture(name=f"g{i}", table_name=f"g{i}_tbl",
+                             fixture_type=FixtureType.GENERATED, data_source=spec)
+            R.register_fixture(spark, fx, cache_dir=cache)
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=_register, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(calls) == 1  # one build; three lock-waited cache hits
+
+
 def test_inline_fixture_comma_bearing_types(spark):
     from decimal import Decimal
 
