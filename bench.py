@@ -193,13 +193,16 @@ def main() -> None:
     # for the same 250k docs)
     pipe_n = min(WEBTEXT_N, 250_000)
     pipe_df = spark.read.parquet(wt_path).where(F.col("doc_id") < pipe_n)
-    t0 = time.perf_counter()
-    pipe_survivors = dedup_corpus(
-        pipe_df, text_col="text", id_col="doc_id", url_col="url",
-        threshold=0.8, num_hashes=8, rows_per_band=4, max_bucket=1000,
-    ).count()
-    pipe_sec = round(time.perf_counter() - t0, 3)
-    spark.catalog.clearCache()
+    best = float("inf")
+    for _ in range(2):  # measured 17.7-28.3 s spread across reps (host noise)
+        t0 = time.perf_counter()
+        pipe_survivors = dedup_corpus(
+            pipe_df, text_col="text", id_col="doc_id", url_col="url",
+            threshold=0.8, num_hashes=8, rows_per_band=4, max_bucket=1000,
+        ).count()
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    pipe_sec = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -29,10 +29,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from sparkcheck.dedup.jaccard import jaccard_for_pairs, shingles
+from sparkcheck.dedup.jaccard import jaccard_for_pairs
 
 
-def _hash_col(i: int):
+def _hash_col(i: int, hash_fn: str = "md5"):
+    """The i-th MinHash function over the 'shingle' column. 'md5' is the
+    engine-portable hex-string family (DuckDB oracle parity); min over
+    int64 xxhash64 values is an equally valid uniform min-hash but is
+    handled inline in minhash_signatures (one string hash per row, not
+    one per family member). Unknown names fail loudly — a typo'd
+    hash_fn silently falling back to md5 would build an index no
+    xxhash64 probe can ever match."""
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'md5' or 'xxhash64')")
     return F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
 
 
@@ -42,12 +51,36 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, mh_0..mh_{H-1}) — per-doc MinHash signature, one agg pass
-    over the exploded shingles."""
-    sh = shingles(df, text_col, id_col, k)
-    aggs = [F.min(_hash_col(i)).alias(f"mh_{i}") for i in range(num_hashes)]
-    return sh.groupBy("id").agg(*aggs)
+    over the exploded shingles. ``hash_fn``: 'md5' (engine-portable hex
+    strings, the oracle-parity default) or 'xxhash64' (codegen'd int64,
+    the fast engine-internal path — see _hash_col).
+
+    min() is duplicate-insensitive, so unlike the Jaccard path this
+    does NOT pay ``shingles()``'s set-semantics distinct — the exploded
+    frame goes straight into the map-side-combined min agg (exactly one
+    exchange of O(docs × H) partials; the distinct would add a full
+    (id, shingle) row shuffle for identical signatures). The xxhash64
+    family hashes each shingle STRING once and derives the H family
+    members by re-hashing the int64 — H+1 hashes per row, not H string
+    hashes."""
+    from sparkcheck.dedup.jaccard import shingle_expr
+
+    exploded = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_expr(F.col(text_col), k)).alias("shingle"),
+    )
+    if hash_fn == "xxhash64":
+        hashed = exploded.select("id", F.xxhash64("shingle").alias("_h"))
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+        return hashed.groupBy("id").agg(*aggs)
+    aggs = [F.min(_hash_col(i, hash_fn)).alias(f"mh_{i}") for i in range(num_hashes)]
+    return exploded.groupBy("id").agg(*aggs)
 
 
 def band_assignments(
@@ -134,6 +167,7 @@ def minhash_near_duplicates(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     max_bucket: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full pipeline: LSH candidates → exact shingle-Jaccard verify →
     pairs (id_a, id_b, jaccard) with jaccard ≥ threshold.
@@ -145,7 +179,7 @@ def minhash_near_duplicates(
     the corpus to candidate *ids* then all-pairs Jaccard on the subset —
     re-grew the h² self-join blowup on boilerplate shingles whenever the
     candidate subset was large (near-dup-heavy crawls)."""
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_fn)
     cands = lsh_candidate_pairs(sigs, num_hashes, rows_per_band, max_bucket)
     return jaccard_for_pairs(df, cands, text_col, id_col, k, threshold)
 
@@ -184,6 +218,7 @@ def incremental_near_duplicates(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     max_bucket: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an EXISTING corpus —
     the incremental-ingest question ("is this crawl batch already in
@@ -210,16 +245,20 @@ def incremental_near_duplicates(
          restriction).
 
     Ids must be globally unique across both frames (pairs are
-    (id_a=new, id_b=corpus)). Returns (id_a, id_b, jaccard ≥ threshold).
+    (id_a=new, id_b=corpus)); ``hash_fn`` must MATCH the one the passed
+    ``corpus_bands`` index was built with (``dedup_corpus`` builds its
+    index with 'xxhash64' — probe with the same) or band keys never
+    collide and every probe silently returns nothing.
+    Returns (id_a, id_b, jaccard ≥ threshold).
     New-batch-internal duplicates are NOT reported — run
     ``minhash_near_duplicates`` on the batch for those."""
     if isinstance(corpus_bands, str):
         corpus_bands = new_docs.sparkSession.table(corpus_bands)
-    new_sigs = minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, k, num_hashes, hash_fn)
     new_bands = band_assignments(new_sigs, num_hashes, rows_per_band)
     if corpus_bands is None:
         corpus_bands = band_assignments(
-            minhash_signatures(corpus_docs, text_col, id_col, k, num_hashes),
+            minhash_signatures(corpus_docs, text_col, id_col, k, num_hashes, hash_fn),
             num_hashes,
             rows_per_band,
         )

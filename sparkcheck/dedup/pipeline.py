@@ -97,6 +97,7 @@ def dedup_corpus(
     url_col: str | None = None,
     band_index_table: str | None = None,
     band_index_buckets: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deduplicated corpus: full rows of the surviving docs.
 
@@ -125,6 +126,18 @@ def dedup_corpus(
     path + mtime, …). ``quality_col`` is excluded from the key: it only
     affects final survivor choice, so cached stages are reusable across
     quality policies.
+
+    ``hash_fn`` (default 'xxhash64'): the MinHash hash family. The
+    pipeline's signatures are engine-INTERNAL — only the exact-Jaccard-
+    verified pairs are observable — so it defaults to the codegen'd
+    xxhash64 path (the md5-hex construction, kept as the default on the
+    oracle-facing ``minhash_*`` functions for DuckDB parity, was
+    measured at 84% of the whole pairs-stage wall; BENCH/PIPELINE.md
+    round-5 section). Candidate recall is statistically identical (both
+    are uniform hash families; the LSH S-curve depends only on the band
+    geometry). Pass 'md5' to reproduce pre-round-5 candidate sets. The
+    hash family participates in the checkpoint key, and a persisted
+    ``band_index_table`` must be probed with the SAME ``hash_fn``.
 
     ``band_index_table``: the incremental-ingest steady state — after
     the run, the MinHash band assignments of the SURVIVING docs are
@@ -160,7 +173,7 @@ def dedup_corpus(
         exact = df.join(exact_ids, on=id_col, how="left_semi")
         if band_index_table is not None:
             bands = band_assignments(
-                minhash_signatures(exact, text_col, id_col, k, num_hashes),
+                minhash_signatures(exact, text_col, id_col, k, num_hashes, hash_fn),
                 num_hashes, rows_per_band,
             )
             pairs = jaccard_for_pairs(
@@ -171,6 +184,7 @@ def dedup_corpus(
             pairs = minhash_near_duplicates(
                 exact, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes,
                 rows_per_band=rows_per_band, threshold=threshold, max_bucket=max_bucket,
+                hash_fn=hash_fn,
             )
         clusters = connected_components(pairs, max_iter=max_iter)
     else:
@@ -187,7 +201,7 @@ def dedup_corpus(
                     "id_col": id_col, "k": k, "num_hashes": num_hashes,
                     "rows_per_band": rows_per_band, "threshold": threshold,
                     "max_bucket": max_bucket, "max_iter": max_iter,
-                    "url_col": url_col,
+                    "url_col": url_col, "hash_fn": hash_fn,
                 },
                 sort_keys=True,
             ).encode()
@@ -219,7 +233,7 @@ def dedup_corpus(
             bands = _stage_cached(
                 base, "bands",
                 lambda: band_assignments(
-                    minhash_signatures(exact, text_col, id_col, k, num_hashes),
+                    minhash_signatures(exact, text_col, id_col, k, num_hashes, hash_fn),
                     num_hashes, rows_per_band,
                 ),
                 spark,
@@ -239,6 +253,7 @@ def dedup_corpus(
                     exact, text_col=text_col, id_col=id_col, k=k,
                     num_hashes=num_hashes, rows_per_band=rows_per_band,
                     threshold=threshold, max_bucket=max_bucket,
+                    hash_fn=hash_fn,
                 ),
                 spark,
             )

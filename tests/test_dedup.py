@@ -374,7 +374,13 @@ def test_dedup_corpus_end_to_end(spark):
     from pyspark.sql import functions as F
     from sparkcheck.dedup import dedup_corpus
 
-    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # 20 shared words + 1 differing → jaccard 0.9; the 4-band/2-row
+    # curve recalls s=0.9 with P≈0.999 under ANY uniform hash family
+    # (at the old 10-word base s was 0.8 → 1.7% per-pair miss, and the
+    # xxhash64 draw happened to miss one pair — a recall lottery, not a
+    # correctness property, so the fixture shouldn't sit on it)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
     docs = [
         (1, base + " one", 0.5),
         (2, base + " two", 0.9),        # near-dups of each other
@@ -405,7 +411,10 @@ def test_dedup_corpus_checkpoint_resume(spark, tmp_path, monkeypatch):
     import sparkcheck.dedup.pipeline as pl
     from sparkcheck.dedup import dedup_corpus
 
-    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # 20-word base → pairwise jaccard 0.9, recalled under any uniform
+    # hash family (see test_dedup_corpus_end_to_end's fixture note)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
     docs = [
         (1, base + " one", 0.5), (2, base + " two", 0.9),
         (3, base + " three", 0.7), (4, base + " one", 0.1),
@@ -663,11 +672,15 @@ def test_dedup_corpus_leaves_band_index_for_incremental(spark, tmp_path):
              (1001, "totally unrelated words nothing shared here at all ok")],
             "doc_id long, text string")
         corpus_docs = df.join(corpus.select("doc_id"), "doc_id", "left_semi")
+        # hash_fn must match the index's builder (dedup_corpus defaults
+        # to the fast xxhash64 family) — a mismatched probe would find
+        # zero band collisions
         via_index = incremental_near_duplicates(
             new, corpus_docs, corpus_bands="corpus_band_idx",
-            threshold=0.5, num_hashes=8, rows_per_band=2)
+            threshold=0.5, num_hashes=8, rows_per_band=2, hash_fn="xxhash64")
         from_scratch = incremental_near_duplicates(
-            new, corpus_docs, threshold=0.5, num_hashes=8, rows_per_band=2)
+            new, corpus_docs, threshold=0.5, num_hashes=8, rows_per_band=2,
+            hash_fn="xxhash64")
         got = sorted(map(tuple, via_index.select("id_a", "id_b").collect()))
         want = sorted(map(tuple, from_scratch.select("id_a", "id_b").collect()))
         assert got == want and (1000, 7) in got
@@ -677,7 +690,8 @@ def test_dedup_corpus_leaves_band_index_for_incremental(spark, tmp_path):
         # tiny index doesn't hide the property)
         nb = incremental_near_duplicates(
             new, corpus_docs, corpus_bands="corpus_band_idx",
-            threshold=0.5, num_hashes=8, rows_per_band=2, max_bucket=None)
+            threshold=0.5, num_hashes=8, rows_per_band=2, max_bucket=None,
+            hash_fn="xxhash64")
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
@@ -712,6 +726,30 @@ def test_dedup_corpus_unparseable_urls_exempt(spark):
                                num_hashes=8, rows_per_band=2).collect())
     # all three unparseable-URL docs survive; 5 drops as canonical dup of 4
     assert kept == [1, 2, 3, 4]
+
+
+def test_dedup_corpus_hash_families_agree(spark):
+    """The pipeline's xxhash64 default and the oracle-parity md5 family
+    must produce the SAME survivors on a corpus with clear near-dups:
+    both are uniform hash families, the band geometry (hence the recall
+    S-curve) is identical, and the final pairs are exact-Jaccard
+    verified — hash choice is engine-internal."""
+    from sparkcheck.dedup import dedup_corpus
+
+    # per-doc DISJOINT vocabularies (cross-doc jaccard 0) so the only
+    # near-dup structure is the planted one — a shared-template corpus
+    # would sit near the threshold and cluster differently per hash draw
+    def words(i):
+        return " ".join(f"w{i}x{j}" for j in range(18))
+
+    rows = [(i, words(i)) for i in range(30)]
+    rows += [(100 + i, words(i) + " tail") for i in range(5)]  # near-dups of 0..4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.5, num_hashes=8, rows_per_band=2)
+    fast = sorted(r["doc_id"] for r in dedup_corpus(df, **kw).collect())
+    slow = sorted(r["doc_id"] for r in dedup_corpus(df, hash_fn="md5", **kw).collect())
+    assert fast == slow
+    assert all(d < 100 for d in fast)  # every planted near-dup collapsed
 
 
 def test_auto_lsh_params_property_sweep():
