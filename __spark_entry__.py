@@ -1049,6 +1049,36 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic dataset mixing (sampling.stratified_sample): keep a
+    per-language fraction of the documents table via the md5-threshold
+    construction — reproducible at any parallelism AND in the oracle
+    (md5 hex compares identically in both engines). en down-weighted,
+    de kept fully, everything else at the default rate."""
+    from sparkcheck.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    out = stratified_sample(
+        d, {"en": 0.5, "de": 1.0}, strata_col="lang", id_col="doc_id",
+        default_rate=0.25, seed=1,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (sampling.pack_sequences):
+    documents ordered by id within each language shard, cut into
+    4096-char budget sequences — (seq_id, seq_offset) per doc from one
+    exclusive-prefix-sum window."""
+    from sparkcheck.sampling import pack_sequences
+
+    d = _t(spark, sf, "documents").where(F.col("lang").isNotNull())
+    out = pack_sequences(
+        d, token_col="n_chars", budget=4096, id_col="doc_id", shard_col="lang"
+    )
+    return out.select("doc_id", "lang", "seq_id", "seq_offset")
+
+
 # Driver-sample rotation policy (VERDICT r4 "Next round" #6, now encoded
 # rather than applied by hand): the external correctness gate samples the
 # FIRST 50 queries() entries per round, so the dict is ordered by
@@ -1151,6 +1181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": q_top_bigrams,
         "sql_testsuite": q_sql_testsuite,
         "pii_stats": q_pii_stats,
+        # new in round 5 — absent from _LAST_DRIVER_CHECKED, so they
+        # sort first and get driver rows immediately
+        "stratified_sample": q_stratified_sample,
+        "packed_sequences": q_packed_sequences,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -1707,6 +1741,28 @@ FROM events
         "pii_stats": pii_stats_sql,
         "pii_redacted": pii_redacted_sql,
         "dedup_keep_best": dedup_keep_best_sql,
+        # thresholds are hex_threshold(0.5 / 1.0 / 0.25) literals — md5
+        # hex is identical in both engines and fixed-length lowercase
+        # hex compares as the number it encodes
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE md5('1|' || CAST(doc_id AS VARCHAR)) <
+      CASE WHEN lang = 'de' THEN 'gggggggggggggggggggggggggggggggg'
+           WHEN lang = 'en' THEN '80000000000000000000000000000000'
+           ELSE '40000000000000000000000000000000' END
+""",
+        "packed_sequences": """
+SELECT doc_id, lang,
+       CAST(floor(before / 4096.0) AS BIGINT) AS seq_id,
+       CAST(before % 4096 AS BIGINT) AS seq_offset
+FROM (
+  SELECT doc_id, lang,
+         COALESCE(SUM(CAST(COALESCE(n_chars, 0) AS BIGINT)) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM documents WHERE lang IS NOT NULL
+)
+""",
         "dup_segment_stats": """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_segments,
