@@ -1065,6 +1065,19 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-rate deterministic sample (sampling.deterministic_sample)
+    — the md5-threshold keep rule on its own, oracle-gated so the
+    engine/oracle hash parity of the non-stratified path is checked
+    directly (CLAUDE.md operator rule)."""
+    from sparkcheck.sampling import deterministic_sample
+
+    d = _t(spark, sf, "documents")
+    return deterministic_sample(d, 0.35, id_col="doc_id", seed=7).select(
+        "doc_id", "source"
+    )
+
+
 def q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-then-chunk sequence packing (sampling.pack_sequences):
     documents ordered by id within each language shard, cut into
@@ -1184,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 — absent from _LAST_DRIVER_CHECKED, so they
         # sort first and get driver rows immediately
         "stratified_sample": q_stratified_sample,
+        "deterministic_sample": q_deterministic_sample,
         "packed_sequences": q_packed_sequences,
     }
     return dict(
@@ -1232,7 +1246,7 @@ def _sigs_cte(name: str, src: str) -> str:
 def _bands_cte(name: str, src: str) -> str:
     """4 bands × 2 rows banding CTE over an 8-hash signature frame."""
     body = " UNION ALL ".join(
-        f"SELECT id, {j} AS band_idx, mh_{2 * j} || mh_{2 * j + 1} AS band_key FROM {src}"
+        f"SELECT id, {j} AS band_idx, mh_{2 * j} || '|' || mh_{2 * j + 1} AS band_key FROM {src}"
         for j in range(4)
     )
     return f"{name} AS (\n  {body}\n)"
@@ -1751,9 +1765,13 @@ WHERE md5('1|' || CAST(doc_id AS VARCHAR)) <
            WHEN lang = 'en' THEN '80000000000000000000000000000000'
            ELSE '40000000000000000000000000000000' END
 """,
+        "deterministic_sample": """
+SELECT doc_id, source FROM documents
+WHERE md5('7|' || CAST(doc_id AS VARCHAR)) < '59999999999998000000000000000000'
+""",
         "packed_sequences": """
 SELECT doc_id, lang,
-       CAST(floor(before / 4096.0) AS BIGINT) AS seq_id,
+       CAST(before // 4096 AS BIGINT) AS seq_id,
        CAST(before % 4096 AS BIGINT) AS seq_offset
 FROM (
   SELECT doc_id, lang,
@@ -2079,7 +2097,7 @@ sigs AS (
   FROM shingles GROUP BY id
 ),
 bands AS (
-  {' UNION ALL '.join(f"SELECT id, {j} AS band_idx, mh_{2*j} || mh_{2*j+1} AS band_key FROM sigs" for j in range(4))}
+  {' UNION ALL '.join(f"SELECT id, {j} AS band_idx, mh_{2*j} || '|' || mh_{2*j+1} AS band_key FROM sigs" for j in range(4))}
 ),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -98,8 +98,12 @@ def band_assignments(
         *[
             F.struct(
                 F.lit(j).alias("band_idx"),
+                # '|' separator: md5 slots are fixed-width so bare
+                # concat was unambiguous, but the xxhash64 family's
+                # variable-length signed int64 strings would let
+                # (12,345) and (123,45) share a key without it
                 F.concat_ws(
-                    "", *[F.col(f"mh_{j * rows_per_band + r}") for r in range(rows_per_band)]
+                    "|", *[F.col(f"mh_{j * rows_per_band + r}") for r in range(rows_per_band)]
                 ).alias("band_key"),
             )
             for j in range(bands)
@@ -218,7 +222,7 @@ def incremental_near_duplicates(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     max_bucket: int | None = 1000,
-    hash_fn: str = "md5",
+    hash_fn: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an EXISTING corpus —
     the incremental-ingest question ("is this crawl batch already in
@@ -245,15 +249,34 @@ def incremental_near_duplicates(
          restriction).
 
     Ids must be globally unique across both frames (pairs are
-    (id_a=new, id_b=corpus)); ``hash_fn`` must MATCH the one the passed
-    ``corpus_bands`` index was built with (``dedup_corpus`` builds its
-    index with 'xxhash64' — probe with the same) or band keys never
-    collide and every probe silently returns nothing.
+    (id_a=new, id_b=corpus)). The MinHash family is resolved as
+    follows: an index written by ``dedup_corpus(band_index_table=)``
+    is SELF-DESCRIBING (it carries a constant ``hash_fn`` column —
+    RLE-compressed to nothing) and the probe ADOPTS its family
+    automatically, so the documented steady-state pairing works with
+    pure defaults; passing ``hash_fn`` explicitly against such an index
+    raises on mismatch instead of silently probing with keys that can
+    never collide. Without an index (or with a plain band frame),
+    ``hash_fn=None`` means 'md5' — the oracle-parity default.
     Returns (id_a, id_b, jaccard ≥ threshold).
     New-batch-internal duplicates are NOT reported — run
     ``minhash_near_duplicates`` on the batch for those."""
     if isinstance(corpus_bands, str):
         corpus_bands = new_docs.sparkSession.table(corpus_bands)
+    if corpus_bands is not None and "hash_fn" in corpus_bands.columns:
+        fams = corpus_bands.select("hash_fn").limit(1).collect()
+        if fams:
+            index_fam = fams[0][0]
+            if hash_fn is not None and hash_fn != index_fam:
+                raise ValueError(
+                    f"hash_fn={hash_fn!r} does not match the band index's "
+                    f"family {index_fam!r} — band keys would never collide "
+                    "and every probe would silently return nothing"
+                )
+            hash_fn = index_fam
+        corpus_bands = corpus_bands.drop("hash_fn")
+    if hash_fn is None:
+        hash_fn = "md5"
     new_sigs = minhash_signatures(new_docs, text_col, id_col, k, num_hashes, hash_fn)
     new_bands = band_assignments(new_sigs, num_hashes, rows_per_band)
     if corpus_bands is None:

@@ -294,7 +294,11 @@ def dedup_corpus(
         final_ids = result.select(id_col).localCheckpoint()
         surviving_bands = bands.join(
             final_ids.withColumnRenamed(id_col, "id"), "id", "left_semi"
-        )
+        ).withColumn("hash_fn", F.lit(hash_fn))
+        # the constant hash_fn column makes the index SELF-DESCRIBING:
+        # incremental_near_duplicates adopts the family from it, so the
+        # steady-state probe works with pure defaults and a mismatched
+        # explicit hash_fn raises instead of silently matching nothing
         write_band_index(
             surviving_bands, band_index_table, num_buckets=band_index_buckets
         )

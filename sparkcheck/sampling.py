@@ -39,10 +39,17 @@ def hex_threshold(rate: float) -> str:
     return format(v, "032x")
 
 
+def _sample_hash(id_col: Column, seed: int) -> Column:
+    """md5('<seed>|<id>') — THE sampling hash, shared by both samplers
+    and mirrored literally in the oracle SQL. F.concat (not concat_ws)
+    so a NULL id null-propagates: NULL-id rows are dropped by the WHERE
+    in both engines, instead of all hashing to md5('<seed>|') and being
+    kept or dropped as one block."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), id_col.cast("string")))
+
+
 def _keep(id_col: Column, rate: float, seed: int) -> Column:
-    return F.md5(
-        F.concat_ws("|", F.lit(str(seed)), id_col.cast("string"))
-    ) < F.lit(hex_threshold(rate))
+    return _sample_hash(id_col, seed) < F.lit(hex_threshold(rate))
 
 
 def deterministic_sample(
@@ -75,8 +82,7 @@ def stratified_sample(
         thr = F.when(
             F.col(strata_col) == value, F.lit(hex_threshold(rate))
         ).otherwise(thr)
-    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
-    return df.where(h < thr)
+    return df.where(_sample_hash(F.col(id_col), seed) < thr)
 
 
 def pack_sequences(
@@ -117,8 +123,14 @@ def pack_sequences(
         ),
         F.lit(0).cast("long"),
     )
+    # integer `div`, not `/`: Spark's `/` promotes to double, which
+    # loses exactness past 2^53 cumulative tokens per shard — seq_id
+    # would disagree with the exact long `%` offset at precisely the
+    # scale this operator targets
     return df.select(
-        "*",
-        F.floor(before / budget).cast("long").alias("seq_id"),
-        (before % budget).cast("long").alias("seq_offset"),
+        "*", before.alias("_before")
+    ).select(
+        *df.columns,
+        F.expr(f"_before div {int(budget)}").alias("seq_id"),
+        (F.col("_before") % budget).cast("long").alias("seq_offset"),
     )

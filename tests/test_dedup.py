@@ -672,12 +672,18 @@ def test_dedup_corpus_leaves_band_index_for_incremental(spark, tmp_path):
              (1001, "totally unrelated words nothing shared here at all ok")],
             "doc_id long, text string")
         corpus_docs = df.join(corpus.select("doc_id"), "doc_id", "left_semi")
-        # hash_fn must match the index's builder (dedup_corpus defaults
-        # to the fast xxhash64 family) — a mismatched probe would find
-        # zero band collisions
+        # the index is SELF-DESCRIBING (constant hash_fn column): the
+        # probe adopts dedup_corpus's xxhash64 family with pure
+        # defaults, and an explicitly mismatched family raises instead
+        # of silently matching nothing
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="does not match"):
+            incremental_near_duplicates(
+                new, corpus_docs, corpus_bands="corpus_band_idx",
+                threshold=0.5, num_hashes=8, rows_per_band=2, hash_fn="md5")
         via_index = incremental_near_duplicates(
             new, corpus_docs, corpus_bands="corpus_band_idx",
-            threshold=0.5, num_hashes=8, rows_per_band=2, hash_fn="xxhash64")
+            threshold=0.5, num_hashes=8, rows_per_band=2)
         from_scratch = incremental_near_duplicates(
             new, corpus_docs, threshold=0.5, num_hashes=8, rows_per_band=2,
             hash_fn="xxhash64")
@@ -690,8 +696,7 @@ def test_dedup_corpus_leaves_band_index_for_incremental(spark, tmp_path):
         # tiny index doesn't hide the property)
         nb = incremental_near_duplicates(
             new, corpus_docs, corpus_bands="corpus_band_idx",
-            threshold=0.5, num_hashes=8, rows_per_band=2, max_bucket=None,
-            hash_fn="xxhash64")
+            threshold=0.5, num_hashes=8, rows_per_band=2, max_bucket=None)
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:

@@ -34,6 +34,18 @@ def test_deterministic_sample_reproducible_and_calibrated(spark):
     assert kept3 != kept1 and 0.25 <= len(kept3) / 4000 <= 0.35
 
 
+def test_null_ids_dropped_not_blocked(spark):
+    """NULL-id rows null-propagate through the sampling hash (F.concat,
+    not concat_ws) and are DROPPED at any rate — matching the oracle's
+    'seed|' || CAST(NULL) semantics — rather than all hashing to
+    md5('seed|') and being kept/dropped as one block."""
+    rows = [(i,) for i in range(100)] + [(None,)] * 10
+    df = spark.createDataFrame(rows, "doc_id long")
+    for rate in (0.2, 0.9):
+        kept = deterministic_sample(df, rate).collect()
+        assert all(r["doc_id"] is not None for r in kept)
+
+
 def test_stratified_sample_rates_and_null_default(spark):
     rows = [(i, ["en", "de", None][i % 3]) for i in range(3000)]
     df = spark.createDataFrame(rows, "doc_id long, lang string")
