@@ -84,10 +84,25 @@ def run_webtext_suite(spark, path: str) -> tuple[float, int]:
     return best, n
 
 
+def cpu_calibration() -> float:
+    """Fixed single-thread CPU burn — varies ONLY with host load. The
+    sandbox host has measured 4.6× calibration spreads across minutes
+    (BENCH/HOST_APPROX.md round-5 section), so the bench artifact
+    carries its own noise evidence: a calibration sample well above the
+    ~0.65 s idle floor marks the surrounding timings as taken in a
+    degraded window."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(4_000_000):
+        x = (x * 1103515245 + i) % (1 << 31)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="sparkcheck-bench", master=f"local[{cpus}]")
+    calib = {"start": round(cpu_calibration(), 3)}
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -105,6 +120,7 @@ def main() -> None:
         # later headliners aren't taxed by earlier queries' memory
         spark.catalog.clearCache()
 
+    calib["after_headliners"] = round(cpu_calibration(), 3)
     wt_path = webtext_parquet(spark, WEBTEXT_N)
     wt_sec, wt_rows = run_webtext_suite(spark, wt_path)
     timings["webtext_suite"] = round(wt_sec, 3)
@@ -135,6 +151,7 @@ def main() -> None:
         host_stats(wt, k=20, salted=True).collect()
         best = min(best, time.perf_counter() - t0)
     timings["webtext_host_stats"] = round(best, 3)
+    calib["after_host_stats"] = round(cpu_calibration(), 3)
 
     # north-rule verdict contract at 8M: per-partition pass/fail verdicts
     # + violation rows with lineage written to a parquet sink, over a
@@ -218,6 +235,10 @@ def main() -> None:
                 "dedup_corpus_sec": pipe_sec,
                 "dedup_corpus_docs": pipe_n,
                 "dedup_corpus_survivors": pipe_survivors,
+                # single-thread CPU burn samples (idle floor ~0.65 s):
+                # values well above it mark a degraded host window —
+                # read regressions against these before blaming a plan
+                "cpu_calibration_sec": calib,
                 "cpus": int(cpus),
             }
         )
