@@ -1065,6 +1065,25 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The ENTIRE one-call dedup pipeline, oracle-verified end-to-end:
+    exact md5 dedup → MinHash-LSH candidates → exact-Jaccard verify →
+    connected components → keep-best-by-quality — the DuckDB side
+    recomputes every stage (recursive-CTE closure for the components)
+    and the surviving doc_id sets must hash-match. hash_fn='md5' for
+    engine parity; max_bucket=None (the oracle-scale pair graph has no
+    hot buckets; the capped path is oracle-checked via
+    dedup_minhash_lsh + incremental_dedup)."""
+    from sparkcheck.dedup import dedup_corpus
+
+    out = dedup_corpus(
+        _t(spark, sf, "documents"), text_col="text", id_col="doc_id",
+        quality_col="n_chars", threshold=0.5, num_hashes=8,
+        rows_per_band=2, max_bucket=None, hash_fn="md5",
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Single-rate deterministic sample (sampling.deterministic_sample)
     — the md5-threshold keep rule on its own, oracle-gated so the
@@ -1199,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "deterministic_sample": q_deterministic_sample,
         "packed_sequences": q_packed_sequences,
+        "dedup_corpus": q_dedup_corpus,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -1755,6 +1775,77 @@ FROM events
         "pii_stats": pii_stats_sql,
         "pii_redacted": pii_redacted_sql,
         "dedup_keep_best": dedup_keep_best_sql,
+        # the WHOLE dedup_corpus pipeline, stage by stage: exact dedup
+        # keeps min-id per md5(text) (NULL text exempt); shingles/sigs/
+        # bands/verify replicate the md5 MinHash path; a recursive CTE
+        # forms the connected components; keep-best takes the highest
+        # n_chars (ties -> min id) per cluster; unclustered docs pass
+        "dedup_corpus": f"""
+WITH RECURSIVE exact_keep AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+  FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+),
+exact AS (
+  SELECT d.doc_id, d.text, d.n_chars FROM documents d
+  JOIN exact_keep k USING (doc_id)
+  UNION ALL
+  SELECT doc_id, text, n_chars FROM documents WHERE text IS NULL
+),
+shingles AS (
+  SELECT DISTINCT doc_id AS id,
+         CASE WHEN len(arr) >= 3
+              THEN array_to_string(arr[i:i+2], ' ')
+              ELSE array_to_string(arr, ' ') END AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM exact
+        WHERE text IS NOT NULL) t,
+       unnest(generate_series(1, GREATEST(len(arr) - 2, 1))) AS u(i)
+),
+sigs AS (
+  SELECT id, {', '.join(f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(8))}
+  FROM shingles GROUP BY id
+),
+bands AS (
+  {' UNION ALL '.join(f"SELECT id, {j} AS band_idx, mh_{2*j} || '|' || mh_{2*j+1} AS band_key FROM sigs" for j in range(4))}
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT v.id_a, v.id_b FROM (
+    SELECT id_a, id_b
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+  ) v SEMI JOIN cands c ON v.id_a = c.id_a AND v.id_b = c.id_b
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+),
+clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+kept AS (
+  SELECT cluster,
+         (list(e.doc_id ORDER BY e.n_chars DESC, e.doc_id ASC))[1] AS doc_id
+  FROM exact e JOIN clusters c ON e.doc_id = c.id
+  GROUP BY cluster
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM exact
+WHERE doc_id NOT IN (SELECT id FROM clusters)
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM kept
+""",
         # thresholds are hex_threshold(0.5 / 1.0 / 0.25) literals — md5
         # hex is identical in both engines and fixed-length lowercase
         # hex compares as the number it encodes
