@@ -35,15 +35,22 @@ def shingle_expr(text_col: Column, k: int) -> Column:
 
 
 def shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle) distinct rows — k-word shingles; docs shorter than
-    k words contribute their whole text as one shingle."""
-    return (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), F.explode(shingle_expr(F.col(text_col), k)).alias("shingle"))
-        .distinct()
+    """(id, shingle) rows — k-word shingles; docs shorter than k words
+    contribute their whole text as one shingle. ``distinct=True`` (the
+    Jaccard set semantics) pays a row shuffle; duplicate-insensitive
+    consumers (MinHash min-aggregation) pass False and skip it — ONE
+    definition of the shingling convention either way."""
+    out = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_expr(F.col(text_col), k)).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(

@@ -59,19 +59,16 @@ def minhash_signatures(
     the fast engine-internal path — see _hash_col).
 
     min() is duplicate-insensitive, so unlike the Jaccard path this
-    does NOT pay ``shingles()``'s set-semantics distinct — the exploded
-    frame goes straight into the map-side-combined min agg (exactly one
-    exchange of O(docs × H) partials; the distinct would add a full
+    does NOT pay the set-semantics distinct — the exploded frame goes
+    straight into the map-side-combined min agg (exactly one exchange
+    of O(docs × H) partials; the distinct would add a full
     (id, shingle) row shuffle for identical signatures). The xxhash64
     family hashes each shingle STRING once and derives the H family
     members by re-hashing the int64 — H+1 hashes per row, not H string
     hashes."""
-    from sparkcheck.dedup.jaccard import shingle_expr
+    from sparkcheck.dedup.jaccard import shingles
 
-    exploded = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_expr(F.col(text_col), k)).alias("shingle"),
-    )
+    exploded = shingles(df, text_col, id_col, k, distinct=False)
     if hash_fn == "xxhash64":
         hashed = exploded.select("id", F.xxhash64("shingle").alias("_h"))
         aggs = [
@@ -217,9 +214,9 @@ def incremental_near_duplicates(
     corpus_bands: DataFrame | str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 3,
-    num_hashes: int = 8,
-    rows_per_band: int = 2,
+    k: int | None = None,
+    num_hashes: int | None = None,
+    rows_per_band: int | None = None,
     threshold: float = 0.5,
     max_bucket: int | None = 1000,
     hash_fn: str | None = None,
@@ -249,34 +246,61 @@ def incremental_near_duplicates(
          restriction).
 
     Ids must be globally unique across both frames (pairs are
-    (id_a=new, id_b=corpus)). The MinHash family is resolved as
+    (id_a=new, id_b=corpus)). The band geometry is resolved as
     follows: an index written by ``dedup_corpus(band_index_table=)``
-    is SELF-DESCRIBING (it carries a constant ``hash_fn`` column —
-    RLE-compressed to nothing) and the probe ADOPTS its family
-    automatically, so the documented steady-state pairing works with
-    pure defaults; passing ``hash_fn`` explicitly against such an index
-    raises on mismatch instead of silently probing with keys that can
-    never collide. Without an index (or with a plain band frame),
-    ``hash_fn=None`` means 'md5' — the oracle-parity default.
+    is SELF-DESCRIBING — it carries constant ``hash_fn`` /
+    ``num_hashes`` / ``rows_per_band`` / ``k`` columns
+    (RLE-compressed to nothing) — and the probe ADOPTS every one of
+    them, so the documented steady-state pairing works with pure
+    defaults; EXPLICITLY passing any of those parameters against such
+    an index raises on mismatch instead of silently probing with keys
+    that can never collide (any single mismatched parameter produces
+    zero candidates). Without an index (or with a plain band frame),
+    None parameters fall back to the md5 / 8-hash / 2-row / k=3
+    oracle-parity defaults. A legacy index lacking the metadata
+    columns is probed for the current band-key format ('|' separator)
+    and rejected with a rebuild instruction if it predates it.
     Returns (id_a, id_b, jaccard ≥ threshold).
     New-batch-internal duplicates are NOT reported — run
     ``minhash_near_duplicates`` on the batch for those."""
     if isinstance(corpus_bands, str):
         corpus_bands = new_docs.sparkSession.table(corpus_bands)
+    meta_cols = ("hash_fn", "num_hashes", "rows_per_band", "k")
+    caller = {"hash_fn": hash_fn, "num_hashes": num_hashes,
+              "rows_per_band": rows_per_band, "k": k}
     if corpus_bands is not None and "hash_fn" in corpus_bands.columns:
-        fams = corpus_bands.select("hash_fn").limit(1).collect()
-        if fams:
-            index_fam = fams[0][0]
-            if hash_fn is not None and hash_fn != index_fam:
-                raise ValueError(
-                    f"hash_fn={hash_fn!r} does not match the band index's "
-                    f"family {index_fam!r} — band keys would never collide "
-                    "and every probe would silently return nothing"
-                )
-            hash_fn = index_fam
-        corpus_bands = corpus_bands.drop("hash_fn")
-    if hash_fn is None:
-        hash_fn = "md5"
+        present = [c for c in meta_cols if c in corpus_bands.columns]
+        row = corpus_bands.select(*present).limit(1).collect()
+        if row:
+            for name in present:
+                idx_val = row[0][name]
+                if caller[name] is not None and caller[name] != idx_val:
+                    raise ValueError(
+                        f"{name}={caller[name]!r} does not match the band "
+                        f"index's {name}={idx_val!r} — band keys would "
+                        "never collide and every probe would silently "
+                        "return nothing"
+                    )
+                caller[name] = idx_val
+        corpus_bands = corpus_bands.drop(*present)
+    elif corpus_bands is not None and "band_key" in corpus_bands.columns:
+        # legacy index without metadata: it cannot describe itself, but
+        # the band-key FORMAT is checkable — keys written before the
+        # '|' separator change can never collide with current probe
+        # keys, the same silent-empty failure the metadata prevents
+        sample = corpus_bands.select("band_key").limit(1).collect()
+        if sample and "|" not in (sample[0][0] or ""):
+            raise ValueError(
+                "corpus_bands predates the current band-key format "
+                "(no '|' separator) — rebuild the index with "
+                "write_band_index / dedup_corpus(band_index_table=...)"
+            )
+    hash_fn = caller["hash_fn"] if caller["hash_fn"] is not None else "md5"
+    num_hashes = caller["num_hashes"] if caller["num_hashes"] is not None else 8
+    rows_per_band = (
+        caller["rows_per_band"] if caller["rows_per_band"] is not None else 2
+    )
+    k = caller["k"] if caller["k"] is not None else 3
     new_sigs = minhash_signatures(new_docs, text_col, id_col, k, num_hashes, hash_fn)
     new_bands = band_assignments(new_sigs, num_hashes, rows_per_band)
     if corpus_bands is None:

@@ -292,13 +292,22 @@ def dedup_corpus(
         # frame once, then both the index write and the returned frame
         # are one cheap semi-join against it.
         final_ids = result.select(id_col).localCheckpoint()
-        surviving_bands = bands.join(
-            final_ids.withColumnRenamed(id_col, "id"), "id", "left_semi"
-        ).withColumn("hash_fn", F.lit(hash_fn))
-        # the constant hash_fn column makes the index SELF-DESCRIBING:
-        # incremental_near_duplicates adopts the family from it, so the
-        # steady-state probe works with pure defaults and a mismatched
-        # explicit hash_fn raises instead of silently matching nothing
+        surviving_bands = (
+            bands.join(
+                final_ids.withColumnRenamed(id_col, "id"), "id", "left_semi"
+            )
+            .withColumn("hash_fn", F.lit(hash_fn))
+            .withColumn("num_hashes", F.lit(num_hashes))
+            .withColumn("rows_per_band", F.lit(rows_per_band))
+            .withColumn("k", F.lit(k))
+        )
+        # the constant metadata columns (RLE-compressed to nothing)
+        # make the index SELF-DESCRIBING: incremental_near_duplicates
+        # adopts the FULL band geometry from it — any single mismatched
+        # parameter (family, hash count, band width, shingle k) would
+        # make probe keys that never collide, the silent-empty failure
+        # mode — and raises when an explicitly-passed parameter
+        # contradicts the index
         write_band_index(
             surviving_bands, band_index_table, num_buckets=band_index_buckets
         )

@@ -78,7 +78,11 @@ def stratified_sample(
     per-stratum threshold is a CASE chain on the stratum column, not a
     join."""
     thr: Column = F.lit(hex_threshold(default_rate))
-    for value, rate in sorted(rates.items()):
+    # repr-keyed sort: only for deterministic CASE-chain construction
+    # (conditions are mutually exclusive), and it tolerates mixed-type
+    # strata keys (int quality buckets next to string sources) that a
+    # bare sorted() would TypeError on
+    for value, rate in sorted(rates.items(), key=lambda kv: repr(kv[0])):
         thr = F.when(
             F.col(strata_col) == value, F.lit(hex_threshold(rate))
         ).otherwise(thr)
@@ -111,6 +115,19 @@ def pack_sequences(
     multi-source training data is packed anyway (sequences never mix
     sources). NULL token counts are treated as 0-length (the doc still
     appears, at the current offset)."""
+    if budget <= 0:
+        raise ValueError(
+            f"budget must be a positive token count, got {budget} (a zero "
+            "budget would DIVIDE_BY_ZERO mid-job under ANSI mode, or yield "
+            "all-NULL assignments without it)"
+        )
+    clash = {"_before", "seq_id", "seq_offset"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — rename them "
+            "before packing (the output adds seq_id/seq_offset and stages "
+            "an internal _before column)"
+        )
     order = [F.col(id_col)]
     w = (
         Window.partitionBy(shard_col).orderBy(*order)

@@ -677,10 +677,15 @@ def test_dedup_corpus_leaves_band_index_for_incremental(spark, tmp_path):
         # defaults, and an explicitly mismatched family raises instead
         # of silently matching nothing
         import pytest as _pytest
-        with _pytest.raises(ValueError, match="does not match"):
+        with _pytest.raises(ValueError, match="hash_fn.*does not match"):
             incremental_near_duplicates(
                 new, corpus_docs, corpus_bands="corpus_band_idx",
                 threshold=0.5, num_hashes=8, rows_per_band=2, hash_fn="md5")
+        # the metadata covers the FULL geometry, not just the family
+        with _pytest.raises(ValueError, match="rows_per_band.*does not match"):
+            incremental_near_duplicates(
+                new, corpus_docs, corpus_bands="corpus_band_idx",
+                threshold=0.5, rows_per_band=4)
         via_index = incremental_near_duplicates(
             new, corpus_docs, corpus_bands="corpus_band_idx",
             threshold=0.5, num_hashes=8, rows_per_band=2)

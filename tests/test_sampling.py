@@ -82,3 +82,21 @@ def test_pack_sequences_golden_and_straddle(spark):
     assert got[4] == (1, 6000 - 4096)
     assert got[5] == (0, 0)
     assert got[6] == (1, 5000 - 4096)
+
+    # guards: zero/negative budgets and reserved-column collisions fail
+    # loudly up front instead of DIVIDE_BY_ZERO mid-job / ambiguous refs
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "n", 0)
+    with _pytest.raises(ValueError, match="seq_id"):
+        pack_sequences(pack_sequences(df, "n", 4096), "n", 4096)
+
+
+def test_stratified_sample_mixed_type_strata(spark):
+    """Mixed-type strata keys (int quality buckets next to string
+    sources) must not TypeError in the CASE-chain sort."""
+    rows = [(i, str(i % 2) if i % 3 else None) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, bucket string")
+    out = stratified_sample(df, {0: 0.0, "1": 1.0, "0": 1.0},
+                            strata_col="bucket", default_rate=0.5)
+    assert out.count() > 0  # construction didn't raise; chain applied
