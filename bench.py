@@ -84,6 +84,13 @@ def run_webtext_suite(spark, path: str) -> tuple[float, int]:
     return best, n
 
 
+def _burn(n: int = 4_000_000) -> int:
+    x = 0
+    for i in range(n):
+        x = (x * 1103515245 + i) % (1 << 31)
+    return x
+
+
 def cpu_calibration() -> float:
     """Fixed single-thread CPU burn — varies ONLY with host load. The
     sandbox host has measured 4.6× calibration spreads across minutes
@@ -92,9 +99,23 @@ def cpu_calibration() -> float:
     ~0.65 s idle floor marks the surrounding timings as taken in a
     degraded window."""
     t0 = time.perf_counter()
-    x = 0
-    for i in range(4_000_000):
-        x = (x * 1103515245 + i) % (1 << 31)
+    _burn()
+    return time.perf_counter() - t0
+
+
+def cpu_calibration_mt(workers: int = 8) -> float:
+    """Wall time of ``workers`` concurrent burns (subprocesses — the
+    GIL serializes threads). On an uncontended host this ≈ the
+    single-thread time; a multi-core-throttled window inflates it even
+    when the single-thread probe looks clean (observed: a bench run
+    3-6× degraded across the board with the 1-thread burn only 1.2×
+    its floor — hypervisor core-throttling is invisible to one
+    thread)."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(workers) as pool:
+        pool.map(_burn, [4_000_000] * workers)
     return time.perf_counter() - t0
 
 
@@ -102,7 +123,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="sparkcheck-bench", master=f"local[{cpus}]")
-    calib = {"start": round(cpu_calibration(), 3)}
+    calib = {
+        "start": round(cpu_calibration(), 3),
+        "start_mt8": round(cpu_calibration_mt(), 3),
+    }
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -152,6 +176,7 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["webtext_host_stats"] = round(best, 3)
     calib["after_host_stats"] = round(cpu_calibration(), 3)
+    calib["after_host_stats_mt8"] = round(cpu_calibration_mt(), 3)
 
     # north-rule verdict contract at 8M: per-partition pass/fail verdicts
     # + violation rows with lineage written to a parquet sink, over a
