@@ -185,6 +185,12 @@ def minhash_near_duplicates(
     return jaccard_for_pairs(df, cands, text_col, id_col, k, threshold)
 
 
+def counts_table_name(table: str) -> str:
+    """Name of the per-bucket counts sidecar written next to a band
+    index — derived, never passed, so the pair cannot drift apart."""
+    return table + "_counts"
+
+
 def write_band_index(
     bands: DataFrame,
     table: str,
@@ -199,12 +205,107 @@ def write_band_index(
     INDEX side — only the (small) new batch shuffles, to the bucket
     count. The one-time bucketed-write shuffle amortizes across every
     future batch; in production the same shape is Iceberg's
-    bucket(N, ...) partition transform."""
+    bucket(N, ...) partition transform.
+
+    Alongside the index a ``<table>_counts`` sidecar is written —
+    (band_idx, band_key, n): per-bucket membership, bucketed on the
+    same keys. This is what makes the incremental probe's hot-bucket
+    cap BATCH-cost: without stored counts the probe would have to
+    re-aggregate the ENTIRE corpus index per batch to know combined
+    bucket sizes (at 10^12 docs × 4 bands, a 4×10^12-row shuffle
+    every morning); with it the probe counts only the batch and joins
+    the stored counts through the co-located bucket keys. In
+    ``mode="append"`` (append_to_band_index) the sidecar gains rows
+    whose per-key counts SUM to the new total — the probe aggregates
+    the handful of matched sidecar rows, so appends never rewrite
+    history."""
     from sparkcheck.io.bucketed import write_bucketed
 
     write_bucketed(
         bands, table, bucket_cols=["band_idx", "band_key"],
         num_buckets=num_buckets, sort_cols=["band_idx", "band_key"], mode=mode,
+    )
+    if mode == "append":
+        # counts of the APPENDED rows only — existing sidecar rows stay;
+        # totals are per-key sums across segments
+        counts = bands.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    else:
+        # read the just-written table back rather than recomputing the
+        # (possibly expensive) band lineage a second time; the groupBy
+        # keys are the bucket keys, so this agg itself is Exchange-free
+        counts = (
+            bands.sparkSession.table(table)
+            .groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    write_bucketed(
+        counts, counts_table_name(table), bucket_cols=["band_idx", "band_key"],
+        num_buckets=num_buckets, sort_cols=["band_idx", "band_key"], mode=mode,
+    )
+
+
+def _table_num_buckets(spark, table: str) -> int:
+    """Bucket count of an existing bucketed catalog table (DESCRIBE
+    EXTENDED) — appends must reuse it or Spark rejects the write."""
+    for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if row[0] == "Num Buckets":
+            return int(row[1])
+    raise ValueError(
+        f"table {table!r} is not bucketed — not a write_band_index index"
+    )
+
+
+def append_to_band_index(
+    accepted_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append ACCEPTED new docs to a persisted band index — the missing
+    arc in the steady-state loop. ``dedup_corpus(band_index_table=)``
+    builds the index once; ``incremental_near_duplicates`` probes it;
+    this appends the batch's survivors so the NEXT batch compares
+    against an up-to-date corpus instead of a silently stale one.
+
+    Geometry (hash family, hash count, band width, shingle k) is
+    ADOPTED from the index's self-describing metadata columns — only
+    such indexes are appendable; appending with guessed geometry would
+    mix incompatible band keys and poison every later probe, so a
+    metadata-less table raises. The batch's bands are appended through
+    the same bucketed writer (same bucket count, read from the
+    catalog), the metadata columns ride along, and the counts sidecar
+    gains the batch's per-bucket counts — per-key totals are SUMS over
+    sidecar rows, so history is never rewritten and the probe's cap
+    stays batch-cost."""
+    spark = accepted_docs.sparkSession
+    idx = spark.table(table)
+    meta_cols = ("hash_fn", "num_hashes", "rows_per_band", "k")
+    missing = [c for c in meta_cols if c not in idx.columns]
+    if missing:
+        raise ValueError(
+            f"band index {table!r} lacks metadata column(s) {missing} — "
+            "only self-describing indexes (write_band_index via "
+            "dedup_corpus(band_index_table=) or this function) are "
+            "appendable; rebuild it"
+        )
+    row = idx.select(*meta_cols).limit(1).collect()
+    if not row:
+        raise ValueError(
+            f"band index {table!r} is empty — it cannot describe its "
+            "geometry; rebuild it with dedup_corpus(band_index_table=)"
+        )
+    hash_fn, num_hashes, rows_per_band, k = (row[0][c] for c in meta_cols)
+    bands = band_assignments(
+        minhash_signatures(accepted_docs, text_col, id_col, k, num_hashes, hash_fn),
+        num_hashes,
+        rows_per_band,
+    )
+    for name, val in zip(meta_cols, (hash_fn, num_hashes, rows_per_band, k)):
+        bands = bands.withColumn(name, F.lit(val))
+    write_band_index(
+        bands, table, num_buckets=_table_num_buckets(spark, table), mode="append"
     )
 
 
@@ -239,7 +340,11 @@ def incremental_near_duplicates(
          corpus index and the new batch — boilerplate clusters) are
          dropped from both sides before the probe, the same counting
          rule as the batch path: a boilerplate-heavy batch must not
-         re-grow the m×cap blowup a corpus-only count would allow;
+         re-grow the m×cap blowup a corpus-only count would allow.
+         With a NAMED index the corpus-side sizes come from the
+         ``<table>_counts`` sidecar ``write_band_index`` leaves behind,
+         so the cap itself is batch-cost — only the batch's bands are
+         ever aggregated, never the corpus index;
       4. candidates verify with the pair-restricted exact Jaccard over
          the union of both frames — corpus docs not in any candidate
          pair are never shingled (jaccard_for_pairs' semi-join
@@ -263,8 +368,13 @@ def incremental_near_duplicates(
     Returns (id_a, id_b, jaccard ≥ threshold).
     New-batch-internal duplicates are NOT reported — run
     ``minhash_near_duplicates`` on the batch for those."""
+    bucket_counts = None
     if isinstance(corpus_bands, str):
-        corpus_bands = new_docs.sparkSession.table(corpus_bands)
+        spark = new_docs.sparkSession
+        sidecar = counts_table_name(corpus_bands)
+        if spark.catalog.tableExists(sidecar):
+            bucket_counts = spark.table(sidecar)
+        corpus_bands = spark.table(corpus_bands)
     meta_cols = ("hash_fn", "num_hashes", "rows_per_band", "k")
     caller = {"hash_fn": hash_fn, "num_hashes": num_hashes,
               "rows_per_band": rows_per_band, "k": k}
@@ -283,24 +393,56 @@ def incremental_near_duplicates(
                     )
                 caller[name] = idx_val
         corpus_bands = corpus_bands.drop(*present)
-    elif corpus_bands is not None and "band_key" in corpus_bands.columns:
-        # legacy index without metadata: it cannot describe itself, but
-        # the band-key FORMAT is checkable — keys written before the
-        # '|' separator change can never collide with current probe
-        # keys, the same silent-empty failure the metadata prevents
-        sample = corpus_bands.select("band_key").limit(1).collect()
-        if sample and "|" not in (sample[0][0] or ""):
-            raise ValueError(
-                "corpus_bands predates the current band-key format "
-                "(no '|' separator) — rebuild the index with "
-                "write_band_index / dedup_corpus(band_index_table=...)"
-            )
+        metadata_less = False
+    else:
+        metadata_less = corpus_bands is not None
     hash_fn = caller["hash_fn"] if caller["hash_fn"] is not None else "md5"
     num_hashes = caller["num_hashes"] if caller["num_hashes"] is not None else 8
     rows_per_band = (
         caller["rows_per_band"] if caller["rows_per_band"] is not None else 2
     )
     k = caller["k"] if caller["k"] is not None else 3
+    if metadata_less and "band_key" in corpus_bands.columns:
+        # a metadata-less frame cannot describe itself, but the band-key
+        # FORMAT is checkable against the RESOLVED geometry — keys that
+        # cannot have been built with it would never collide with probe
+        # keys, the silent-empty failure the metadata path prevents.
+        # Checked per sampled key (a handful of rows, one tiny job):
+        #   - separator count must be rows_per_band - 1 ('|'-joined
+        #     slots; md5 hex and decimal int64 both never contain '|').
+        #     Gating on the resolved count fixes the rows_per_band=1
+        #     false-positive (a single-slot key legitimately has none);
+        #   - slot SHAPE must match the resolved hash family: md5 slots
+        #     are exactly 32 chars, xxhash64 slots are ≤20-char signed
+        #     decimals — so a plain band_assignments frame built with
+        #     xxhash64 probed under the md5 default raises instead of
+        #     silently matching nothing (and vice versa).
+        for row in corpus_bands.select("band_key").limit(8).collect():
+            key = row[0] or ""
+            slots = key.split("|")
+            if len(slots) != rows_per_band:
+                raise ValueError(
+                    f"corpus_bands band_key {key!r} has {len(slots)} "
+                    f"'|'-separated slot(s) but rows_per_band={rows_per_band} "
+                    "— the frame predates the current band-key format or "
+                    "was built with a different band geometry; rebuild it "
+                    "with write_band_index / dedup_corpus(band_index_table=)"
+                )
+            slots_are_md5 = all(len(s) == 32 for s in slots)
+            if hash_fn == "md5" and not slots_are_md5:
+                raise ValueError(
+                    f"corpus_bands band_key {key!r} does not look like "
+                    "md5 slots (32 hex chars each) but the probe resolved "
+                    "hash_fn='md5' — pass hash_fn explicitly (a mismatched "
+                    "family silently yields zero candidates)"
+                )
+            if hash_fn == "xxhash64" and slots_are_md5:
+                raise ValueError(
+                    f"corpus_bands band_key {key!r} looks like md5 slots "
+                    "but the probe resolved hash_fn='xxhash64' — pass "
+                    "hash_fn explicitly (a mismatched family silently "
+                    "yields zero candidates)"
+                )
     new_sigs = minhash_signatures(new_docs, text_col, id_col, k, num_hashes, hash_fn)
     new_bands = band_assignments(new_sigs, num_hashes, rows_per_band)
     if corpus_bands is None:
@@ -310,12 +452,50 @@ def incremental_near_duplicates(
             rows_per_band,
         )
     if max_bucket is not None:
-        hot = _hot_buckets(
-            corpus_bands.select("band_idx", "band_key").unionByName(
-                new_bands.select("band_idx", "band_key")
-            ),
-            max_bucket,
-        )
+        if bucket_counts is not None:
+            # BATCH-cost cap (the 100 TB shape): corpus bucket sizes come
+            # from the counts sidecar write_band_index left behind, so
+            # the only aggregation here is over the BATCH's bands — the
+            # corpus index is never re-counted. The sidecar is bucketed
+            # on the keys, so the semi-join scans co-located buckets
+            # with zero Exchange on the sidecar side, and the per-key
+            # sum (appends add rows, totals are sums) runs over only
+            # the matched handful of rows. Hot buckets that never
+            # appear in the batch are irrelevant: the probe is an inner
+            # join, so dropping corpus rows at batch-absent keys cannot
+            # change the output — which is why restricting the count to
+            # batch keys is output-identical to the full combined count.
+            n_new = new_bands.groupBy("band_idx", "band_key").agg(
+                F.count(F.lit(1)).alias("_n_new")
+            )
+            n_corpus = (
+                bucket_counts.join(
+                    n_new.select("band_idx", "band_key"),
+                    ["band_idx", "band_key"],
+                    "left_semi",
+                )
+                .groupBy("band_idx", "band_key")
+                .agg(F.sum("n").alias("_n_corpus"))
+            )
+            hot = (
+                n_new.join(n_corpus, ["band_idx", "band_key"], "left")
+                .where(
+                    F.coalesce(F.col("_n_corpus"), F.lit(0)) + F.col("_n_new")
+                    > max_bucket
+                )
+                .select("band_idx", "band_key")
+            )
+        else:
+            # no sidecar (plain band frame / in-memory index): combined
+            # count over the union — correct but O(corpus) per batch;
+            # persist the index with write_band_index for the flat-cost
+            # steady state
+            hot = _hot_buckets(
+                corpus_bands.select("band_idx", "band_key").unionByName(
+                    new_bands.select("band_idx", "band_key")
+                ),
+                max_bucket,
+            )
         corpus_bands = corpus_bands.join(
             F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
         )

@@ -38,8 +38,10 @@ from pyspark.sql import DataFrame, functions as F
 from sparkcheck.dedup.clusters import connected_components
 from sparkcheck.dedup.exact import drop_exact_duplicates
 from sparkcheck.dedup.minhash import (
+    append_to_band_index,
     band_assignments,
     candidate_pairs_from_bands,
+    incremental_near_duplicates,
     minhash_near_duplicates,
     minhash_signatures,
     write_band_index,
@@ -313,3 +315,88 @@ def dedup_corpus(
         )
         result = exact.join(final_ids, on=id_col, how="left_semi")
     return result
+
+
+def ingest_batch(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    band_index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+    max_iter: int = 20,
+    url_col: str | None = None,
+) -> DataFrame:
+    """Steady-state ingest: one call that closes the incremental loop.
+
+        1. dedup the batch INTERNALLY (``dedup_corpus`` with the
+           index's self-described geometry — batch-internal exact and
+           near dups collapse exactly like the original corpus run);
+        2. PROBE the persisted band index for batch survivors already
+           near-duplicated in the corpus
+           (``incremental_near_duplicates(corpus_bands=table)`` —
+           batch-cost, zero Exchange on the index side) and drop them;
+        3. APPEND the accepted docs' bands to the index
+           (``append_to_band_index``) so the NEXT batch compares
+           against an up-to-date corpus — without this arc "tomorrow's
+           batch" works but "the day after" silently probes a stale
+           index.
+
+    Returns the accepted rows (already materialized as a narrow id
+    frame — the append is an eager write, and without materialization
+    the caller's action would recompute the whole batch dedup).
+
+    ``corpus_docs`` must hold the CURRENT corpus text (original
+    survivors plus previously accepted batches) — the exact-Jaccard
+    verify stage needs it; the band index alone carries no text.
+
+    Equality contract (pytest-pinned): sequential ingest over batches
+    equals one from-scratch ``dedup_corpus`` over the concatenation
+    when (a) ids are monotone with arrival order and the survivor
+    policy is min-id (``quality_col=None``) — a quality policy could
+    retroactively prefer a NEW doc over the corpus copy, which
+    streaming ingest by construction cannot do; (b) near-dup relations
+    do not BRIDGE batches transitively (a later doc linking two
+    earlier docs that were not near-dups of each other) — inherent to
+    any streaming dedup, not an implementation artifact; and (c)
+    ``max_bucket`` is None or large enough that combined buckets in
+    the from-scratch run stay under it."""
+    spark = new_docs.sparkSession
+    idx = spark.table(band_index_table)
+    meta_cols = ("hash_fn", "num_hashes", "rows_per_band", "k")
+    missing = [c for c in meta_cols if c not in idx.columns]
+    if missing:
+        raise ValueError(
+            f"band index {band_index_table!r} lacks metadata column(s) "
+            f"{missing} — ingest_batch requires a self-describing index "
+            "(dedup_corpus(band_index_table=))"
+        )
+    row = idx.select(*meta_cols).limit(1).collect()
+    if not row:
+        raise ValueError(
+            f"band index {band_index_table!r} is empty — rebuild it with "
+            "dedup_corpus(band_index_table=)"
+        )
+    hash_fn, num_hashes, rows_per_band, k = (row[0][c] for c in meta_cols)
+    batch = dedup_corpus(
+        new_docs, text_col=text_col, id_col=id_col, quality_col=quality_col,
+        k=k, num_hashes=num_hashes, rows_per_band=rows_per_band,
+        threshold=threshold, max_bucket=max_bucket, max_iter=max_iter,
+        url_col=url_col, hash_fn=hash_fn,
+    )
+    dup_pairs = incremental_near_duplicates(
+        batch, corpus_docs, corpus_bands=band_index_table,
+        text_col=text_col, id_col=id_col, threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    dup_ids = dup_pairs.select(F.col("id_a").alias(id_col)).distinct()
+    accepted_ids = (
+        batch.select(id_col)
+        .join(dup_ids, on=id_col, how="left_anti")
+        .localCheckpoint()
+    )
+    accepted = new_docs.join(accepted_ids, on=id_col, how="left_semi")
+    append_to_band_index(accepted, band_index_table, text_col, id_col)
+    return accepted

@@ -598,6 +598,7 @@ def test_band_index_bucketed_probe_no_index_exchange(spark, tmp_path):
         assert "Exchange" not in plan[scan_pos - 400:scan_pos], plan
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_test")
+        spark.sql("DROP TABLE IF EXISTS band_index_test_counts")
 
 
 def test_dedup_corpus_url_first_stage(spark, tmp_path):
@@ -713,6 +714,7 @@ def test_dedup_corpus_leaves_band_index_for_incremental(spark, tmp_path):
         assert scan_pos > 0 and "Exchange" not in plan[scan_pos - 400:scan_pos], plan
     finally:
         spark.sql("DROP TABLE IF EXISTS corpus_band_idx")
+        spark.sql("DROP TABLE IF EXISTS corpus_band_idx_counts")
 
 
 def test_dedup_corpus_unparseable_urls_exempt(spark):
@@ -781,3 +783,227 @@ def test_auto_lsh_params_property_sweep():
             # 64 single-bit bands cannot reach the target
             if (bands, bits) != (64, 1):
                 assert recall >= r, (t, r, bands, bits, recall)
+
+
+def _words(i, n=20):
+    # per-doc DISJOINT vocabulary: cross-doc jaccard is exactly 0, and
+    # the planted near-dups (one appended token) sit at 18/19 ≈ 0.95 —
+    # above the 0.9 fixture floor the LSH recall lottery demands
+    return " ".join(f"t{i}w{j}" for j in range(n))
+
+
+def test_counts_sidecar_makes_cap_batch_cost(spark):
+    """write_band_index leaves a per-bucket counts sidecar; a probe
+    with max_bucket SET against the named index (a) returns pairs
+    identical to the DataFrame path's full combined count, and (b)
+    plans NO Exchange above either bucketed scan — the corpus index is
+    never re-aggregated, the round-5 O(corpus)-per-batch defect."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.dedup import (
+        band_assignments,
+        incremental_near_duplicates,
+        minhash_signatures,
+        write_band_index,
+    )
+
+    # 12-doc boilerplate cluster (hot bucket) + one cold doc
+    corpus = spark.createDataFrame(
+        [(i, _words(1)) for i in range(12)] + [(50, _words(2))],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1000, _words(1)),                  # lands in the hot bucket
+         (1001, _words(2) + " extra")],      # near-dup of cold doc 50
+        "doc_id long, text string")
+    bands = band_assignments(minhash_signatures(corpus, num_hashes=8),
+                             num_hashes=8, rows_per_band=2)
+    write_band_index(bands, "cap_idx_test", num_buckets=4)
+    try:
+        # sidecar exists, is bucketed, and its totals equal the index
+        counts = spark.table("cap_idx_test_counts")
+        idx_counts = {
+            (r["band_idx"], r["band_key"]): r["n"]
+            for r in spark.table("cap_idx_test")
+            .groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        side_counts = {
+            (r["band_idx"], r["band_key"]): r["n"] for r in counts.collect()
+        }
+        assert side_counts == idx_counts
+
+        kw = dict(threshold=0.5, num_hashes=8, rows_per_band=2, max_bucket=10)
+        via_table = incremental_near_duplicates(
+            new, corpus, corpus_bands="cap_idx_test", **kw)
+        via_frame = incremental_near_duplicates(
+            new, corpus, corpus_bands=bands, **kw)
+        got_t = sorted(map(tuple, via_table.select("id_a", "id_b").collect()))
+        got_f = sorted(map(tuple, via_frame.select("id_a", "id_b").collect()))
+        # hot bucket (12 corpus + 1 new > 10) dropped; cold pair survives
+        assert got_t == got_f == [(1001, 50)]
+
+        # plan: with max_bucket SET, every parquet scan (index AND
+        # sidecar) is bucketed with no Exchange above it — the cap no
+        # longer aggregates the corpus side at all
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = via_table._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        scans = [m.start() for m in __import__("re").finditer("FileScan parquet", plan)]
+        assert len(scans) >= 2, plan  # index + sidecar
+        for pos in scans:
+            assert "Exchange" not in plan[max(0, pos - 400):pos], plan[:pos][-400:]
+        assert plan.count("Bucketed: true") >= 2, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cap_idx_test")
+        spark.sql("DROP TABLE IF EXISTS cap_idx_test_counts")
+
+
+def test_metadata_less_band_frame_format_checks(spark):
+    """ADVICE r5 fixes: (a) a metadata-less xxhash64 band frame probed
+    under the md5 default raises instead of silently matching nothing;
+    (b) a rows_per_band=1 frame (single-slot keys, no '|') is NOT
+    falsely rejected as legacy; (c) a genuinely mismatched slot count
+    still raises."""
+    import pytest
+
+    from sparkcheck.dedup import (
+        band_assignments,
+        incremental_near_duplicates,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, _words(1)), (101, _words(2))], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, _words(1) + " z")], "doc_id long, text string")
+
+    xx_bands = band_assignments(
+        minhash_signatures(corpus, num_hashes=8, hash_fn="xxhash64"),
+        num_hashes=8, rows_per_band=2)
+    with pytest.raises(ValueError, match="hash_fn='md5'"):
+        incremental_near_duplicates(new, corpus, corpus_bands=xx_bands,
+                                    threshold=0.5)
+    got = incremental_near_duplicates(
+        new, corpus, corpus_bands=xx_bands, threshold=0.5,
+        hash_fn="xxhash64").select("id_a", "id_b").collect()
+    assert sorted(map(tuple, got)) == [(1, 100)]
+
+    md5_bands = band_assignments(
+        minhash_signatures(corpus, num_hashes=8), num_hashes=8, rows_per_band=2)
+    with pytest.raises(ValueError, match="hash_fn='xxhash64'"):
+        incremental_near_duplicates(new, corpus, corpus_bands=md5_bands,
+                                    threshold=0.5, hash_fn="xxhash64")
+
+    # rows_per_band=1: single md5 slot per key, zero separators — valid
+    one_row = band_assignments(
+        minhash_signatures(corpus, num_hashes=4), num_hashes=4, rows_per_band=1)
+    got1 = incremental_near_duplicates(
+        new, corpus, corpus_bands=one_row, threshold=0.5,
+        num_hashes=4, rows_per_band=1).select("id_a", "id_b").collect()
+    assert sorted(map(tuple, got1)) == [(1, 100)]
+
+    # slot-count mismatch (2-slot keys probed as rows_per_band=4) raises
+    with pytest.raises(ValueError, match="slot"):
+        incremental_near_duplicates(new, corpus, corpus_bands=md5_bands,
+                                    threshold=0.5, num_hashes=8,
+                                    rows_per_band=4)
+
+
+def test_ingest_batch_sequential_equals_from_scratch(spark, tmp_path):
+    """The steady-state loop end-to-end: dedup_corpus builds the index,
+    two sequential ingest_batch calls probe + APPEND, and the evolving
+    corpus equals a from-scratch dedup_corpus over the concatenation.
+    Batch 2's near-dup of a batch-1 ACCEPT proves the append arc (the
+    'day after' case the overwrite-only index silently broke)."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.dedup import dedup_corpus, ingest_batch
+
+    df0 = spark.createDataFrame(
+        [(i, _words(i)) for i in range(1, 7)], "doc_id long, text string")
+    kw = dict(threshold=0.5, num_hashes=8, rows_per_band=2, max_bucket=None)
+    try:
+        corpus0 = dedup_corpus(df0, band_index_table="ingest_idx",
+                               band_index_buckets=4, **kw)
+        assert sorted(r["doc_id"] for r in corpus0.collect()) == [1, 2, 3, 4, 5, 6]
+
+        batch1 = spark.createDataFrame(
+            [(101, _words(1) + " zz"),    # near-dup of corpus 1 -> drop
+             (102, _words(50)),           # fresh -> accept
+             (103, _words(50)),           # exact dup of 102 -> drop
+             (104, _words(51) + " aa"),   # batch-internal near-dup pair:
+             (105, _words(51) + " bb")],  #   keep min id 104
+            "doc_id long, text string")
+        ikw = dict(threshold=0.5, max_bucket=None)
+        acc1 = ingest_batch(batch1, df0, "ingest_idx", **ikw)
+        assert sorted(r["doc_id"] for r in acc1.collect()) == [102, 104]
+
+        corpus_docs1 = df0.unionByName(batch1.join(
+            acc1.select("doc_id"), "doc_id", "left_semi"))
+        batch2 = spark.createDataFrame(
+            [(201, _words(50) + " qq"),   # near-dup of ACCEPTED 102 -> drop
+             (202, _words(60)),           # fresh -> accept
+             (203, _words(2) + " rr")],   # near-dup of corpus 2 -> drop
+            "doc_id long, text string")
+        acc2 = ingest_batch(batch2, corpus_docs1, "ingest_idx", **ikw)
+        assert sorted(r["doc_id"] for r in acc2.collect()) == [202]
+
+        # the evolving corpus equals one from-scratch run over everything
+        concat = df0.unionByName(batch1).unionByName(batch2)
+        scratch = sorted(r["doc_id"] for r in dedup_corpus(concat, **kw).collect())
+        assert scratch == [1, 2, 3, 4, 5, 6, 102, 104, 202]
+
+        # index covers exactly the final corpus; geometry preserved
+        idx = spark.table("ingest_idx")
+        idx_ids = sorted(r["id"] for r in idx.select("id").distinct().collect())
+        assert idx_ids == scratch
+        metas = idx.select("hash_fn", "num_hashes", "rows_per_band", "k") \
+            .distinct().collect()
+        assert len(metas) == 1 and metas[0]["hash_fn"] == "xxhash64"
+        assert metas[0]["num_hashes"] == 8 and metas[0]["rows_per_band"] == 2
+
+        # counts sidecar stays in sync across appends: per-key SUMS
+        # equal the index's true per-key membership
+        side = {
+            (r["band_idx"], r["band_key"]): r["total"]
+            for r in spark.table("ingest_idx_counts")
+            .groupBy("band_idx", "band_key")
+            .agg(F.sum("n").alias("total")).collect()
+        }
+        true = {
+            (r["band_idx"], r["band_key"]): r["n"]
+            for r in idx.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert side == true
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ingest_idx")
+        spark.sql("DROP TABLE IF EXISTS ingest_idx_counts")
+
+
+def test_append_to_band_index_requires_self_describing(spark):
+    """Appending with guessed geometry would poison every later probe:
+    a metadata-less index raises."""
+    import pytest
+
+    from sparkcheck.dedup import (
+        append_to_band_index,
+        band_assignments,
+        minhash_signatures,
+        write_band_index,
+    )
+
+    corpus = spark.createDataFrame([(1, _words(1))], "doc_id long, text string")
+    bands = band_assignments(minhash_signatures(corpus, num_hashes=8),
+                             num_hashes=8, rows_per_band=2)
+    write_band_index(bands, "plain_idx_test", num_buckets=2)
+    try:
+        new = spark.createDataFrame([(2, _words(2))], "doc_id long, text string")
+        with pytest.raises(ValueError, match="metadata"):
+            append_to_band_index(new, "plain_idx_test")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plain_idx_test")
+        spark.sql("DROP TABLE IF EXISTS plain_idx_test_counts")
