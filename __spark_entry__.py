@@ -1111,6 +1111,45 @@ def q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", "seq_id", "seq_offset")
 
 
+def q_sample_to_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixing by TARGET TOKEN BUDGET (sampling.sample_to_budget): keep
+    rates are DERIVED from per-language token totals (rate =
+    min(1, budget/total)) rather than hand-passed — the '600B tokens at
+    40/30/30' ask. en is deliberately over-asked (budget 10^9 ≫
+    available ⇒ rate 1.0 + documented shortfall). The oracle re-derives
+    the rates from the same table and reproduces the selection exactly:
+    the keep rule compares the first 13 hex digits of the sampling hash
+    (exact 52-bit integer in both engines) against rate·2^52, and every
+    arithmetic step is the same correctly-rounded IEEE double op."""
+    from sparkcheck.sampling import sample_to_budget
+
+    d = _t(spark, sf, "documents")
+    out = sample_to_budget(
+        d, {"en": 10**9, "de": 8000, "fr": 5000},
+        token_col="n_chars", strata_col="lang", id_col="doc_id", seed=7,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_packed_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """SEQUENCE-major packing manifest (sampling.pack_spans): one row
+    per (sequence, doc-slice) with the slice's position in the
+    sequence and the doc token range it takes — including docs SPLIT
+    across sequence boundaries, which packed_sequences only implies.
+    Same shards/budget as packed_sequences; the oracle re-derives the
+    spans from the same prefix-sum window plus a generate_series
+    explode."""
+    from sparkcheck.sampling import pack_spans
+
+    d = _t(spark, sf, "documents").where(F.col("lang").isNotNull())
+    out = pack_spans(
+        d, token_col="n_chars", budget=4096, id_col="doc_id", shard_col="lang"
+    )
+    return out.select(
+        "lang", "seq_id", "seq_pos", "doc_id", "take_from", "take_len"
+    )
+
+
 # Driver-sample rotation policy (VERDICT r4 "Next round" #6, now encoded
 # rather than applied by hand): the external correctness gate samples the
 # FIRST 50 queries() entries per round, so the dict is ordered by
@@ -1119,25 +1158,26 @@ def q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
 # (sorted() is stable). Update this map each round from the keys present
 # in CORRECTNESS_r{N}.json; entries absent from the map sort first.
 _LAST_DRIVER_CHECKED: dict[str, int] = {
-    # riding on round-3 evidence (rotated out of the r4 sample) — these
-    # lead the r5 ordering so they get fresh driver rows
-    "embedding_near_dups": 3, "token_stats": 3, "quality_scores": 3,
-    "lang_id": 3, "fingerprints": 3, "gopher_quality": 3,
-    "simhash_bits": 3, "simhash_pairs": 3, "top_bigrams": 3,
-    "pii_stats": 3, "ann_topk": 3, "ann_bucketed": 3, "sql_testsuite": 3,
-    # driver-checked green in round 4 (CORRECTNESS_r04.json)
-    "host_stats": 4, "cross_doc_spans": 4, "chi2_lang_drift": 4,
-    "span_contamination": 4, "pii_redacted": 4, "dedup_keep_best": 4,
-    "repetition_stats": 4, "dup_segment_stats": 4, "fk_candidates": 4,
-    "canonical_urls": 4, "url_dedup_stats": 4, "incremental_dedup": 4,
-    "span_dedup_rewrite": 4, "rules_summary": 4, "profile_stats": 4,
-    "histogram_totalprice": 4, "top_k_brand": 4, "bottom_k_type": 4,
-    "uniqueness_orders": 4, "duplicate_doc_texts": 4, "orphan_orders": 4,
-    "orphan_lineitem_part": 4, "completeness_events": 4,
-    "pattern_rates": 4, "pattern_examples": 4, "iqr_outliers": 4,
-    "anomaly_outliers": 4, "correlation": 4, "distribution_shape": 4,
-    "trend_slope": 4, "psi_drift": 4, "ks_drift": 4,
-    "reconcile_orders": 4, "unique_violation_groups": 4,
+    # driver-checked green in round 5 (CORRECTNESS_r05.json)
+    "embedding_near_dups": 5, "token_stats": 5, "quality_scores": 5,
+    "lang_id": 5, "fingerprints": 5, "gopher_quality": 5,
+    "simhash_bits": 5, "simhash_pairs": 5, "top_bigrams": 5,
+    "pii_stats": 5, "ann_topk": 5, "ann_bucketed": 5, "sql_testsuite": 5,
+    "host_stats": 5, "cross_doc_spans": 5, "chi2_lang_drift": 5,
+    "span_contamination": 5, "pii_redacted": 5, "dedup_keep_best": 5,
+    "repetition_stats": 5, "dup_segment_stats": 5, "fk_candidates": 5,
+    "canonical_urls": 5, "url_dedup_stats": 5, "incremental_dedup": 5,
+    "span_dedup_rewrite": 5, "rules_summary": 5, "profile_stats": 5,
+    "histogram_totalprice": 5, "top_k_brand": 5, "bottom_k_type": 5,
+    "uniqueness_orders": 5, "duplicate_doc_texts": 5, "orphan_orders": 5,
+    "orphan_lineitem_part": 5, "completeness_events": 5,
+    "pattern_rates": 5, "pattern_examples": 5, "iqr_outliers": 5,
+    "anomaly_outliers": 5, "correlation": 5, "distribution_shape": 5,
+    "trend_slope": 5, "psi_drift": 5, "ks_drift": 5,
+    "reconcile_orders": 5,
+    # riding on round-4 driver evidence (plus a judge rerun in the r5
+    # session) — these lead the r6 ordering for fresh driver rows
+    "unique_violation_groups": 4,
     "unique_violation_rows": 4, "null_counts": 4,
     "string_length_stats": 4, "temporal_profile": 4,
     "orphan_recent_orders": 4, "arrow_custom_rule": 4,
@@ -1145,6 +1185,8 @@ _LAST_DRIVER_CHECKED: dict[str, int] = {
     "sessionization": 4, "profile_delta_drift": 4, "daily_event_stats": 4,
     "category_set_drift": 4, "dedup_jaccard": 4, "dedup_clusters": 4,
     "minhash_signatures": 4, "dedup_minhash_lsh": 4,
+    "dedup_corpus": 5, "deterministic_sample": 5,
+    "packed_sequences": 5, "stratified_sample": 5,
 }
 
 
@@ -1219,6 +1261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_deterministic_sample,
         "packed_sequences": q_packed_sequences,
         "dedup_corpus": q_dedup_corpus,
+        # new in round 6 — absent from _LAST_DRIVER_CHECKED, so they
+        # sort first and get driver rows immediately
+        "sample_to_budget": q_sample_to_budget,
+        "packed_manifest": q_packed_manifest,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -1369,6 +1415,22 @@ _NORM_B = (
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 )
 _COS = f"round({_DOT} / ({_NORM_A} * {_NORM_B}), 4)"
+
+
+def _hash52_sql(seed: int) -> str:
+    """DuckDB mirror of sampling._hash52: first 13 hex digits of
+    md5('<seed>|<id>') folded to an exact integer in [0, 2^52) —
+    ascii-to-digit per position, positional weights as BIGINT literals.
+    Exactly the column expression the Spark side codegens."""
+    h = f"md5('{seed}|' || CAST(doc_id AS VARCHAR))"
+    terms = []
+    for i in range(13):
+        a = f"ascii(substr({h}, {i + 1}, 1))"
+        terms.append(
+            f"(({a}) - 48 - (CASE WHEN ({a}) >= 97 THEN 39 ELSE 0 END))"
+            f" * CAST({16 ** (12 - i)} AS BIGINT)"
+        )
+    return "(" + "\n       + ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1859,6 +1921,57 @@ WHERE md5('1|' || CAST(doc_id AS VARCHAR)) <
         "deterministic_sample": """
 SELECT doc_id, source FROM documents
 WHERE md5('7|' || CAST(doc_id AS VARCHAR)) < '59999999999998000000000000000000'
+""",
+        # rates are DERIVED from the data (budget/total), so no static
+        # hex threshold exists — both engines fold the first 13 hex
+        # digits of the sampling hash to an exact 52-bit integer and
+        # compare against rate*2^52: every operand is exact in a double
+        # and the divisions/multiplies are the same correctly-rounded
+        # IEEE ops, so the selection matches bit-for-bit
+        "sample_to_budget": f"""
+WITH totals AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tot
+  FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         least(1.0, (CASE lang WHEN 'en' THEN 1000000000.0
+                               WHEN 'de' THEN 8000.0
+                               ELSE 5000.0 END) / CAST(tot AS DOUBLE)) AS rate
+  FROM totals
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r USING (lang)
+WHERE {_hash52_sql(7)} < r.rate * 4503599627370496.0
+""",
+        "packed_manifest": """
+WITH pos AS (
+  SELECT doc_id, lang, CAST(COALESCE(n_chars, 0) AS BIGINT) AS L,
+         COALESCE(SUM(CAST(COALESCE(n_chars, 0) AS BIGINT)) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM documents WHERE lang IS NOT NULL
+),
+spans AS (
+  SELECT doc_id, lang, L,
+         CAST(before // 4096 AS BIGINT) AS seq0,
+         CAST(before % 4096 AS BIGINT) AS seq_offset,
+         CASE WHEN L <= 0 THEN 1
+              ELSE (seq_offset + L - 1) // 4096 + 1 END AS n_spans
+  FROM pos
+)
+SELECT lang,
+       CAST(seq0 + j AS BIGINT) AS seq_id,
+       CAST(CASE WHEN j = 0 THEN seq_offset ELSE 0 END AS BIGINT) AS seq_pos,
+       doc_id,
+       CAST(CASE WHEN j = 0 THEN 0
+                 ELSE 4096 - seq_offset + (j - 1) * 4096 END AS BIGINT)
+         AS take_from,
+       CAST(least(L - (CASE WHEN j = 0 THEN 0
+                            ELSE 4096 - seq_offset + (j - 1) * 4096 END),
+                  CASE WHEN j = 0 THEN 4096 - seq_offset ELSE 4096 END)
+            AS BIGINT) AS take_len
+FROM spans, unnest(generate_series(0, n_spans - 1)) AS t(j)
 """,
         "packed_sequences": """
 SELECT doc_id, lang,

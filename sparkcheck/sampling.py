@@ -89,6 +89,95 @@ def stratified_sample(
     return df.where(_sample_hash(F.col(id_col), seed) < thr)
 
 
+def _hash52(id_col: Column, seed: int) -> Column:
+    """First 13 hex digits of the sampling hash folded to an exact
+    integer in [0, 2^52) — the ENGINE-PORTABLE numeric form of the
+    keep rule. sample_to_budget derives its rates FROM THE DATA, so
+    unlike the static-rate samplers it cannot embed a precomputed
+    hex-threshold string; instead both engines compare
+    ``hash52 < rate * 2^52`` where every operand is exact in a double
+    (13 hex digits = 52 bits ≤ the 53-bit mantissa) and the rate
+    arithmetic is the same correctly-rounded IEEE division — so the
+    DuckDB oracle reproduces the selection bit-for-bit. Still uniform:
+    a hex-digit prefix of md5 is uniform over [0, 16^13)."""
+    h = _sample_hash(id_col, seed)
+    expr: Column | None = None
+    for i in range(13):
+        a = F.ascii(F.substring(h, i + 1, 1))
+        digit = a - 48 - F.when(a >= 97, F.lit(39)).otherwise(F.lit(0))
+        term = digit.cast("long") * F.lit(16 ** (12 - i)).cast("long")
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def budget_rates(
+    df: DataFrame,
+    budgets: dict,
+    token_col: str,
+    strata_col: str,
+) -> dict:
+    """Per-stratum keep rates that realize absolute TOKEN BUDGETS —
+    the real mixing ask is "600B tokens at 40/30/30 across sources",
+    not hand-tuned rates. One groupBy agg over the budgeted strata
+    (O(strata) driver collect), then ``rate = min(1, budget/total)``.
+
+    Returns ``{stratum: {"total_tokens", "rate", "shortfall"}}``:
+    an over-asked stratum (budget > available) caps at rate 1.0 and
+    reports the shortfall — the caller decides whether to re-weight
+    other strata or accept the smaller mix; silently scaling the
+    other budgets up would corrupt the requested mixture."""
+    rows = (
+        df.where(F.col(strata_col).isin(list(budgets)))
+        .groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_tot"))
+        .collect()
+    )
+    totals = {r[0]: int(r[1] or 0) for r in rows}
+    out = {}
+    for value, budget in budgets.items():
+        tot = totals.get(value, 0)
+        rate = min(1.0, budget / tot) if tot > 0 else 0.0
+        out[value] = {
+            "total_tokens": tot,
+            "rate": rate,
+            "shortfall": max(0, budget - tot),
+        }
+    return out
+
+
+def sample_to_budget(
+    df: DataFrame,
+    budgets: dict,
+    token_col: str,
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic mixing by TARGET TOKEN BUDGET: keep a per-stratum
+    fraction ``min(1, budget/total_tokens)`` of rows, with the same
+    md5-keyed keep rule as the other samplers (reproducible at any
+    parallelism and across engines). Strata without a budget (and NULL
+    strata) are dropped — a mixture definition is exhaustive.
+
+    Realized token mass per stratum is the budget up to sampling
+    quantization (docs are kept whole): expect deviations on the order
+    of sqrt(n_kept) average doc lengths, not exact hits. The derived
+    rates are deterministic, so the selection itself is exactly
+    reproducible — see budget_rates for the over-ask contract.
+
+    Map-only after the one rates agg; the per-stratum threshold is a
+    CASE chain (no join), same shape as stratified_sample but with the
+    52-bit numeric compare (_hash52) so a SQL oracle can re-derive the
+    rates from the data and still match bit-for-bit."""
+    rates = budget_rates(df, budgets, token_col, strata_col)
+    thr: Column = F.lit(-1.0)  # below every hash: un-budgeted strata drop
+    for value, info in sorted(rates.items(), key=lambda kv: repr(kv[0])):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(info["rate"] * 2.0**52)
+        ).otherwise(thr)
+    return df.where(_hash52(F.col(id_col), seed).cast("double") < thr)
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,
@@ -150,4 +239,98 @@ def pack_sequences(
         *df.columns,
         F.expr(f"_before div {int(budget)}").alias("seq_id"),
         (F.col("_before") % budget).cast("long").alias("seq_offset"),
+    )
+
+
+def pack_spans(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """The packing layout in SEQUENCE-major form: one row per
+    (sequence, doc-slice). ``pack_sequences`` places each doc at its
+    START (seq_id, seq_offset) — but a doc that straddles sequence
+    boundaries contributes a SLICE to every sequence it crosses, and
+    the tokenizer shard consuming sequence s needs exactly those
+    slices. Output columns (plus ``shard_col`` if given):
+
+        seq_id    — the sequence this slice lands in
+        seq_pos   — offset within that sequence where the slice starts
+        <id_col>  — the source doc
+        take_from — first token of the doc in this slice
+        take_len  — tokens taken (0-token docs appear once, take_len 0,
+                    so every doc is present in the manifest)
+
+    Derivation is the pack window plus ONE explode of
+    ``sequence(0, n_spans-1)`` — n_spans = 1 + (seq_offset+L-1) div
+    budget — all codegen'd Column arithmetic, integer ``div`` for
+    exactness past 2^53 cumulative tokens. Invariants (pytest-pinned):
+    per doc, takes are contiguous from 0 and sum to its length; per
+    sequence, slices tile [0, budget) except each shard's final
+    sequence."""
+    packed = pack_sequences(df, token_col, budget, id_col, shard_col)
+    L = F.coalesce(F.col(token_col), F.lit(0)).cast("long")
+    n_spans = F.when(L <= 0, F.lit(1).cast("long")).otherwise(
+        F.expr(f"(seq_offset + {token_col} - 1) div {int(budget)}") + 1
+    )
+    j = F.col("_j")
+    take_from = F.when(j == 0, F.lit(0).cast("long")).otherwise(
+        budget - F.col("seq_offset") + (j - 1).cast("long") * budget
+    )
+    shard = [shard_col] if shard_col is not None else []
+    return (
+        packed.select(
+            *shard, id_col, "seq_id", "seq_offset",
+            F.coalesce(F.col(token_col), F.lit(0)).cast("long").alias("_L"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_spans - 1)).alias("_j"),
+        )
+        .select(
+            *shard,
+            (F.col("seq_id") + j).alias("seq_id"),
+            F.when(j == 0, F.col("seq_offset"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("seq_pos"),
+            id_col,
+            take_from.cast("long").alias("take_from"),
+            F.least(
+                F.col("_L") - take_from,
+                F.when(j == 0, F.lit(budget) - F.col("seq_offset")).otherwise(
+                    F.lit(budget).cast("long")
+                ),
+            )
+            .cast("long")
+            .alias("take_len"),
+        )
+    )
+
+
+def pack_manifest(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Per-SEQUENCE manifest: ``seq_id → ordered array of
+    (seq_pos, doc_id, take_from, take_len)`` — the unit a tokenizer
+    shard materializes (read the listed doc slices in order,
+    concatenate, emit one training sequence). One groupBy(seq_id) with
+    collect_list over the pack_spans output; sort_array orders entries
+    by seq_pos (struct field order makes the lexicographic sort
+    positional). ``seq_tokens`` is the filled length — budget for all
+    but each shard's final sequence."""
+    spans = pack_spans(df, token_col, budget, id_col, shard_col)
+    shard = [shard_col] if shard_col is not None else []
+    entry = F.struct(
+        F.col("seq_pos"), F.col(id_col), F.col("take_from"), F.col("take_len")
+    )
+    return (
+        spans.groupBy(*shard, "seq_id")
+        .agg(
+            F.sort_array(F.collect_list(entry)).alias("entries"),
+            F.sum("take_len").alias("seq_tokens"),
+        )
     )

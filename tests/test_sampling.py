@@ -100,3 +100,114 @@ def test_stratified_sample_mixed_type_strata(spark):
     out = stratified_sample(df, {0: 0.0, "1": 1.0, "0": 1.0},
                             strata_col="bucket", default_rate=0.5)
     assert out.count() > 0  # construction didn't raise; chain applied
+
+
+def test_sample_to_budget_rates_shortfall_and_mass(spark):
+    """budget_rates derives rate = min(1, budget/total): an over-asked
+    stratum caps at 1.0 with a documented shortfall; realized token
+    mass lands within the sampling quantization bound of the budget;
+    un-budgeted strata drop entirely."""
+    from sparkcheck.sampling import budget_rates, sample_to_budget
+
+    rows = [(i, "a", 10) for i in range(2000)]          # 20k tokens
+    rows += [(10_000 + i, "b", 10) for i in range(50)]  # 500 tokens
+    rows += [(20_000 + i, "c", 10) for i in range(100)]  # no budget
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tok long")
+
+    budgets = {"a": 8000, "b": 5000}
+    rates = budget_rates(df, budgets, "n_tok", "src")
+    assert rates["a"]["total_tokens"] == 20000 and rates["a"]["shortfall"] == 0
+    assert rates["a"]["rate"] == 8000 / 20000
+    # over-asked: everything kept, shortfall documented
+    assert rates["b"] == {"total_tokens": 500, "rate": 1.0, "shortfall": 4500}
+
+    out = sample_to_budget(df, budgets, "n_tok", "src", seed=3)
+    by_src = {r["src"]: (r["n"], r["tok"]) for r in
+              out.groupBy("src").agg(F.count("*").alias("n"),
+                                     F.sum("n_tok").alias("tok")).collect()}
+    assert "c" not in by_src                      # un-budgeted ⇒ dropped
+    assert by_src["b"] == (50, 500)               # rate 1.0 keeps all
+    n_a, tok_a = by_src["a"]
+    # Bernoulli(0.4) over 2000 docs of 10 tokens: 5 sigma ≈ 1100 tokens
+    assert abs(tok_a - 8000) < 1100 and tok_a == n_a * 10
+
+    # deterministic: the same call selects the same rows
+    again = sorted(r["doc_id"] for r in
+                   sample_to_budget(df, budgets, "n_tok", "src", seed=3)
+                   .select("doc_id").collect())
+    assert again == sorted(r["doc_id"] for r in out.select("doc_id").collect())
+
+
+def test_pack_spans_reconstructs_every_doc_and_tiles_sequences(spark):
+    """Property pins for the manifest: per doc, takes are contiguous
+    from 0 and sum to its length (straddling docs included); per
+    sequence, slices tile [0, budget) exactly except each shard's
+    final sequence; zero-length docs appear once with take_len 0."""
+    from sparkcheck.sampling import pack_spans
+
+    rows = [(1, "s", 70), (2, "s", 50), (3, "s", 260),   # 3 straddles twice
+            (4, "s", 0), (5, "s", 20),
+            (10, "t", 100), (11, "t", 100), (12, "t", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    spans = pack_spans(df, "n_tok", budget=100, shard_col="shard").collect()
+
+    lengths = dict((r[0], r[2]) for r in rows)
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(lengths)
+    for doc, takes in by_doc.items():
+        takes.sort(key=lambda r: r["take_from"])
+        assert takes[0]["take_from"] == 0
+        pos = 0
+        for t in takes:
+            assert t["take_from"] == pos
+            pos += t["take_len"]
+        assert pos == lengths[doc]
+    # doc 3 (260 tokens starting at offset 20 of seq 1) straddles:
+    # 80 in seq 1, 100 in seq 2, 80 in seq 3
+    d3 = sorted((r["seq_id"], r["seq_pos"], r["take_from"], r["take_len"])
+                for r in by_doc[3])
+    assert d3 == [(1, 20, 0, 80), (2, 0, 80, 100), (3, 0, 180, 80)]
+    # zero-length doc 4 appears once, take_len 0, at the stream's
+    # current offset (70+50+260 = 380 ⇒ seq 3, pos 80)
+    assert [(r["take_len"], r["seq_id"], r["seq_pos"]) for r in by_doc[4]] \
+        == [(0, 3, 80)]
+
+    # sequences tile: every non-final sequence per shard is exactly full
+    per_seq = {}
+    for r in spans:
+        key = (r["shard"], r["seq_id"])
+        per_seq[key] = per_seq.get(key, 0) + r["take_len"]
+    for shard in ("s", "t"):
+        seqs = sorted(k[1] for k in per_seq if k[0] == shard)
+        for sq in seqs[:-1]:
+            assert per_seq[(shard, sq)] == 100, (shard, sq)
+        assert per_seq[(shard, seqs[-1])] <= 100
+
+
+def test_pack_manifest_grouped_matches_spans(spark):
+    """pack_manifest is the grouped view of pack_spans: entries are
+    ordered by position, seq_tokens is the filled length."""
+    from sparkcheck.sampling import pack_manifest, pack_spans
+
+    rows = [(i, "s", 35 + (i % 4) * 17) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    man = pack_manifest(df, "n_tok", budget=128, shard_col="shard").collect()
+    spans = pack_spans(df, "n_tok", budget=128, shard_col="shard").collect()
+
+    flat = {}
+    for r in spans:
+        flat.setdefault(r["seq_id"], []).append(
+            (r["seq_pos"], r["doc_id"], r["take_from"], r["take_len"]))
+    for m in man:
+        want = sorted(flat[m["seq_id"]])
+        got = [(e["seq_pos"], e["doc_id"], e["take_from"], e["take_len"])
+               for e in m["entries"]]
+        assert got == want
+        assert m["seq_tokens"] == sum(e[3] for e in want)
+        # entries cover the sequence contiguously from 0
+        pos = 0
+        for e in got:
+            assert e[0] == pos
+            pos += e[3]
