@@ -211,12 +211,19 @@ def main() -> None:
     from sparkcheck.textextract.extract import extraction_mismatch_rows
 
     ex = spark.read.parquet(webtext_parquet(spark, EXTRACT_N))
+    # Warm the OS page cache for the columns the UDF reads — this entry
+    # reads its OWN 1M-doc parquet, so rep 1 of 4 burned on page-in
+    # (the host_stats mitigation, applied after the r5 5.72 s artifact;
+    # interleaved protocol + root-cause in BENCH/EXTRACT_NOISE.md)
+    ex.select(F.sum(F.length("html")), F.sum(F.length("text"))).collect()
+    calib["before_extract"] = round(cpu_calibration(), 3)
     best = float("inf")
-    for _ in range(4):  # 16.9x interleaved spread (BENCH/VERDICTS_SINK.md)
+    for _ in range(5):  # 13.1x interleaved spread (BENCH/EXTRACT_NOISE.md)
         t0 = time.perf_counter()
         n_mismatch = extraction_mismatch_rows(ex).count()
         best = min(best, time.perf_counter() - t0)
     timings["webtext_extract_identity"] = round(best, 3)
+    calib["after_extract"] = round(cpu_calibration(), 3)
     assert n_mismatch == 2 * (EXTRACT_N // 1000), "planted extraction violations"
 
     # whole-pipeline regression guard (VERDICT r4 #2): one-call
