@@ -1,0 +1,151 @@
+"""Incremental-ingest probe cost vs corpus-index size, at 10x spread.
+
+Round-5 verdict found the hot-bucket cap's original shape re-aggregated
+the ENTIRE corpus band index per probe batch (union + groupBy), an
+O(corpus) term the 50k->100k measurement in BENCH/INCREMENTAL.md was
+too small to surface. The fix stores per-bucket counts in a sidecar at
+write_band_index time; the probe then aggregates ONLY the batch. This
+script measures a fixed batch probed against 100k- and 1M-doc indexes
+(10x — big enough that a linear term would be unmistakable) down BOTH
+paths:
+
+  sidecar  — corpus_bands=<table name>, counts sidecar found: the cap
+             joins stored counts (the shipped steady-state path)
+  union    — corpus_bands=<DataFrame>, no sidecar: the documented
+             O(corpus) fallback, kept for in-memory indexes
+
+Run: python scripts/bench_incremental.py [batch_docs]
+Results -> BENCH/INCREMENTAL.md (updated by hand).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from sparkcheck.dedup import (
+    band_assignments,
+    incremental_near_duplicates,
+    minhash_signatures,
+    write_band_index,
+)
+from sparkcheck.dedup.minhash import counts_table_name, probe_hot_buckets
+from sparkcheck.session import get_spark
+
+SIZES = (100_000, 1_000_000)
+GEO = dict(k=3, num_hashes=8, rows_per_band=2)
+HASH_FN = "xxhash64"
+THRESH = 0.8
+MAX_BUCKET = 1000
+REPS = 3
+
+
+def main() -> None:
+    batch_n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    spark = get_spark(app_name="bench-incremental", master="local[8]")
+    from bench import webtext_parquet
+
+    wt = spark.read.parquet(webtext_parquet(spark, max(SIZES))).select(
+        "doc_id", "text"
+    )
+    wt.count()  # footer/file-listing warmup
+    # fixed probe batch: the corpus's first batch_n docs re-keyed (every
+    # one a near-dup of a corpus doc — the probe does real verify work)
+    # via a pushed-down id filter, never .limit
+    batch = wt.where(F.col("doc_id") < batch_n).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+
+    results: dict[int, dict[str, float]] = {}
+    for n in SIZES:
+        corpus = wt.where(F.col("doc_id") < n)
+        table = f"inc_bench_idx_{n}"
+        t0 = time.perf_counter()
+        bands = band_assignments(
+            minhash_signatures(
+                corpus, k=GEO["k"], num_hashes=GEO["num_hashes"], hash_fn=HASH_FN
+            ),
+            GEO["num_hashes"],
+            GEO["rows_per_band"],
+        )
+        for name, val in (
+            ("hash_fn", HASH_FN),
+            ("num_hashes", GEO["num_hashes"]),
+            ("rows_per_band", GEO["rows_per_band"]),
+            ("k", GEO["k"]),
+        ):
+            bands = bands.withColumn(name, F.lit(val))
+        write_band_index(bands, table, num_buckets=16)
+        build = time.perf_counter() - t0
+
+        timings = {"build": build}
+        for label, corpus_bands in (
+            ("sidecar", table),
+            ("union", spark.table(table)),
+        ):
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                n_pairs = incremental_near_duplicates(
+                    batch,
+                    corpus,
+                    corpus_bands=corpus_bands,
+                    threshold=THRESH,
+                    max_bucket=MAX_BUCKET,
+                ).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[label] = best
+            assert n_pairs >= batch_n * 0.9, (n, label, n_pairs)
+
+        # the cap STAGE in isolation — the component the sidecar fix
+        # changed. The end-to-end probe also carries corpus-linear SCAN
+        # terms (bucketed index scan in the candidate join, corpus text
+        # scan in the verify semi-join — scans, not shuffles; they
+        # prune/parallelize on a real cluster) which drown the agg-term
+        # contrast at this scale, so measure the cap alone over a
+        # pre-materialized batch band frame.
+        batch_bands = band_assignments(
+            minhash_signatures(
+                batch, k=GEO["k"], num_hashes=GEO["num_hashes"], hash_fn=HASH_FN
+            ),
+            GEO["num_hashes"],
+            GEO["rows_per_band"],
+        ).localCheckpoint()
+        sidecar_df = spark.table(counts_table_name(table))
+        for label, counts in (("sidecar", sidecar_df), ("union", None)):
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                probe_hot_buckets(
+                    batch_bands, spark.table(table), counts, MAX_BUCKET
+                ).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[f"cap_{label}"] = best
+        results[n] = timings
+        print(
+            f"index {n:>9,} docs: build {build:6.1f} s   "
+            f"probe sidecar {timings['sidecar']:6.2f} s   "
+            f"probe union {timings['union']:6.2f} s   "
+            f"cap-only sidecar {timings['cap_sidecar']:5.2f} s   "
+            f"cap-only union {timings['cap_union']:5.2f} s   "
+            f"(batch {batch_n:,}, best-of-{REPS})"
+        )
+
+    lo, hi = SIZES
+    for label in ("sidecar", "union", "cap_sidecar", "cap_union"):
+        print(
+            f"{label}: {hi // lo}x corpus -> "
+            f"{results[hi][label] / results[lo][label]:.2f}x"
+        )
+    for n in SIZES:
+        spark.sql(f"DROP TABLE IF EXISTS inc_bench_idx_{n}")
+        spark.sql(f"DROP TABLE IF EXISTS inc_bench_idx_{n}_counts")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

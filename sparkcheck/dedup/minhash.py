@@ -309,6 +309,62 @@ def append_to_band_index(
     )
 
 
+def probe_hot_buckets(
+    new_bands: DataFrame,
+    corpus_bands: DataFrame,
+    bucket_counts: DataFrame | None,
+    max_bucket: int,
+) -> DataFrame:
+    """(band_idx, band_key) buckets whose COMBINED membership
+    (corpus + batch) exceeds ``max_bucket`` — the incremental probe's
+    hot-bucket cap, factored out so the two cost shapes can be measured
+    in isolation (scripts/bench_incremental.py).
+
+    With ``bucket_counts`` (the sidecar ``write_band_index`` leaves
+    behind) this is BATCH-cost — the 100 TB shape: corpus bucket sizes
+    come from the stored counts, so the only aggregation is over the
+    BATCH's bands and the corpus index is never re-counted. The sidecar
+    is bucketed on the keys, so the semi-join scans co-located buckets
+    with zero Exchange on the sidecar side, and the per-key sum
+    (appends add rows, totals are sums) runs over only the matched
+    handful of rows. Hot buckets that never appear in the batch are
+    irrelevant: the probe is an inner join, so dropping corpus rows at
+    batch-absent keys cannot change the output — which is why
+    restricting the count to batch keys is output-identical to the
+    full combined count.
+
+    Without it (plain band frame / in-memory index) the combined count
+    runs over the union — correct but O(corpus) per batch; persist the
+    index with ``write_band_index`` for the flat-cost steady state."""
+    if bucket_counts is not None:
+        n_new = new_bands.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("_n_new")
+        )
+        n_corpus = (
+            bucket_counts.join(
+                n_new.select("band_idx", "band_key"),
+                ["band_idx", "band_key"],
+                "left_semi",
+            )
+            .groupBy("band_idx", "band_key")
+            .agg(F.sum("n").alias("_n_corpus"))
+        )
+        return (
+            n_new.join(n_corpus, ["band_idx", "band_key"], "left")
+            .where(
+                F.coalesce(F.col("_n_corpus"), F.lit(0)) + F.col("_n_new")
+                > max_bucket
+            )
+            .select("band_idx", "band_key")
+        )
+    return _hot_buckets(
+        corpus_bands.select("band_idx", "band_key").unionByName(
+            new_bands.select("band_idx", "band_key")
+        ),
+        max_bucket,
+    )
+
+
 def incremental_near_duplicates(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -452,50 +508,7 @@ def incremental_near_duplicates(
             rows_per_band,
         )
     if max_bucket is not None:
-        if bucket_counts is not None:
-            # BATCH-cost cap (the 100 TB shape): corpus bucket sizes come
-            # from the counts sidecar write_band_index left behind, so
-            # the only aggregation here is over the BATCH's bands — the
-            # corpus index is never re-counted. The sidecar is bucketed
-            # on the keys, so the semi-join scans co-located buckets
-            # with zero Exchange on the sidecar side, and the per-key
-            # sum (appends add rows, totals are sums) runs over only
-            # the matched handful of rows. Hot buckets that never
-            # appear in the batch are irrelevant: the probe is an inner
-            # join, so dropping corpus rows at batch-absent keys cannot
-            # change the output — which is why restricting the count to
-            # batch keys is output-identical to the full combined count.
-            n_new = new_bands.groupBy("band_idx", "band_key").agg(
-                F.count(F.lit(1)).alias("_n_new")
-            )
-            n_corpus = (
-                bucket_counts.join(
-                    n_new.select("band_idx", "band_key"),
-                    ["band_idx", "band_key"],
-                    "left_semi",
-                )
-                .groupBy("band_idx", "band_key")
-                .agg(F.sum("n").alias("_n_corpus"))
-            )
-            hot = (
-                n_new.join(n_corpus, ["band_idx", "band_key"], "left")
-                .where(
-                    F.coalesce(F.col("_n_corpus"), F.lit(0)) + F.col("_n_new")
-                    > max_bucket
-                )
-                .select("band_idx", "band_key")
-            )
-        else:
-            # no sidecar (plain band frame / in-memory index): combined
-            # count over the union — correct but O(corpus) per batch;
-            # persist the index with write_band_index for the flat-cost
-            # steady state
-            hot = _hot_buckets(
-                corpus_bands.select("band_idx", "band_key").unionByName(
-                    new_bands.select("band_idx", "band_key")
-                ),
-                max_bucket,
-            )
+        hot = probe_hot_buckets(new_bands, corpus_bands, bucket_counts, max_bucket)
         corpus_bands = corpus_bands.join(
             F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
         )

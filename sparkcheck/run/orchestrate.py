@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import threading
 import time
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 from typing import Any, Mapping, Sequence
 
@@ -125,25 +125,43 @@ def run_rulesets(
         return rep
 
     if parallel and parallel > 1 and len(sets) > 1:
-        # Under fail_fast, submit in WAVES of `parallel`: submitting every
-        # set up front would start them all before the first failure can
-        # raise the stop flag (fail_fast degrades to a no-op whenever
-        # max_workers >= len(sets)). Without fail_fast there is nothing to
-        # stop, so one wave (= full submission) keeps maximum overlap.
-        wave_size = parallel if fail_fast else len(sets)
+        # Under fail_fast, submit ROLLING: keep at most `parallel` in
+        # flight and top up as each future finishes. Submitting every set
+        # up front would start them all before the first failure can raise
+        # the stop flag (fail_fast degrades to a no-op whenever
+        # max_workers >= len(sets)); a wave BARRIER fixes that but lets
+        # one straggler per wave idle every other worker across otherwise-
+        # passing suites. Rolling keeps full overlap while a failure still
+        # halts submission within one in-flight window. Without fail_fast
+        # there is nothing to stop, so everything submits up front.
+        in_flight_cap = parallel if fail_fast else len(sets)
         with ThreadPoolExecutor(max_workers=parallel) as pool:
-            for i in range(0, len(sets), wave_size):
-                wave = sets[i : i + wave_size]
+            pending = list(sets)
+            in_flight: dict[Any, RuleSet] = {}
+            while pending or in_flight:
                 if fail_fast and stop.is_set():
-                    result.skipped.extend(rs.name for rs in wave)
-                    continue
-                futures = {rs.name: pool.submit(_run_one, rs) for rs in wave}
-                for rs in wave:
-                    rep = futures[rs.name].result()
+                    result.skipped.extend(rs.name for rs in pending)
+                    pending = []
+                while pending and len(in_flight) < in_flight_cap:
+                    rs = pending.pop(0)
+                    in_flight[pool.submit(_run_one, rs)] = rs
+                if not in_flight:
+                    break
+                done, _ = wait(in_flight, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    rs = in_flight.pop(fut)
+                    rep = fut.result()
                     if rep is None:
                         result.skipped.append(rs.name)
                     else:
                         result.reports[rs.name] = rep
+        # completion order is nondeterministic under overlap — re-key the
+        # report dict to declaration order so aggregate output is stable
+        result.reports = {
+            rs.name: result.reports[rs.name]
+            for rs in sets if rs.name in result.reports
+        }
+        result.skipped.sort(key=[rs.name for rs in sets].index)
     else:
         for rs in sets:
             rep = _run_one(rs)

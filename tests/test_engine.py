@@ -478,17 +478,21 @@ def test_orchestrate_guards_and_parallel_fail_fast(spark):
     with _pytest.raises(ValueError, match="duplicate"):
         run_rulesets(spark, [ok, ok], tables)
 
-    res = run_rulesets(spark, [bad, ok, ok.__class__(name="ok2", table="t",
+    bad2 = RuleSet(name="bad2", table="t",
+                   rules=(NullCheckRule(name="nn2", column="v"),))
+    res = run_rulesets(spark, [bad, bad2, ok.__class__(name="ok2", table="t",
                        rules=ok.rules)], tables, parallel=2, fail_fast=True)
-    # wave submission (round-4 ADVICE fix): wave 2 = [ok2] is never
-    # submitted once wave 1's failure sets the stop flag — previously
-    # all three were submitted up front and fail_fast degraded to a
-    # no-op when max_workers >= n sets. 'ok' shares wave 1 with the
-    # failing set and usually runs, but a delayed worker thread can
-    # legitimately observe the flag first — either outcome is valid.
+    # rolling submission (round-5 ADVICE fix): at most `parallel` sets
+    # are in flight and the queue tops up as each finishes, so no wave
+    # barrier lets a straggler idle the other workers — while fail_fast
+    # still halts submission within one in-flight window. Deterministic
+    # form: BOTH in-flight sets fail, so whichever finishes first has
+    # already raised the stop flag before any top-up can happen — 'ok2'
+    # is never submitted (previously all three were submitted up front
+    # and fail_fast degraded to a no-op when max_workers >= n sets).
     assert "bad set" in res.reports and not res.reports["bad set"].passed
     assert "ok2" in res.skipped
-    assert set(res.reports) | set(res.skipped) == {"bad set", "ok", "ok2"}
+    assert set(res.reports) | set(res.skipped) == {"bad set", "bad2", "ok2"}
     assert not res.passed
 
     # whitespace-containing suite names get valid HTML ids + hrefs
