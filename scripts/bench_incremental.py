@@ -121,7 +121,8 @@ def main() -> None:
             for _ in range(REPS):
                 t0 = time.perf_counter()
                 probe_hot_buckets(
-                    batch_bands, spark.table(table), counts, MAX_BUCKET
+                    batch_bands, spark.table(table), counts, MAX_BUCKET,
+                    num_buckets=16 if counts is not None else None,
                 ).count()
                 best = min(best, time.perf_counter() - t0)
             timings[f"cap_{label}"] = best

@@ -314,6 +314,7 @@ def probe_hot_buckets(
     corpus_bands: DataFrame,
     bucket_counts: DataFrame | None,
     max_bucket: int,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """(band_idx, band_key) buckets whose COMBINED membership
     (corpus + batch) exceeds ``max_bucket`` — the incremental probe's
@@ -335,9 +336,24 @@ def probe_hot_buckets(
 
     Without it (plain band frame / in-memory index) the combined count
     runs over the union — correct but O(corpus) per batch; persist the
-    index with ``write_band_index`` for the flat-cost steady state."""
+    index with ``write_band_index`` for the flat-cost steady state.
+
+    ``num_buckets`` (the sidecar table's bucket count) matters at
+    scale: the batch aggregation must be PARTITIONED TO MATCH the
+    sidecar's bucketing, because when the two sides of the semi-join
+    carry hash partitionings with different counts (the agg follows
+    ``spark.sql.shuffle.partitions``, e.g. 2000 on a production
+    cluster, vs the index's fixed bucket count) Spark re-shuffles the
+    LARGER-count side's partner — i.e. the corpus sidecar — re-
+    introducing exactly the corpus-side Exchange this path exists to
+    avoid. One repartition of the (batch-sized) band frame to the
+    bucket count keeps every Exchange on the batch side at any
+    shuffle-partitions setting."""
     if bucket_counts is not None:
-        n_new = new_bands.groupBy("band_idx", "band_key").agg(
+        keyed = new_bands
+        if num_buckets:
+            keyed = keyed.repartition(num_buckets, "band_idx", "band_key")
+        n_new = keyed.groupBy("band_idx", "band_key").agg(
             F.count(F.lit(1)).alias("_n_new")
         )
         n_corpus = (
@@ -425,11 +441,13 @@ def incremental_near_duplicates(
     New-batch-internal duplicates are NOT reported — run
     ``minhash_near_duplicates`` on the batch for those."""
     bucket_counts = None
+    sidecar_buckets = None
     if isinstance(corpus_bands, str):
         spark = new_docs.sparkSession
         sidecar = counts_table_name(corpus_bands)
         if spark.catalog.tableExists(sidecar):
             bucket_counts = spark.table(sidecar)
+            sidecar_buckets = _table_num_buckets(spark, sidecar)
         corpus_bands = spark.table(corpus_bands)
     meta_cols = ("hash_fn", "num_hashes", "rows_per_band", "k")
     caller = {"hash_fn": hash_fn, "num_hashes": num_hashes,
@@ -508,7 +526,10 @@ def incremental_near_duplicates(
             rows_per_band,
         )
     if max_bucket is not None:
-        hot = probe_hot_buckets(new_bands, corpus_bands, bucket_counts, max_bucket)
+        hot = probe_hot_buckets(
+            new_bands, corpus_bands, bucket_counts, max_bucket,
+            num_buckets=sidecar_buckets,
+        )
         corpus_bands = corpus_bands.join(
             F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
         )

@@ -844,13 +844,24 @@ def test_counts_sidecar_makes_cap_batch_cost(spark):
 
         # plan: with max_bucket SET, every parquet scan (index AND
         # sidecar) is bucketed with no Exchange above it — the cap no
-        # longer aggregates the corpus side at all
+        # longer aggregates the corpus side at all. Pinned with
+        # shuffle partitions ≠ bucket count (37 vs 4): the batch agg
+        # must repartition to the SIDECAR's bucket count, else Spark
+        # resolves the semi-join's partitioning mismatch by re-shuffling
+        # the corpus side (the production setting — 2000 shuffle
+        # partitions vs a fixed index bucket count — hits this always;
+        # a matching-count test would pass by coincidence)
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
         try:
-            plan = via_table._jdf.queryExecution().executedPlan().toString()
+            plan = incremental_near_duplicates(
+                new, corpus, corpus_bands="cap_idx_test", **kw
+            )._jdf.queryExecution().executedPlan().toString()
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         scans = [m.start() for m in __import__("re").finditer("FileScan parquet", plan)]
         assert len(scans) >= 2, plan  # index + sidecar
         for pos in scans:
