@@ -1150,6 +1150,52 @@ def q_packed_manifest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded global shuffle (sampling.deterministic_shuffle): every
+    doc gets a (shard_id, shard_pos) from hash-keyed shard assignment
+    plus a per-shard rank over disjoint md5 digits — a fixed
+    pseudorandom training order, reproducible at any parallelism. The
+    oracle re-derives the identical permutation (md5 hex is
+    engine-portable; the rank is a plain window)."""
+    from sparkcheck.sampling import deterministic_shuffle
+
+    d = _t(spark, sf, "documents")
+    out = deterministic_shuffle(d, num_shards=8, id_col="doc_id", seed=3)
+    return out.select("doc_id", "shard_id", "shard_pos")
+
+
+def q_host_reputation(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level curation (webtext.host_reputation): per-host doc
+    count + mean quality + keep verdict, C4/RefinedWeb-style. The url
+    column is derived deterministically with a planted hot host (50%
+    of docs, low quality → dropped wholesale) and a rare host (too few
+    docs for the min_docs gate); quality values are small integers so
+    per-host averages are EXACT in both engines and the keep flag
+    cannot flip on summation order."""
+    from sparkcheck.webtext import host_reputation
+
+    d = _t(spark, sf, "documents")
+    key = F.col("doc_id")
+    host = (
+        F.when(key % 997 == 0, F.lit("rare.example"))
+        .when(key % 2 == 0, F.lit("hot.example"))
+        .otherwise(
+            F.concat(F.lit("h"), (key % 37).cast("string"), F.lit(".example"))
+        )
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), key.cast("string"))
+    rep = host_reputation(
+        d.select(url.alias("url"), (key % 4).cast("double").alias("quality")),
+        quality_col="quality", min_docs=10, min_avg_quality=1.5,
+    )
+    return rep.select(
+        "host",
+        "n_docs",
+        F.round("avg_quality", 6).alias("avg_quality"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
 # Driver-sample rotation policy (VERDICT r4 "Next round" #6, now encoded
 # rather than applied by hand): the external correctness gate samples the
 # FIRST 50 queries() entries per round, so the dict is ordered by
@@ -1265,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sort first and get driver rows immediately
         "sample_to_budget": q_sample_to_budget,
         "packed_manifest": q_packed_manifest,
+        "shuffle_shards": q_shuffle_shards,
+        "host_reputation": q_host_reputation,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -1972,6 +2020,43 @@ SELECT lang,
                   CASE WHEN j = 0 THEN 4096 - seq_offset ELSE 4096 END)
             AS BIGINT) AS take_len
 FROM spans, unnest(generate_series(0, n_spans - 1)) AS t(j)
+""",
+        # seeded global shuffle: shard from the first 13 hex digits of
+        # the sampling hash (exact 52-bit integer, mod shards),
+        # within-shard rank over the LAST 19 digits (disjoint, so
+        # position is independent of shard membership), doc id as the
+        # total-order tie-break — the identical fixed permutation
+        "shuffle_shards": f"""
+WITH h AS (
+  SELECT doc_id,
+         md5('3|' || CAST(doc_id AS VARCHAR)) AS hh,
+         CAST({_hash52_sql(3)} % 8 AS BIGINT) AS shard_id
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id
+            ORDER BY substr(hh, 14, 19), doc_id) - 1 AS BIGINT) AS shard_pos
+FROM h
+""",
+        # host-level curation: integer quality values make per-host
+        # averages exact sums/n in both engines, so the keep flag is
+        # summation-order-proof
+        "host_reputation": """
+WITH docs AS (
+  SELECT CASE WHEN doc_id % 997 = 0 THEN 'rare.example'
+              WHEN doc_id % 2 = 0 THEN 'hot.example'
+              ELSE 'h' || CAST(doc_id % 37 AS VARCHAR) || '.example' END AS host,
+         CAST(doc_id % 4 AS DOUBLE) AS quality
+  FROM documents WHERE doc_id IS NOT NULL
+),
+rep AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs, avg(quality) AS avg_q
+  FROM docs GROUP BY host
+)
+SELECT host, n_docs, round(avg_q, 6) AS avg_quality,
+       CAST(CASE WHEN n_docs >= 10 AND avg_q >= 1.5
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM rep
 """,
         "packed_sequences": """
 SELECT doc_id, lang,

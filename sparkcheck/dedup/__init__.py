@@ -2,6 +2,7 @@ from sparkcheck.dedup.exact import drop_exact_duplicates, exact_duplicate_groups
 from sparkcheck.dedup.jaccard import jaccard_for_pairs, jaccard_pairs, shingles
 from sparkcheck.dedup.minhash import (
     append_to_band_index,
+    compact_band_index,
     band_assignments,
     candidate_pairs_from_bands,
     incremental_near_duplicates,
@@ -29,6 +30,7 @@ __all__ = [
     "incremental_near_duplicates",
     "write_band_index",
     "append_to_band_index",
+    "compact_band_index",
     "minhash_near_duplicates",
     "simhash",
     "simhash_near_duplicates",

@@ -309,6 +309,49 @@ def append_to_band_index(
     )
 
 
+def compact_band_index(spark, table: str) -> dict:
+    """Periodic maintenance for an APPENDED band index — the missing
+    third verb of the steady-state loop (build once, append per batch,
+    compact occasionally). Each ``append_to_band_index`` adds a file
+    segment per bucket and a sidecar row per (band_idx, band_key)
+    touched, so after B batches a probe reads B small files per bucket
+    and sums up to B sidecar rows per key: correctness never degrades
+    (totals are per-key sums by contract) but the file-open overhead
+    and sidecar row count grow linearly with batch COUNT. Compaction
+    rewrites both tables through the same bucketed writer — one file
+    set per bucket, ONE sidecar row per key — restoring build-time
+    read cost without touching semantics.
+
+    Mechanics: the index is rewritten to a ``<table>__compacting``
+    staging table (Spark refuses to overwrite a table it is reading),
+    the sidecar is re-derived from the rewritten rows (by construction
+    equal to the per-key segment sums), then both originals are
+    dropped and the staged tables renamed into place. The swap is two
+    catalog renames — NOT atomic; a crash between them leaves the
+    staging tables intact for manual recovery, and compaction is
+    idempotent (re-running from scratch yields the same tables). Run
+    it when no probe/append is in flight, like any table maintenance.
+    In production the same job is Iceberg's rewrite_data_files +
+    rewrite_manifests.
+
+    Returns {"rows", "sidecar_rows_before", "sidecar_rows_after"}."""
+    n_buckets = _table_num_buckets(spark, table)
+    sidecar = counts_table_name(table)
+    before = spark.table(sidecar).count()
+    tmp = table + "__compacting"
+    write_band_index(spark.table(table), tmp, num_buckets=n_buckets)
+    rows = spark.table(tmp).count()
+    after = spark.table(counts_table_name(tmp)).count()
+    for src, dst in ((tmp, table), (counts_table_name(tmp), sidecar)):
+        spark.sql(f"DROP TABLE IF EXISTS {dst}")
+        spark.sql(f"ALTER TABLE {src} RENAME TO {dst}")
+    return {
+        "rows": rows,
+        "sidecar_rows_before": before,
+        "sidecar_rows_after": after,
+    }
+
+
 def probe_hot_buckets(
     new_bands: DataFrame,
     corpus_bands: DataFrame,

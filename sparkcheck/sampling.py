@@ -178,6 +178,62 @@ def sample_to_budget(
     return df.where(_hash52(F.col(id_col), seed).cast("double") < thr)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Seeded global shuffle — the corpus-ordering step between mixing
+    and packing. Training order must be (a) pseudorandom (sequential
+    source order trains badly), (b) REPRODUCIBLE (re-runs, audits,
+    resume-from-step), and (c) shard-parallel (no single global sort
+    owner). ``df.orderBy(rand(seed))`` fails (a reshuffle or retry
+    draws new randoms); this is the hash-keyed analog of the samplers
+    above: every row gets
+
+        shard_id  = hash52(seed|id) % num_shards
+        shard_pos = rank of md5-digits[14:] within its shard
+
+    Reading shards in shard_id order, rows in shard_pos order, visits
+    the corpus in a fixed pseudorandom permutation keyed only by
+    (seed, id) — identical at any parallelism and in the DuckDB
+    oracle. Shard assignment uses the hash's first 13 hex digits,
+    within-shard order its LAST 19 (disjoint digits, so position is
+    independent of shard membership), doc id as the total-order
+    tie-break.
+
+    SCALE: the only wide op is one window partitioned by shard_id —
+    num_shards reducers each ranking corpus/num_shards rows. Pick
+    num_shards so a shard fits a task (10^12 docs / 100k shards = 10^7
+    rows each); more shards = more parallelism, and the permutation
+    quality does not depend on the count. NULL ids are dropped (no
+    stable identity ⇒ no stable position — same contract as the
+    samplers)."""
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    clash = {"shard_id", "shard_pos", "_suborder"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — rename them "
+            "before shuffling (the output adds shard_id/shard_pos and "
+            "stages an internal _suborder column)"
+        )
+    kid = F.col(id_col)
+    shard = F.pmod(_hash52(kid, seed), F.lit(num_shards)).cast("long")
+    sub = F.substring(_sample_hash(kid, seed), 14, 19)
+    w = Window.partitionBy("shard_id").orderBy(F.col("_suborder"), kid)
+    return (
+        df.where(kid.isNotNull())
+        .select("*", shard.alias("shard_id"), sub.alias("_suborder"))
+        .select(
+            *df.columns,
+            "shard_id",
+            (F.row_number().over(w) - 1).cast("long").alias("shard_pos"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

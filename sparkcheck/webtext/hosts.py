@@ -83,3 +83,74 @@ def host_stats(
     if k is not None:
         out = out.orderBy(F.desc("n_docs"), F.asc("host")).limit(k)
     return out
+
+
+def host_reputation(
+    df: DataFrame,
+    quality_col: str,
+    url_col: str = "url",
+    min_docs: int = 1,
+    min_avg_quality: float = 0.0,
+) -> DataFrame:
+    """Host-level curation verdicts — the C4/RefinedWeb-style move of
+    judging WEB HOSTS, not documents: a host whose pages are uniformly
+    low-quality (SEO farms, auto-generated mirrors) is dropped
+    wholesale, catching pages a per-document filter scores as
+    borderline. Output: (host, n_docs, avg_quality, keep) where
+    ``keep = n_docs >= min_docs AND avg_quality >= min_avg_quality``
+    — hosts with too few docs to judge are NOT kept by default
+    (min_docs=1 keeps every judged host; raise it and un-judged hosts
+    fall to the caller's policy via the keep flag).
+
+    Unlike host_stats' distinct-url count, plain count/avg partials
+    combine map-side, so a Zipfian hot host reduces to ONE partial per
+    map task and needs no salting: this is a single skew-proof
+    aggregation at any corpus size. Malformed URLs group under host ''
+    and are KEPT in the output (host_stats drops them) — a gating
+    surface must rule on them explicitly rather than silently pass
+    whatever the URL parser cannot read. NULL urls/qualities: NULL url
+    rows are excluded; NULL quality contributes to n_docs but not the
+    average (both engines' avg-ignores-NULL contract)."""
+    return (
+        df.where(F.col(url_col).isNotNull())
+        .groupBy(url_host(F.col(url_col)).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg(F.col(quality_col).cast("double")).alias("avg_quality"),
+        )
+        .select(
+            "host", "n_docs", "avg_quality",
+            (
+                (F.col("n_docs") >= min_docs)
+                & (F.col("avg_quality") >= min_avg_quality)
+            ).alias("keep"),
+        )
+    )
+
+
+def filter_by_host_reputation(
+    df: DataFrame,
+    reputation: DataFrame,
+    url_col: str = "url",
+    broadcast_drops: bool = True,
+) -> DataFrame:
+    """Apply a host_reputation verdict table to a corpus: drop every
+    row whose url-host has ``keep = false``; hosts absent from the
+    table pass (the verdict frame defines only what is KNOWN bad —
+    an unjudged host is not a drop).
+
+    SCALE: built as an anti-join against the DROP list, not a
+    semi-join against the keep list — keep-lists are corpus-sized
+    (most of the web's hosts are fine) but drop-lists are
+    blocklist-sized, so the broadcast side is the small one by
+    construction and the corpus never shuffles (map-side broadcast
+    anti-join; ``broadcast_drops=False`` falls back to AQE's choice
+    for a drop-list too large to ship)."""
+    drops = reputation.where(~F.col("keep")).select("host")
+    if broadcast_drops:
+        drops = F.broadcast(drops)
+    return df.join(
+        drops,
+        url_host(F.col(url_col)) == drops["host"],
+        "left_anti",
+    )

@@ -1018,3 +1018,75 @@ def test_append_to_band_index_requires_self_describing(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS plain_idx_test")
         spark.sql("DROP TABLE IF EXISTS plain_idx_test_counts")
+
+
+def test_compact_band_index_preserves_semantics(spark):
+    """After several appends, compaction rewrites index + sidecar to
+    one segment: identical index rows, one sidecar row per key with
+    preserved totals, same bucket count and geometry — and the probe
+    returns the same pairs before and after."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.dedup import (
+        compact_band_index,
+        dedup_corpus,
+        append_to_band_index,
+        incremental_near_duplicates,
+    )
+    from sparkcheck.dedup.minhash import _table_num_buckets
+
+    df0 = spark.createDataFrame(
+        [(i, _words(i)) for i in range(1, 7)], "doc_id long, text string")
+    kw = dict(threshold=0.5, num_hashes=8, rows_per_band=2, max_bucket=None)
+    try:
+        dedup_corpus(df0, band_index_table="cmp_idx",
+                     band_index_buckets=4, **kw).collect()
+        for start in (100, 200):
+            batch = spark.createDataFrame(
+                [(start + j, _words(40 + start + j)) for j in range(3)],
+                "doc_id long, text string")
+            append_to_band_index(batch, "cmp_idx")
+
+        idx_before = sorted(
+            map(tuple, spark.table("cmp_idx")
+                .select("id", "band_idx", "band_key").collect()))
+        totals_before = {
+            (r["band_idx"], r["band_key"]): r["t"]
+            for r in spark.table("cmp_idx_counts")
+            .groupBy("band_idx", "band_key")
+            .agg(F.sum("n").alias("t")).collect()
+        }
+        probe = spark.createDataFrame(
+            [(901, _words(1) + " zz")], "doc_id long, text string")
+        pairs_before = sorted(map(tuple, incremental_near_duplicates(
+            probe, df0, corpus_bands="cmp_idx", threshold=0.5,
+            max_bucket=50).select("id_a", "id_b").collect()))
+
+        stats = compact_band_index(spark, "cmp_idx")
+        assert stats["rows"] == len(idx_before)
+        assert stats["sidecar_rows_after"] == len(totals_before)
+        assert stats["sidecar_rows_before"] >= stats["sidecar_rows_after"]
+
+        idx_after = sorted(
+            map(tuple, spark.table("cmp_idx")
+                .select("id", "band_idx", "band_key").collect()))
+        assert idx_after == idx_before
+        after = {
+            (r["band_idx"], r["band_key"]): r["n"]
+            for r in spark.table("cmp_idx_counts").collect()
+        }
+        assert after == totals_before  # ONE row per key, summed totals
+        assert _table_num_buckets(spark, "cmp_idx") == 4
+        assert _table_num_buckets(spark, "cmp_idx_counts") == 4
+        metas = spark.table("cmp_idx").select(
+            "hash_fn", "num_hashes", "rows_per_band", "k").distinct().collect()
+        assert len(metas) == 1 and metas[0]["hash_fn"] == "xxhash64"
+
+        pairs_after = sorted(map(tuple, incremental_near_duplicates(
+            probe, df0, corpus_bands="cmp_idx", threshold=0.5,
+            max_bucket=50).select("id_a", "id_b").collect()))
+        assert pairs_after == pairs_before == [(901, 1)]
+    finally:
+        for t in ("cmp_idx", "cmp_idx_counts",
+                  "cmp_idx__compacting", "cmp_idx__compacting_counts"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -211,3 +211,59 @@ def test_pack_manifest_grouped_matches_spans(spark):
         for e in got:
             assert e[0] == pos
             pos += e[3]
+
+
+def test_deterministic_shuffle_permutation_properties(spark):
+    """Seeded global shuffle: (shard_id, shard_pos) is a permutation —
+    every input row appears once, positions are dense per shard — and
+    it is REPRODUCIBLE at any partitioning (the df.orderBy(rand())
+    failure mode this op exists to avoid)."""
+    from sparkcheck.sampling import deterministic_shuffle
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, num_shards=8, seed=3)
+    rows = out.collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(2000))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # shards are balanced-ish (uniform hash mod 8 over 2000 ids)
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > 150 and max(sizes) < 350
+
+    again = deterministic_shuffle(df.repartition(17), num_shards=8, seed=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+    # a different seed yields a genuinely different permutation
+    other = deterministic_shuffle(df, num_shards=8, seed=4)
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other.collect()))
+
+    # the permutation is not the identity order within shards: some
+    # shard's position order must disagree with doc_id order
+    scrambled = any(
+        [r["doc_id"] for r in sorted(rows, key=lambda r: r["shard_pos"])
+         if r["shard_id"] == s]
+        != sorted(r["doc_id"] for r in rows if r["shard_id"] == s)
+        for s in by_shard
+    )
+    assert scrambled
+
+
+def test_deterministic_shuffle_guards(spark):
+    import pytest
+
+    from sparkcheck.sampling import deterministic_shuffle
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="num_shards"):
+        deterministic_shuffle(df, num_shards=0)
+    with pytest.raises(ValueError, match="shard_id"):
+        deterministic_shuffle(df.withColumn("shard_id", F.lit(1)), num_shards=2)
+    # NULL ids dropped: no stable identity => no stable position
+    withnull = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id long")
+    got = deterministic_shuffle(withnull, num_shards=2).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 2]

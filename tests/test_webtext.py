@@ -292,3 +292,56 @@ def test_canonicalize_url_idempotent(spark):
      .collect()
     for r in rows:
         assert r["c2"] == r["c1"], (variants[r["i"]], r["c1"], r["c2"])
+
+
+def test_host_reputation_verdicts_and_filter(spark):
+    """Host-level curation: per-host (n_docs, avg_quality, keep)
+    verdicts, then the broadcast anti-join filter drops exactly the
+    bad hosts' docs while unjudged hosts pass."""
+    from sparkcheck.webtext import filter_by_host_reputation, host_reputation
+
+    rows = [
+        # good.example: 3 docs, avg quality 0.8
+        ("https://good.example/a", 0.9), ("https://good.example/b", 0.8),
+        ("https://good.example/c", 0.7),
+        # spam.example: 3 docs, avg 0.1 -> dropped on quality
+        ("https://spam.example/x", 0.1), ("https://spam.example/y", 0.1),
+        ("https://spam.example/z", 0.1),
+        # thin.example: 1 doc, high quality but below min_docs -> not kept
+        ("https://thin.example/only", 0.95),
+        # malformed url: host '' group is PRESENT (not silently passed)
+        ("not a url", 0.5), ("not a url either", 0.5),
+        # NULL url excluded entirely; NULL quality counts a doc only
+        (None, 0.9), ("https://good.example/d", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, quality double")
+    rep = host_reputation(
+        df, quality_col="quality", min_docs=2, min_avg_quality=0.5
+    )
+    got = {r["host"]: r for r in rep.collect()}
+    assert set(got) == {"good.example", "spam.example", "thin.example", ""}
+    g = got["good.example"]
+    assert g["n_docs"] == 4 and abs(g["avg_quality"] - 0.8) < 1e-9 and g["keep"]
+    assert not got["spam.example"]["keep"]
+    assert not got["thin.example"]["keep"]  # min_docs gate
+    assert got[""]["n_docs"] == 2 and got[""]["keep"]  # judged like any host
+
+    kept = filter_by_host_reputation(df, rep)
+    urls = sorted(r["url"] for r in kept.collect() if r["url"] is not None)
+    # spam (quality) and thin (min_docs) dropped; good + malformed kept;
+    # NULL url has no host row in the drop list -> passes the anti-join
+    assert urls == sorted([
+        "https://good.example/a", "https://good.example/b",
+        "https://good.example/c", "https://good.example/d",
+        "not a url", "not a url either",
+    ])
+
+    # a host absent from the verdict table passes (drop-list semantics)
+    stranger = spark.createDataFrame(
+        [("https://new.example/p", 0.0)], "url string, quality double")
+    assert filter_by_host_reputation(stranger, rep).count() == 1
+
+    # scale shape: the corpus side never shuffles — broadcast anti-join
+    plan = filter_by_host_reputation(df, rep)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
