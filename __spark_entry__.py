@@ -1196,6 +1196,25 @@ def q_host_reputation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_assembled_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Packed layout materialized into ACTUAL training sequences
+    (sampling.assemble_sequences): per (lang, seq_id), the budget-char
+    concatenation of doc slices — docs sliced mid-text wherever they
+    straddle a boundary. The oracle re-derives every slice with the
+    same span arithmetic and string_aggs them in seq_pos order; md5 of
+    the assembled content keeps compared rows small while pinning the
+    bytes exactly."""
+    from sparkcheck.sampling import assemble_sequences
+
+    d = _t(spark, sf, "documents").where(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    out = assemble_sequences(d, "text", budget=4096, shard_col="lang")
+    return out.select(
+        "lang", "seq_id", "seq_tokens", F.md5("seq_content").alias("content_md5")
+    )
+
+
 # Driver-sample rotation policy (VERDICT r4 "Next round" #6, now encoded
 # rather than applied by hand): the external correctness gate samples the
 # FIRST 50 queries() entries per round, so the dict is ordered by
@@ -1313,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_manifest": q_packed_manifest,
         "shuffle_shards": q_shuffle_shards,
         "host_reputation": q_host_reputation,
+        "assembled_sequences": q_assembled_sequences,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -2057,6 +2077,49 @@ SELECT host, n_docs, round(avg_q, 6) AS avg_quality,
        CAST(CASE WHEN n_docs >= 10 AND avg_q >= 1.5
                  THEN 1 ELSE 0 END AS INT) AS keep
 FROM rep
+""",
+        # packed layout materialized to bytes: same span arithmetic as
+        # packed_manifest but over length(text), slices string_agg'd in
+        # seq_pos order; zero-take slices are concat-identity in both
+        # engines
+        "assembled_sequences": """
+WITH docs AS (
+  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS L
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, lang, text, L,
+         COALESCE(SUM(L) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM docs
+),
+spans AS (
+  SELECT doc_id, lang, text, L,
+         CAST(before // 4096 AS BIGINT) AS seq0,
+         CAST(before % 4096 AS BIGINT) AS seq_offset,
+         CASE WHEN L <= 0 THEN 1
+              ELSE (seq_offset + L - 1) // 4096 + 1 END AS n_spans
+  FROM pos
+),
+sl AS (
+  SELECT lang, text,
+         CAST(seq0 + j AS BIGINT) AS seq_id,
+         CAST(CASE WHEN j = 0 THEN seq_offset ELSE 0 END AS BIGINT) AS seq_pos,
+         CAST(CASE WHEN j = 0 THEN 0
+                   ELSE 4096 - seq_offset + (j - 1) * 4096 END AS BIGINT)
+           AS take_from,
+         CAST(least(L - (CASE WHEN j = 0 THEN 0
+                              ELSE 4096 - seq_offset + (j - 1) * 4096 END),
+                    CASE WHEN j = 0 THEN 4096 - seq_offset ELSE 4096 END)
+              AS BIGINT) AS take_len
+  FROM spans, unnest(generate_series(0, n_spans - 1)) AS t(j)
+)
+SELECT lang, seq_id,
+       CAST(sum(take_len) AS BIGINT) AS seq_tokens,
+       md5(string_agg(substr(text, CAST(take_from + 1 AS INT),
+                             CAST(take_len AS INT)), ''
+                      ORDER BY seq_pos)) AS content_md5
+FROM sl GROUP BY lang, seq_id
 """,
         "packed_sequences": """
 SELECT doc_id, lang,

@@ -304,6 +304,7 @@ def pack_spans(
     budget: int,
     id_col: str = "doc_id",
     shard_col: str | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """The packing layout in SEQUENCE-major form: one row per
     (sequence, doc-slice). ``pack_sequences`` places each doc at its
@@ -325,8 +326,13 @@ def pack_spans(
     exactness past 2^53 cumulative tokens. Invariants (pytest-pinned):
     per doc, takes are contiguous from 0 and sum to its length; per
     sequence, slices tile [0, budget) except each shard's final
-    sequence."""
+    sequence.
+
+    ``carry`` columns ride along unchanged (each slice row repeats its
+    doc's value) — how assemble_sequences keeps the payload next to
+    the span arithmetic without a second join back to the corpus."""
     packed = pack_sequences(df, token_col, budget, id_col, shard_col)
+    carry = carry or []
     L = F.coalesce(F.col(token_col), F.lit(0)).cast("long")
     n_spans = F.when(L <= 0, F.lit(1).cast("long")).otherwise(
         F.expr(f"(seq_offset + {token_col} - 1) div {int(budget)}") + 1
@@ -338,12 +344,13 @@ def pack_spans(
     shard = [shard_col] if shard_col is not None else []
     return (
         packed.select(
-            *shard, id_col, "seq_id", "seq_offset",
+            *shard, id_col, *carry, "seq_id", "seq_offset",
             F.coalesce(F.col(token_col), F.lit(0)).cast("long").alias("_L"),
             F.explode(F.sequence(F.lit(0).cast("long"), n_spans - 1)).alias("_j"),
         )
         .select(
             *shard,
+            *carry,
             (F.col("seq_id") + j).alias("seq_id"),
             F.when(j == 0, F.col("seq_offset"))
             .otherwise(F.lit(0))
@@ -388,5 +395,76 @@ def pack_manifest(
         .agg(
             F.sort_array(F.collect_list(entry)).alias("entries"),
             F.sum("take_len").alias("seq_tokens"),
+        )
+    )
+
+
+def assemble_sequences(
+    df: DataFrame,
+    content_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Materialize the packed layout into ACTUAL training sequences —
+    the last step before the sequences hit the trainer: concatenate
+    every document's content in pack order and emit one row per
+    ``budget``-unit sequence, docs sliced wherever they straddle a
+    boundary. Output: (``shard_col``?, seq_id, seq_tokens, seq_content)
+    where seq_tokens = budget for all but each shard's final sequence.
+
+    ``content_col`` may be a STRING (unit = character — the pre-
+    tokenization layout, oracle-checkable) or an ARRAY (unit =
+    element — pack real token ids the same way); dtype picks the
+    slice/concat functions, the span arithmetic is shared with
+    pack_spans. Token counts are derived from the content itself
+    (length/size), so a slice is always within bounds by construction.
+
+    SCALE: pack_spans carries the content through its explode (no join
+    back to the corpus); each output group holds at most
+    ceil(budget/1)+1 slices totalling ≤ budget units, so the
+    collect_list per sequence is bounded by the budget regardless of
+    corpus size — the groupBy shuffles exactly the corpus payload once,
+    partitioned by sequence. Zero-length docs contribute an empty
+    slice (sorted first at their position; concat-identity, so
+    presence in the manifest never changes the bytes)."""
+    dtype = dict(df.dtypes)[content_col]
+    is_array = dtype.startswith("array")
+    n = (F.size(F.col(content_col)) if is_array
+         else F.length(F.col(content_col))).cast("long")
+    clash = {"_n_units"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "input already has column '_n_units' — rename it before "
+            "assembling (staged internally for the span arithmetic)"
+        )
+    spans = pack_spans(
+        df.select(*df.columns, n.alias("_n_units")),
+        "_n_units", budget, id_col, shard_col, carry=[content_col],
+    )
+    content = F.col(content_col)
+    sl = (
+        F.slice(content, (F.col("take_from") + 1).cast("int"),
+                F.col("take_len").cast("int"))
+        if is_array
+        else F.substring(content, (F.col("take_from") + 1).cast("int"),
+                         F.col("take_len").cast("int"))
+    )
+    shard = [shard_col] if shard_col is not None else []
+    entries = F.sort_array(F.collect_list(F.col("_e")))
+    joined = (
+        F.flatten(F.transform(entries, lambda e: e["sl"]))
+        if is_array
+        else F.array_join(F.transform(entries, lambda e: e["sl"]), "")
+    )
+    return (
+        spans.select(
+            *shard, "seq_id", "take_len",
+            F.struct(F.col("seq_pos"), sl.alias("sl")).alias("_e"),
+        )
+        .groupBy(*shard, "seq_id")
+        .agg(
+            F.sum("take_len").cast("long").alias("seq_tokens"),
+            joined.alias("seq_content"),
         )
     )

@@ -267,3 +267,46 @@ def test_deterministic_shuffle_guards(spark):
         [(1,), (2,), (None,)], "doc_id long")
     got = deterministic_shuffle(withnull, num_shards=2).collect()
     assert sorted(r["doc_id"] for r in got) == [1, 2]
+
+
+def test_assemble_sequences_string_reconstructs_stream(spark):
+    """Concatenating seq_content in seq_id order reproduces the shard's
+    doc stream byte-for-byte; every sequence but the last is exactly
+    budget units."""
+    from sparkcheck.sampling import assemble_sequences
+
+    docs = [(i, "en", chr(ord("a") + i) * (3 + 2 * i)) for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    out = assemble_sequences(df, "text", budget=7, shard_col="lang")
+    rows = sorted(out.collect(), key=lambda r: r["seq_id"])
+    stream = "".join(r["seq_content"] for r in rows)
+    assert stream == "".join(t for _, _, t in docs)
+    for r in rows[:-1]:
+        assert r["seq_tokens"] == 7 and len(r["seq_content"]) == 7
+    assert rows[-1]["seq_tokens"] == len(stream) % 7 or len(stream) % 7 == 0
+    assert all(len(r["seq_content"]) == r["seq_tokens"] for r in rows)
+
+
+def test_assemble_sequences_array_token_ids(spark):
+    """ARRAY content packs token ids the same way: flattened sequences
+    reproduce the id stream, boundaries slice arrays mid-doc."""
+    from sparkcheck.sampling import assemble_sequences
+
+    docs = [(i, list(range(i * 10, i * 10 + 4 + i))) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, toks array<int>")
+    out = assemble_sequences(df, "toks", budget=5)
+    rows = sorted(out.collect(), key=lambda r: r["seq_id"])
+    flat = [t for r in rows for t in r["seq_content"]]
+    assert flat == [t for _, toks in docs for t in toks]
+    assert all(len(r["seq_content"]) == r["seq_tokens"] for r in rows)
+    assert all(r["seq_tokens"] == 5 for r in rows[:-1])
+
+
+def test_assemble_sequences_zero_length_docs_are_identity(spark):
+    from sparkcheck.sampling import assemble_sequences
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, ""), (3, "bbbb")], "doc_id long, text string")
+    rows = sorted(assemble_sequences(df, "text", budget=4).collect(),
+                  key=lambda r: r["seq_id"])
+    assert "".join(r["seq_content"] for r in rows) == "aaabbbb"
