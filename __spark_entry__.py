@@ -1215,6 +1215,81 @@ def q_assembled_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _two_snapshots(spark: SparkSession, sf: str):
+    """Deterministic snapshot pair derived from the documents table:
+    the OLD snapshot misses every 89th doc (those become 'added'), the
+    NEW snapshot misses every 83rd ('removed'), every 97th doc's text
+    is edited ('changed'; NULL text null-propagates through the edit
+    in both engines, staying 'unchanged'), and every 79th doc moves to
+    partition part+1 with unchanged content — the case that must
+    touch BOTH partitions."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id").isNotNull())
+    # integer DIV, not `/`: float division then cast would go inexact
+    # past 2^53 (same invariant as the packer's prefix sums)
+    part = F.expr("CAST(doc_id DIV 10 AS BIGINT)")
+    old = d.where((F.col("doc_id") % 89) != 0).select(
+        "doc_id", "text", "lang", part.alias("part")
+    )
+    new = d.where((F.col("doc_id") % 83) != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.lit("EDIT:"), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+        F.when(F.col("doc_id") % 79 == 0, part + 1).otherwise(part).alias("part"),
+    )
+    return old, new
+
+
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus snapshot versioning (versioning.snapshot_diff): per-id
+    added/removed/changed/unchanged between two derived snapshots,
+    fingerprinting (text, lang) with the NULL-sentinel md5. The oracle
+    is the same full-outer join over the same fingerprints — chr(0)/
+    chr(31) sentinels hash identically in both engines."""
+    from sparkcheck.versioning import snapshot_diff
+
+    old, new = _two_snapshots(spark, sf)
+    out = snapshot_diff(old, new, content_cols=("text", "lang"))
+    return out.select("doc_id", "status", "old_fp", "new_fp")
+
+
+def q_revalidate_targets(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-revalidation work list (versioning.
+    revalidate_targets): the DISTINCT partitions a validation run must
+    revisit after the snapshot moved — added/changed partitions on the
+    new side, removed on the old side, and BOTH sides of a doc whose
+    partition value moved with unchanged content. Partitions are
+    10-doc ranges so the result is a strict subset (discriminating,
+    not 'all partitions')."""
+    from sparkcheck.versioning import revalidate_targets
+
+    old, new = _two_snapshots(spark, sf)
+    return revalidate_targets(old, new, "part", content_cols=("text",))
+
+
+# deterministic demo weights for the classifier oracle — 64 buckets,
+# values in [-0.5, 0.5); the oracle embeds the same micro-unit ints
+_CLF_W = [((i * 37) % 101) / 100.0 - 0.5 for i in range(64)]
+
+
+def q_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering (textstats.classifier): hashed
+    unigram linear scorer, fastText-style — bucket = 52-bit md5 fold
+    mod 64, weights in integer micro-units so the per-doc accumulation
+    is an exact BIGINT sum (summation-order-proof), one sigmoid per doc
+    at the end. Map-only plan; the oracle mirrors the digit fold inside
+    a list lambda. Bigram terms are covered by pytest (DuckDB-side
+    bigram construction is not worth the oracle complexity)."""
+    from sparkcheck.textstats.classifier import classifier_score
+
+    d = _t(spark, sf, "documents")
+    out = classifier_score(d, _CLF_W, bias=-0.2, bigrams=False, seed=5)
+    return out.select(
+        "doc_id", F.round("clf_score", 6).alias("clf_score")
+    )
+
+
 # Driver-sample rotation policy (VERDICT r4 "Next round" #6, now encoded
 # rather than applied by hand): the external correctness gate samples the
 # FIRST 50 queries() entries per round, so the dict is ordered by
@@ -1333,6 +1408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "host_reputation": q_host_reputation,
         "assembled_sequences": q_assembled_sequences,
+        "snapshot_diff": q_snapshot_diff,
+        "revalidate_targets": q_revalidate_targets,
+        "classifier_scores": q_classifier_scores,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -1485,12 +1563,12 @@ _NORM_B = (
 _COS = f"round({_DOT} / ({_NORM_A} * {_NORM_B}), 4)"
 
 
-def _hash52_sql(seed: int) -> str:
-    """DuckDB mirror of sampling._hash52: first 13 hex digits of
-    md5('<seed>|<id>') folded to an exact integer in [0, 2^52) —
-    ascii-to-digit per position, positional weights as BIGINT literals.
-    Exactly the column expression the Spark side codegens."""
-    h = f"md5('{seed}|' || CAST(doc_id AS VARCHAR))"
+def _fold13_sql(h: str) -> str:
+    """DuckDB mirror of sampling.fold_hex52 over an arbitrary md5-hex
+    SQL expression: first 13 hex digits folded to an exact integer in
+    [0, 2^52) — ascii-to-digit per position, positional weights as
+    BIGINT literals. Exactly the column expression the Spark side
+    codegens."""
     terms = []
     for i in range(13):
         a = f"ascii(substr({h}, {i + 1}, 1))"
@@ -1499,6 +1577,22 @@ def _hash52_sql(seed: int) -> str:
             f" * CAST({16 ** (12 - i)} AS BIGINT)"
         )
     return "(" + "\n       + ".join(terms) + ")"
+
+
+def _hash52_sql(seed: int) -> str:
+    """The fold over the sampling hash md5('<seed>|<id>')."""
+    return _fold13_sql(f"md5('{seed}|' || CAST(doc_id AS VARCHAR))")
+
+
+def _clf_wlit_sql() -> str:
+    """The classifier demo weights as a DuckDB BIGINT array literal —
+    the SAME integer micro-units classifier_score embeds in the Spark
+    plan, so both engines accumulate identical exact sums."""
+    from sparkcheck.textstats.classifier import quantize_weights
+
+    return (
+        "[" + ", ".join(str(q) for q in quantize_weights(_CLF_W)) + "]::BIGINT[]"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2077,6 +2171,83 @@ SELECT host, n_docs, round(avg_q, 6) AS avg_quality,
        CAST(CASE WHEN n_docs >= 10 AND avg_q >= 1.5
                  THEN 1 ELSE 0 END AS INT) AS keep
 FROM rep
+""",
+        # snapshot versioning: the same NULL-sentinel fingerprints
+        # (chr(0)/chr(31) hash identically in both engines) through the
+        # same full-outer join; the edit expression null-propagates in
+        # both engines so NULL-text docs stay 'unchanged'
+        "snapshot_diff": """
+WITH o AS (
+  SELECT doc_id, md5(concat_ws(chr(31),
+           coalesce(CAST(text AS VARCHAR), chr(0)),
+           coalesce(CAST(lang AS VARCHAR), chr(0)))) AS old_fp
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 89 <> 0
+),
+n AS (
+  SELECT doc_id, md5(concat_ws(chr(31),
+           coalesce(CAST(CASE WHEN doc_id % 97 = 0 THEN 'EDIT:' || text
+                              ELSE text END AS VARCHAR), chr(0)),
+           coalesce(CAST(lang AS VARCHAR), chr(0)))) AS new_fp
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 83 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_fp IS NULL THEN 'added'
+            WHEN n.new_fp IS NULL THEN 'removed'
+            WHEN o.old_fp = n.new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_fp AS old_fp, n.new_fp AS new_fp
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""",
+        # incremental-revalidation work list: touched partitions =
+        # new-side partition of every non-unchanged doc UNION old-side
+        # partition of every doc that moved partitions (content
+        # fingerprint is text-only here, so a pure partition move is
+        # 'unchanged' but still touches both sides)
+        "revalidate_targets": """
+WITH o AS (
+  SELECT doc_id, CAST(doc_id // 10 AS BIGINT) AS part,
+         md5(coalesce(CAST(text AS VARCHAR), chr(0))) AS fp
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 89 <> 0
+),
+n AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 79 = 0 THEN doc_id // 10 + 1
+                   ELSE doc_id // 10 END AS BIGINT) AS part,
+         md5(coalesce(CAST(CASE WHEN doc_id % 97 = 0 THEN 'EDIT:' || text
+                                ELSE text END AS VARCHAR), chr(0))) AS fp
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 83 <> 0
+),
+j AS (
+  SELECT o.part AS old_part, n.part AS new_part,
+         CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp = n.fp THEN 'unchanged' ELSE 'changed' END AS status,
+         (o.part IS NOT NULL AND (n.part IS NULL OR n.part <> o.part))
+           AS moved
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+),
+t AS (SELECT * FROM j WHERE status <> 'unchanged' OR moved)
+SELECT DISTINCT part FROM (
+  SELECT new_part AS part FROM t
+  UNION ALL
+  SELECT old_part AS part FROM t WHERE moved
+) WHERE part IS NOT NULL
+""",
+        # hashed-unigram linear classifier: bucket = the same 52-bit
+        # digit fold mod 64 inside a list lambda, weights embedded as
+        # the SAME integer micro-units the Spark literal carries, so
+        # the accumulation is an exact BIGINT sum in both engines and
+        # the single float op (sigmoid) happens once per doc
+        "classifier_scores": f"""
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(-0.2 + CAST(coalesce(list_sum(
+         list_transform(
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> ''),
+           t -> ({_clf_wlit_sql()})[
+             CAST({_fold13_sql("md5('5|' || t)")} % 64 AS BIGINT) + 1])),
+         0) AS DOUBLE) / 1000000.0))), 6) AS clf_score
+FROM documents
 """,
         # packed layout materialized to bytes: same span arithmetic as
         # packed_manifest but over length(text), slices string_agg'd in

@@ -89,18 +89,15 @@ def stratified_sample(
     return df.where(_sample_hash(F.col(id_col), seed) < thr)
 
 
-def _hash52(id_col: Column, seed: int) -> Column:
-    """First 13 hex digits of the sampling hash folded to an exact
-    integer in [0, 2^52) — the ENGINE-PORTABLE numeric form of the
-    keep rule. sample_to_budget derives its rates FROM THE DATA, so
-    unlike the static-rate samplers it cannot embed a precomputed
-    hex-threshold string; instead both engines compare
-    ``hash52 < rate * 2^52`` where every operand is exact in a double
-    (13 hex digits = 52 bits ≤ the 53-bit mantissa) and the rate
-    arithmetic is the same correctly-rounded IEEE division — so the
-    DuckDB oracle reproduces the selection bit-for-bit. Still uniform:
-    a hex-digit prefix of md5 is uniform over [0, 16^13)."""
-    h = _sample_hash(id_col, seed)
+def fold_hex52(h: Column) -> Column:
+    """First 13 hex digits of an md5-hex column folded to an exact
+    integer in [0, 2^52) — the ENGINE-PORTABLE numeric hash form:
+    13 hex digits = 52 bits ≤ the 53-bit double mantissa, so every
+    downstream comparison/modulo is exact in BOTH a BIGINT and a
+    DOUBLE, and a DuckDB oracle reproduces it digit-fold for
+    digit-fold. Uniform over [0, 16^13) because a hex-digit prefix of
+    md5 is. Shared by the budget sampler, the global shuffle, and the
+    hashed-ngram classifier (textstats/classifier.py)."""
     expr: Column | None = None
     for i in range(13):
         a = F.ascii(F.substring(h, i + 1, 1))
@@ -108,6 +105,17 @@ def _hash52(id_col: Column, seed: int) -> Column:
         term = digit.cast("long") * F.lit(16 ** (12 - i)).cast("long")
         expr = term if expr is None else expr + term
     return expr
+
+
+def _hash52(id_col: Column, seed: int) -> Column:
+    """``fold_hex52`` over the sampling hash. sample_to_budget derives
+    its rates FROM THE DATA, so unlike the static-rate samplers it
+    cannot embed a precomputed hex-threshold string; instead both
+    engines compare ``hash52 < rate * 2^52`` where every operand is
+    exact in a double and the rate arithmetic is the same
+    correctly-rounded IEEE division — so the DuckDB oracle reproduces
+    the selection bit-for-bit."""
+    return fold_hex52(_sample_hash(id_col, seed))
 
 
 def budget_rates(

@@ -1,0 +1,254 @@
+"""Golden + property tests for the round-6 additions: corpus snapshot
+versioning (sparkcheck/versioning.py) and hashed n-gram classifier
+inference (sparkcheck/textstats/classifier.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparkcheck.textstats.classifier import (
+    SCALE,
+    classifier_score,
+    classifier_score_joined,
+    quantize_weights,
+    term_bucket,
+)
+from sparkcheck.versioning import (
+    content_fingerprint,
+    diff_summary,
+    revalidate_targets,
+    snapshot_diff,
+)
+
+
+# ------------------------------------------------------------ versioning
+
+
+def _snaps(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "same", "p1"),
+            (2, "before", "p1"),
+            (3, "gone", "p2"),
+            (5, "same-but-moved", "p3"),
+            (6, None, "p4"),
+            (None, "null-id", "p4"),
+        ],
+        "doc_id long, text string, part string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "same", "p1"),
+            (2, "after", "p1"),
+            (4, "fresh", "p2"),
+            (5, "same-but-moved", "p9"),
+            (6, None, "p4"),
+            (None, "null-id-too", "p5"),
+        ],
+        "doc_id long, text string, part string",
+    )
+    return old, new
+
+
+def test_snapshot_diff_statuses(spark):
+    old, new = _snaps(spark)
+    d = snapshot_diff(old, new, carry_cols=("part",))
+    got = {r.doc_id: r.status for r in d.collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",
+        6: "unchanged",  # NULL == NULL content on both sides
+    }
+    # NULL ids are dropped from BOTH sides, not matched to each other
+    assert None not in got
+
+
+def test_content_fingerprint_null_vs_empty_and_order(spark):
+    # (NULL,'a') vs ('a',NULL) vs ('','a') must all differ: the NULL
+    # sentinel and the separator make column positions unambiguous
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, "a", None), (3, "", "a")],
+        "id long, x string, y string",
+    )
+    fps = [
+        r.fp
+        for r in df.orderBy("id")
+        .select(content_fingerprint(("x", "y")).alias("fp"))
+        .collect()
+    ]
+    assert len(set(fps)) == 3
+
+
+def test_diff_summary_counts(spark):
+    old, new = _snaps(spark)
+    d = snapshot_diff(old, new, carry_cols=("part",))
+    got = {r.status: r.n_docs for r in diff_summary(d).collect()}
+    assert got == {"unchanged": 3, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_revalidate_targets_includes_both_sides_of_a_move(spark):
+    old, new = _snaps(spark)
+    got = {
+        r.part for r in revalidate_targets(old, new, "part").collect()
+    }
+    # p1: changed doc 2; p2: removed doc 3 (old side) + added doc 4
+    # (new side); p3 AND p9: doc 5 moved partitions with unchanged
+    # content — both must be revisited. p4 is untouched (doc 6
+    # unchanged in place) and must NOT appear. p5 only held a NULL-id
+    # row, which is outside the diff contract.
+    assert got == {"p1", "p2", "p3", "p9"}
+
+
+def test_snapshot_diff_single_join_plan(spark):
+    # scale shape: map-only fingerprint projections + exactly ONE join
+    old, new = _snaps(spark)
+    plan = (
+        snapshot_diff(old, new)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Join") == 1
+
+
+# ------------------------------------------------------------ classifier
+
+
+_W = [((i * 37) % 101) / 100.0 - 0.5 for i in range(64)]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Hello world hello"),
+            (2, ""),
+            (3, None),
+            (4, "a b  c\td\ne"),
+            (5, "one"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_classifier_score_matches_python_model(spark):
+    # independent python re-implementation of the advertised math
+    import hashlib
+
+    def bucket(term: str) -> int:
+        h = hashlib.md5(f"0|{term}".encode()).hexdigest()
+        return int(h[:13], 16) % 64
+
+    wq = quantize_weights(_W)
+
+    def score(text: str | None, bias: float, bigrams: bool) -> float:
+        toks = [t for t in (text or "").lower().split() if t]
+        terms = list(toks)
+        if bigrams:
+            terms += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        acc = sum(wq[bucket(t)] for t in terms)
+        return 1.0 / (1.0 + math.exp(-(bias + acc / SCALE)))
+
+    out = classifier_score(_docs(spark), _W, bias=0.25, bigrams=True)
+    for r in out.collect():
+        assert r.clf_score == score(r.text, 0.25, True), r
+
+
+def test_classifier_empty_and_null_text_score_bias(spark):
+    out = {
+        r.doc_id: r.clf_score
+        for r in classifier_score(_docs(spark), _W, bias=-1.5).collect()
+    }
+    expect = 1.0 / (1.0 + math.exp(1.5))
+    assert out[2] == expect and out[3] == expect
+
+
+def test_classifier_joined_bit_identical_and_sparse_zero_fill(spark):
+    docs = _docs(spark)
+    dense = {
+        r.doc_id: r.clf_score
+        for r in classifier_score(docs, _W, bias=0.1).collect()
+    }
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(_W)], "bucket long, weight double"
+    )
+    joined = {
+        r.doc_id: r.clf_score
+        for r in classifier_score_joined(docs, wdf, 64, bias=0.1).collect()
+    }
+    assert dense == joined
+    # sparse model: dropping the zero-ish rows must equal zeroing them
+    w0 = list(_W)
+    zeroed = {i for i in range(0, 64, 3)}
+    for i in zeroed:
+        w0[i] = 0.0
+    dense0 = {
+        r.doc_id: r.clf_score
+        for r in classifier_score(docs, w0, bias=0.1).collect()
+    }
+    wdf_sparse = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(w0) if i not in zeroed],
+        "bucket long, weight double",
+    )
+    joined0 = {
+        r.doc_id: r.clf_score
+        for r in classifier_score_joined(
+            docs, wdf_sparse, 64, bias=0.1
+        ).collect()
+    }
+    assert dense0 == joined0
+
+
+def test_classifier_literal_path_is_map_only(spark):
+    plan = (
+        classifier_score(_docs(spark), _W)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no per-row python anywhere
+
+
+def test_classifier_joined_broadcasts_weights(spark):
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(_W)], "bucket long, weight double"
+    )
+    plan = (
+        classifier_score_joined(_docs(spark), wdf, 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_term_bucket_range_and_unigram_only(spark):
+    df = spark.createDataFrame([("x y z",)], "text string")
+    out = df.select(
+        F.transform(
+            F.split(F.col("text"), " "), lambda t: term_bucket(t, 7, seed=3)
+        ).alias("b")
+    ).collect()[0].b
+    assert all(0 <= b < 7 for b in out)
+    # bigrams=False yields exactly the unigram terms
+    one = classifier_score(
+        spark.createDataFrame([(1, "q")], "doc_id long, text string"),
+        _W,
+        bigrams=False,
+    ).collect()[0]
+    two = classifier_score(
+        spark.createDataFrame([(1, "q q")], "doc_id long, text string"),
+        _W,
+        bigrams=False,
+    ).collect()[0]
+    import hashlib
+
+    b = int(hashlib.md5(b"0|q").hexdigest()[:13], 16) % 64
+    wq = quantize_weights(_W)
+    assert one.clf_score == 1.0 / (1.0 + math.exp(-(wq[b] / SCALE)))
+    assert two.clf_score == 1.0 / (1.0 + math.exp(-(2 * wq[b] / SCALE)))
