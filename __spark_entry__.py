@@ -1268,6 +1268,24 @@ def q_revalidate_targets(spark: SparkSession, sf: str) -> DataFrame:
     return revalidate_targets(old, new, "part", content_cols=("text",))
 
 
+def q_repeat_to_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-aware mixing (sampling.repeat_to_budget): de is over-asked
+    (budget ≫ available ⇒ multiple FULL epochs + a deterministic
+    remainder sample), fr under-asked (partial pass only). Every copy
+    carries a 0-based epoch. The oracle re-derives full_epochs = B // T
+    and the remainder threshold (B % T exact as BIGINT, one division,
+    × 2^52) and explodes generate_series — the same integer-exact
+    arithmetic, so the realization matches row-for-row."""
+    from sparkcheck.sampling import repeat_to_budget
+
+    d = _t(spark, sf, "documents")
+    out = repeat_to_budget(
+        d, {"de": 60000, "fr": 3000},
+        token_col="n_chars", strata_col="lang", id_col="doc_id", seed=9,
+    )
+    return out.select("doc_id", "lang", F.col("epoch").cast("long").alias("epoch"))
+
+
 # deterministic demo weights for the classifier oracle — 64 buckets,
 # values in [-0.5, 0.5); the oracle embeds the same micro-unit ints
 _CLF_W = [((i * 37) % 101) / 100.0 - 0.5 for i in range(64)]
@@ -1411,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "revalidate_targets": q_revalidate_targets,
         "classifier_scores": q_classifier_scores,
+        "repeat_to_budget": q_repeat_to_budget,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -2171,6 +2190,35 @@ SELECT host, n_docs, round(avg_q, 6) AS avg_quality,
        CAST(CASE WHEN n_docs >= 10 AND avg_q >= 1.5
                  THEN 1 ELSE 0 END AS INT) AS keep
 FROM rep
+""",
+        # epoch-aware mixing: full_epochs = B // T (integer-exact in
+        # both engines), remainder threshold = (B % T)/T * 2^52 (one
+        # correctly-rounded division each), copies exploded from
+        # generate_series
+        "repeat_to_budget": f"""
+WITH totals AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tot
+  FROM documents WHERE lang IN ('de', 'fr') GROUP BY lang
+),
+plan AS (
+  SELECT lang, tot,
+         CAST((CASE lang WHEN 'de' THEN 60000 ELSE 3000 END) // tot
+              AS BIGINT) AS full_epochs,
+         (CAST((CASE lang WHEN 'de' THEN 60000 ELSE 3000 END) % tot
+               AS DOUBLE) / CAST(tot AS DOUBLE)) * 4503599627370496.0 AS thr
+  FROM totals WHERE tot > 0
+),
+n AS (
+  SELECT d.doc_id, d.lang,
+         p.full_epochs
+           + (CASE WHEN {_hash52_sql(9)} < p.thr THEN 1 ELSE 0 END)
+           AS n_copies
+  FROM documents d JOIN plan p USING (lang)
+  WHERE d.doc_id IS NOT NULL
+)
+SELECT doc_id, lang, CAST(j AS BIGINT) AS epoch
+FROM n, unnest(generate_series(0, CAST(n_copies AS BIGINT) - 1)) AS t(j)
+WHERE n_copies > 0
 """,
         # snapshot versioning: the same NULL-sentinel fingerprints
         # (chr(0)/chr(31) hash identically in both engines) through the

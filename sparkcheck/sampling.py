@@ -186,6 +186,114 @@ def sample_to_budget(
     return df.where(_hash52(F.col(id_col), seed).cast("double") < thr)
 
 
+def epoch_plan(
+    df: DataFrame,
+    budgets: dict,
+    token_col: str,
+    strata_col: str,
+    max_epochs: int | None = None,
+) -> dict:
+    """Per-stratum EPOCH plan for budgets that may EXCEED the available
+    tokens — the data-constrained case (Muennighoff et al. '23, "Scaling
+    Data-Constrained Language Models"): a budget B over a stratum with
+    T < B tokens is realized as ``B // T`` full epochs plus a
+    deterministic sample of the remainder fraction ``(B % T) / T``.
+
+    Returns ``{stratum: {"total_tokens", "full_epochs",
+    "remainder_rate", "shortfall"}}``. ``max_epochs`` caps total passes
+    (full + the partial one) — repetition past ~4 epochs has sharply
+    diminishing returns, so the cap reports the unmet budget as
+    ``shortfall`` instead of looping further. Remainder arithmetic is
+    integer-exact (``B % T`` as an int, ONE division) so a SQL oracle
+    re-derives the identical rate double."""
+    rows = (
+        df.where(F.col(strata_col).isin(list(budgets)))
+        .groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_tot"))
+        .collect()
+    )
+    totals = {r[0]: int(r[1] or 0) for r in rows}
+    out = {}
+    for value, budget in budgets.items():
+        tot = totals.get(value, 0)
+        if tot <= 0:
+            out[value] = {
+                "total_tokens": 0,
+                "full_epochs": 0,
+                "remainder_rate": 0.0,
+                "shortfall": budget,
+            }
+            continue
+        full = int(budget) // tot
+        rem_rate = (int(budget) % tot) / tot
+        shortfall = 0
+        if max_epochs is not None:
+            passes = full + (1 if rem_rate > 0 else 0)
+            if passes > max_epochs:
+                # passes > cap implies full >= cap: serve exactly
+                # max_epochs FULL passes, no partial one
+                full = max_epochs
+                rem_rate = 0.0
+                shortfall = max(0, int(budget) - max_epochs * tot)
+        out[value] = {
+            "total_tokens": tot,
+            "full_epochs": full,
+            "remainder_rate": rem_rate,
+            "shortfall": shortfall,
+        }
+    return out
+
+
+def repeat_to_budget(
+    df: DataFrame,
+    budgets: dict,
+    token_col: str,
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: int = 1,
+    max_epochs: int | None = None,
+) -> DataFrame:
+    """Epoch-aware mixing: like ``sample_to_budget`` but an over-asked
+    stratum REPEATS instead of capping at one pass — every doc appears
+    ``full_epochs`` times plus once more iff the deterministic
+    remainder sample keeps it (same 52-bit keep rule and seed
+    discipline as the other samplers, so the partial epoch is the SAME
+    subset on every engine and re-run). Output rows carry an ``epoch``
+    column (0-based) so downstream shuffling/packing can key on
+    ``(id, epoch)`` and repeated copies land in different sequences.
+
+    Shape: one O(strata) planning agg, then map-only — the copy count
+    is a CASE chain plus the keep flag, materialized by exploding
+    ``sequence(0, n_copies-1)`` (zero-copy rows vanish: empty array).
+    No shuffle at any size; output volume is the requested token
+    budget, which is the floor for ANY realization of it. Strata
+    without a budget (and NULL strata / NULL ids) are dropped —
+    a mixture definition is exhaustive."""
+    plan = epoch_plan(df, budgets, token_col, strata_col, max_epochs)
+    full: Column = F.lit(0)
+    thr: Column = F.lit(-1.0)  # below every hash: un-budgeted strata drop
+    for value, info in sorted(plan.items(), key=lambda kv: repr(kv[0])):
+        cond = F.col(strata_col) == value
+        full = F.when(cond, F.lit(info["full_epochs"])).otherwise(full)
+        thr = F.when(
+            cond, F.lit(info["remainder_rate"] * 2.0**52)
+        ).otherwise(thr)
+    keep_extra = F.when(
+        _hash52(F.col(id_col), seed).cast("double") < thr, F.lit(1)
+    ).otherwise(F.lit(0))
+    n_copies = (full + keep_extra).cast("int")
+    return (
+        df.where(F.col(id_col).isNotNull())
+        .withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     num_shards: int,

@@ -310,3 +310,71 @@ def test_assemble_sequences_zero_length_docs_are_identity(spark):
     rows = sorted(assemble_sequences(df, "text", budget=4).collect(),
                   key=lambda r: r["seq_id"])
     assert "".join(r["seq_content"] for r in rows) == "aaabbbb"
+
+
+def test_repeat_to_budget_epochs_remainder_and_caps(spark):
+    """Over-asked budgets REPEAT: full_epochs = B // T plus a
+    deterministic remainder sample; max_epochs caps passes with a
+    documented shortfall; copies carry a 0-based epoch column; NULL
+    ids and un-budgeted strata drop; the whole realization is
+    map-only (no Exchange)."""
+    import hashlib
+
+    from sparkcheck.sampling import epoch_plan, repeat_to_budget
+
+    rows = [(i, "a", 10) for i in range(100)]            # T=1000
+    rows += [(10_000 + i, "b", 10) for i in range(100)]  # T=1000
+    rows += [(20_000 + i, "c", 10) for i in range(10)]   # no budget
+    # NULL id under an UN-budgeted stratum: totals are token MASS and
+    # id-independent (same contract as sample_to_budget), so a NULL-id
+    # row in a budgeted stratum would count toward its total while
+    # never being emitted — keep the fixture's totals clean
+    rows += [(None, "c", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tok long")
+
+    budgets = {"a": 2500, "b": 400}
+    plan = epoch_plan(df, budgets, "n_tok", "src")
+    assert plan["a"] == {
+        "total_tokens": 1000, "full_epochs": 2,
+        "remainder_rate": 0.5, "shortfall": 0,
+    }
+    assert plan["b"]["full_epochs"] == 0
+    assert plan["b"]["remainder_rate"] == 0.4
+
+    out = repeat_to_budget(df, budgets, "n_tok", "src", seed=3)
+    rowsb = out.where(F.col("src") == "b").collect()
+    assert all(r.epoch == 0 for r in rowsb)  # partial pass only
+
+    # per-doc copy counts in 'a': 2 or 3, epochs contiguous from 0,
+    # and the 3-copy set IS the 52-bit remainder selection
+    got = {}
+    for r in out.where(F.col("src") == "a").collect():
+        got.setdefault(r.doc_id, []).append(r.epoch)
+    assert set(got) == set(range(100))  # every doc ≥ full epochs
+    thr = 0.5 * 2.0**52
+    for doc_id, epochs in got.items():
+        h = int(hashlib.md5(f"3|{doc_id}".encode()).hexdigest()[:13], 16)
+        expect = 3 if h < thr else 2
+        assert sorted(epochs) == list(range(expect)), doc_id
+
+    # realized mass: 'a' = 2 full epochs + ~half of one
+    tok_a = sum(10 * len(e) for e in got.values())
+    assert abs(tok_a - 2500) < 400
+
+    # NULL id and un-budgeted stratum never appear
+    assert out.where(F.col("doc_id").isNull()).count() == 0
+    assert out.where(F.col("src") == "c").count() == 0
+
+    # max_epochs cap: 'a' would need 2.5 passes; cap at 2 ⇒ no
+    # remainder, shortfall 500
+    plan2 = epoch_plan(df, budgets, "n_tok", "src", max_epochs=2)
+    assert plan2["a"] == {
+        "total_tokens": 1000, "full_epochs": 2,
+        "remainder_rate": 0.0, "shortfall": 500,
+    }
+    out2 = repeat_to_budget(df, budgets, "n_tok", "src", max_epochs=2)
+    assert out2.where(F.col("src") == "a").count() == 200
+
+    # map-only after the planning agg
+    plan_str = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str
