@@ -1286,6 +1286,93 @@ def q_repeat_to_budget(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", F.col("epoch").cast("long").alias("epoch"))
 
 
+def _corrupted_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """The embeddings table with deterministic planted vector
+    failures (every mode the QA layer detects): NULL vectors
+    (vec_id%97), truncated dim (%89 → 32 of 64), a NaN element (%83),
+    all-zero vectors (%79). Both engines derive the identical
+    corruption."""
+    e = _t(spark, sf, "embeddings").where(F.col("vec_id").isNotNull())
+    key = F.col("vec_id")
+    vec = F.col("embedding")
+    nan_first = F.concat(
+        F.array(F.lit(float("nan")).cast("float")), F.slice(vec, 2, 63)
+    )
+    corrupted = (
+        F.when(key % 97 == 0, F.lit(None).cast("array<float>"))
+        .when(key % 89 == 0, F.slice(vec, 1, 32))
+        .when(key % 83 == 0, nan_first)
+        .when(key % 79 == 0, F.transform(vec, lambda x: F.lit(0.0).cast("float")))
+        .otherwise(vec)
+    )
+    return e.select("vec_id", corrupted.alias("embedding"))
+
+
+def q_embedding_violation_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector QA violation rows with lineage (profile.embeddings
+    .embedding_violations): per-row NULL / wrong-dim / NaN /
+    null-element / zero flags + the L2 norm (NULL when invalid),
+    over the corrupted variant. Norms rounded to 4 — per-row fold
+    order is identical in both engines (left fold over the array)."""
+    from sparkcheck.profile import embedding_violations
+
+    v = embedding_violations(
+        _corrupted_embeddings(spark, sf), expected_dim=64
+    )
+    # NULL dim/norm → sentinels IN THE QUERY ONLY: the gate's row sort
+    # compares tuples across columns and Python None breaks ties
+    return v.select(
+        "vec_id",
+        F.coalesce(F.col("dim"), F.lit(-1)).alias("dim"),
+        F.col("is_null").cast("int").alias("is_null"),
+        F.col("bad_dim").cast("int").alias("bad_dim"),
+        F.col("has_nan").cast("int").alias("has_nan"),
+        F.col("is_zero").cast("int").alias("is_zero"),
+        F.coalesce(F.round("norm", 4), F.lit(-1.0)).alias("norm"),
+    )
+
+
+def q_embedding_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE-row embedding-column profile (profile.embeddings
+    .embedding_profile): failure-mode counts + norm stats restricted
+    to the VALID subset (so one failed encode can't NaN the profile).
+    Stats rounded to 4 (coarser than scalar profiles: cross-engine
+    summation order differs on the norm aggregate)."""
+    from sparkcheck.profile import embedding_profile
+
+    p = embedding_profile(_corrupted_embeddings(spark, sf), expected_dim=64)
+    return p.select(
+        "n_rows",
+        "null_vecs",
+        "bad_dim_vecs",
+        "nan_vecs",
+        "zero_vecs",
+        "valid_vecs",
+        F.round("norm_mean", 4).alias("norm_mean"),
+        F.round("norm_std", 4).alias("norm_std"),
+        F.round("norm_min", 4).alias("norm_min"),
+        F.round("norm_max", 4).alias("norm_max"),
+    )
+
+
+def q_embedding_dim_means(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension mean/std drift baseline (profile.embeddings
+    .embedding_dim_profile) over valid vectors of the corrupted
+    variant — 64 rows out; map-side partials keep the shuffle
+    O(partitions × dim)."""
+    from sparkcheck.profile import embedding_dim_profile
+
+    out = embedding_dim_profile(
+        _corrupted_embeddings(spark, sf), expected_dim=64
+    )
+    return out.select(
+        "dim_idx",
+        F.round("mean", 5).alias("mean"),
+        F.round("std", 5).alias("std"),
+        "n",
+    )
+
+
 # deterministic demo weights for the classifier oracle — 64 buckets,
 # values in [-0.5, 0.5); the oracle embeds the same micro-unit ints
 _CLF_W = [((i * 37) % 101) / 100.0 - 0.5 for i in range(64)]
@@ -1430,6 +1517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revalidate_targets": q_revalidate_targets,
         "classifier_scores": q_classifier_scores,
         "repeat_to_budget": q_repeat_to_budget,
+        "embedding_violation_rows": q_embedding_violation_rows,
+        "embedding_quality": q_embedding_quality,
+        "embedding_dim_means": q_embedding_dim_means,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -2219,6 +2309,128 @@ n AS (
 SELECT doc_id, lang, CAST(j AS BIGINT) AS epoch
 FROM n, unnest(generate_series(0, CAST(n_copies AS BIGINT) - 1)) AS t(j)
 WHERE n_copies > 0
+""",
+        # vector QA over the same deterministic corruption: flags are
+        # exact booleans; per-row norms fold left in both engines
+        # (round 4); the corrupted variant is re-derived in SQL
+        "embedding_violation_rows": """
+WITH c AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 97 = 0 THEN NULL
+              WHEN vec_id % 89 = 0 THEN embedding[1:32]
+              WHEN vec_id % 83 = 0
+                THEN [CAST('NaN' AS FLOAT)] || embedding[2:64]
+              WHEN vec_id % 79 = 0
+                THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+              ELSE embedding END AS emb
+  FROM embeddings WHERE vec_id IS NOT NULL
+),
+f AS (
+  SELECT vec_id, emb,
+         (emb IS NULL) AS is_null,
+         CASE WHEN emb IS NULL THEN FALSE
+              ELSE len(emb) <> 64 END AS bad_dim,
+         CASE WHEN emb IS NULL THEN FALSE
+              ELSE len(list_filter(emb, x -> isnan(CAST(x AS DOUBLE)))) > 0
+              END AS has_nan,
+         CASE WHEN emb IS NULL THEN FALSE
+              ELSE len(list_filter(emb, x -> x IS NULL)) > 0 END
+           AS has_null_elem
+  FROM c
+),
+n AS (
+  SELECT *, CASE WHEN is_null OR has_nan OR has_null_elem THEN NULL
+                 ELSE sqrt(list_sum(list_transform(emb,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END
+              AS norm
+  FROM f
+)
+SELECT vec_id,
+       CASE WHEN is_null THEN -1 ELSE CAST(len(emb) AS INT) END AS dim,
+       CAST(is_null AS INT) AS is_null,
+       CAST(bad_dim AS INT) AS bad_dim,
+       CAST(has_nan AS INT) AS has_nan,
+       CAST(coalesce(norm = 0.0, FALSE) AS INT) AS is_zero,
+       coalesce(round(norm, 4), -1.0) AS norm
+FROM n
+""",
+        # one-row profile: counts exact; norm stats over the VALID
+        # subset, rounded 4 (coarse: cross-engine summation order)
+        "embedding_quality": """
+WITH c AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 97 = 0 THEN NULL
+              WHEN vec_id % 89 = 0 THEN embedding[1:32]
+              WHEN vec_id % 83 = 0
+                THEN [CAST('NaN' AS FLOAT)] || embedding[2:64]
+              WHEN vec_id % 79 = 0
+                THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+              ELSE embedding END AS emb
+  FROM embeddings WHERE vec_id IS NOT NULL
+),
+f AS (
+  SELECT vec_id, emb,
+         (emb IS NULL) AS is_null,
+         CASE WHEN emb IS NULL THEN FALSE
+              ELSE len(emb) <> 64 END AS bad_dim,
+         CASE WHEN emb IS NULL THEN FALSE
+              ELSE len(list_filter(emb, x -> isnan(CAST(x AS DOUBLE)))) > 0
+              END AS has_nan,
+         CASE WHEN emb IS NULL THEN FALSE
+              ELSE len(list_filter(emb, x -> x IS NULL)) > 0 END
+           AS has_null_elem
+  FROM c
+),
+n AS (
+  SELECT *,
+         (NOT is_null AND NOT has_nan AND NOT has_null_elem
+          AND NOT bad_dim) AS ok,
+         CASE WHEN is_null OR has_nan OR has_null_elem THEN NULL
+              ELSE sqrt(list_sum(list_transform(emb,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS norm
+  FROM f
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(is_null AS INT)) AS BIGINT) AS null_vecs,
+       CAST(sum(CAST(bad_dim AS INT)) AS BIGINT) AS bad_dim_vecs,
+       CAST(sum(CAST(has_nan AS INT)) AS BIGINT) AS nan_vecs,
+       CAST(sum(CAST(coalesce(norm = 0.0, FALSE) AS INT)) AS BIGINT)
+         AS zero_vecs,
+       CAST(sum(CAST(ok AS INT)) AS BIGINT) AS valid_vecs,
+       round(avg(CASE WHEN ok THEN norm END), 4) AS norm_mean,
+       round(stddev_samp(CASE WHEN ok THEN norm END), 4) AS norm_std,
+       round(min(CASE WHEN ok THEN norm END), 4) AS norm_min,
+       round(max(CASE WHEN ok THEN norm END), 4) AS norm_max
+FROM n
+""",
+        # per-dimension drift baseline over valid vectors; dim values
+        # come from indexing with generate_series (engine-portable
+        # ordinality)
+        "embedding_dim_means": """
+WITH c AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 97 = 0 THEN NULL
+              WHEN vec_id % 89 = 0 THEN embedding[1:32]
+              WHEN vec_id % 83 = 0
+                THEN [CAST('NaN' AS FLOAT)] || embedding[2:64]
+              WHEN vec_id % 79 = 0
+                THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+              ELSE embedding END AS emb
+  FROM embeddings WHERE vec_id IS NOT NULL
+),
+v AS (
+  SELECT emb FROM c
+  WHERE emb IS NOT NULL
+    AND len(emb) = 64
+    AND len(list_filter(emb, x -> isnan(CAST(x AS DOUBLE)))) = 0
+    AND len(list_filter(emb, x -> x IS NULL)) = 0
+)
+SELECT CAST(i - 1 AS INT) AS dim_idx,
+       round(avg(CAST(emb[i] AS DOUBLE)), 5) AS mean,
+       round(stddev_samp(CAST(emb[i] AS DOUBLE)), 5) AS std,
+       CAST(count(*) AS BIGINT) AS n
+FROM v, unnest(generate_series(1, 64)) AS t(i)
+GROUP BY 1
 """,
         # snapshot versioning: the same NULL-sentinel fingerprints
         # (chr(0)/chr(31) hash identically in both engines) through the

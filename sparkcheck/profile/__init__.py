@@ -2,6 +2,11 @@ from sparkcheck.profile.models import ColumnStatistics, TableProfile
 from sparkcheck.profile.merge import merge_profiles
 from sparkcheck.profile.sketches import merge_ndv_sketches, ndv_sketches
 from sparkcheck.profile.schema import SchemaDiff, schema_matches, schema_report
+from sparkcheck.profile.embeddings import (
+    embedding_dim_profile,
+    embedding_profile,
+    embedding_violations,
+)
 from sparkcheck.profile.profiler import (
     PATTERNS,
     fused_histograms,
@@ -15,6 +20,9 @@ from sparkcheck.profile.profiler import (
 
 __all__ = [
     "ColumnStatistics",
+    "embedding_dim_profile",
+    "embedding_profile",
+    "embedding_violations",
     "TableProfile",
     "profile_table",
     "histogram",

@@ -252,3 +252,84 @@ def test_term_bucket_range_and_unigram_only(spark):
     wq = quantize_weights(_W)
     assert one.clf_score == 1.0 / (1.0 + math.exp(-(wq[b] / SCALE)))
     assert two.clf_score == 1.0 / (1.0 + math.exp(-(2 * wq[b] / SCALE)))
+
+
+# ------------------------------------------------------- embedding QA
+
+
+def _vecs(spark):
+    nan = float("nan")
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),       # valid, norm 1
+            (2, [3.0, 4.0, 0.0]),       # valid, norm 5
+            (3, None),                   # NULL vector
+            (4, [1.0, 2.0]),             # wrong dim
+            (5, [nan, 1.0, 1.0]),        # NaN element
+            (6, [0.0, 0.0, 0.0]),        # zero vector (valid but flagged)
+            (7, [1.0, None, 1.0]),       # NULL element
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_embedding_violations_flags_and_norms(spark):
+    from sparkcheck.profile import embedding_violations
+
+    rows = {
+        r.vec_id: r
+        for r in embedding_violations(_vecs(spark), expected_dim=3).collect()
+    }
+    assert rows[1].norm == 1.0 and not rows[1].is_zero
+    assert rows[2].norm == 5.0
+    assert rows[3].is_null and rows[3].dim is None and rows[3].norm is None
+    assert rows[4].bad_dim and rows[4].dim == 2
+    assert rows[5].has_nan and rows[5].norm is None
+    assert rows[6].is_zero and rows[6].norm == 0.0
+    assert rows[7].has_null_elem and rows[7].norm is None
+    # no expected_dim declared -> bad_dim is NULL (nothing to conform to)
+    nod = {
+        r.vec_id: r.bad_dim
+        for r in embedding_violations(_vecs(spark)).collect()
+    }
+    assert nod[4] is None and nod[1] is None
+
+
+def test_embedding_profile_counts_and_valid_only_norm_stats(spark):
+    from sparkcheck.profile import embedding_profile
+
+    p = embedding_profile(_vecs(spark), expected_dim=3).collect()[0]
+    assert p.n_rows == 7
+    assert p.null_vecs == 1 and p.bad_dim_vecs == 1
+    assert p.nan_vecs == 1 and p.null_elem_vecs == 1
+    assert p.zero_vecs == 1
+    assert p.valid_vecs == 3  # ids 1, 2, 6
+    assert p.norm_min == 0.0 and p.norm_max == 5.0
+    assert p.norm_mean == (1.0 + 5.0 + 0.0) / 3
+
+
+def test_embedding_dim_profile_means_and_validity_mask(spark):
+    from sparkcheck.profile import embedding_dim_profile
+
+    out = {
+        r.dim_idx: r
+        for r in embedding_dim_profile(
+            _vecs(spark), expected_dim=3
+        ).collect()
+    }
+    # valid vectors: ids 1, 2, 6 -> dim 0 values (1, 3, 0)
+    assert set(out) == {0, 1, 2}
+    assert out[0].n == 3 and out[0].mean == (1.0 + 3.0 + 0.0) / 3
+    assert out[1].mean == (0.0 + 4.0 + 0.0) / 3
+
+
+def test_embedding_paths_stay_jvm_side(spark):
+    from sparkcheck.profile import embedding_profile
+
+    plan = (
+        embedding_profile(_vecs(spark), expected_dim=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan  # no per-row python
