@@ -1373,6 +1373,26 @@ def q_embedding_dim_means(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_select_top_by_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-ranked selection under a token budget (sampling.
+    select_top_by_budget): keep the highest-scoring docs until 60k of
+    the corpus's ~149k chars are spent — whole bins top-down, a
+    deterministic hash fraction of the single boundary bin, nothing
+    below. Score = doc length (engine-portable stand-in for a model
+    score; the machinery is score-agnostic). The oracle re-derives
+    lo/hi, the 100-bin histogram, the top-down cumulative masses, and
+    the boundary rate with the identical double arithmetic."""
+    from sparkcheck.sampling import select_top_by_budget
+
+    d = _t(spark, sf, "documents").withColumn(
+        "score", F.col("n_chars").cast("double")
+    )
+    out = select_top_by_budget(
+        d, 60000, "score", "n_chars", id_col="doc_id", bins=100, seed=11
+    )
+    return out.select("doc_id")
+
+
 # deterministic demo weights for the classifier oracle — 64 buckets,
 # values in [-0.5, 0.5); the oracle embeds the same micro-unit ints
 _CLF_W = [((i * 37) % 101) / 100.0 - 0.5 for i in range(64)]
@@ -1517,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revalidate_targets": q_revalidate_targets,
         "classifier_scores": q_classifier_scores,
         "repeat_to_budget": q_repeat_to_budget,
+        "select_top_by_budget": q_select_top_by_budget,
         "embedding_violation_rows": q_embedding_violation_rows,
         "embedding_quality": q_embedding_quality,
         "embedding_dim_means": q_embedding_dim_means,
@@ -2431,6 +2452,40 @@ SELECT CAST(i - 1 AS INT) AS dim_idx,
        CAST(count(*) AS BIGINT) AS n
 FROM v, unnest(generate_series(1, 64)) AS t(i)
 GROUP BY 1
+""",
+        # quality-ranked selection under a token budget: whole bins
+        # top-down, hash fraction of the boundary bin — per-row
+        # conditions over the cumulative masses are equivalent to the
+        # Spark driver's boundary constants (all higher bins fit by
+        # construction of "first non-fitting bin")
+        "select_top_by_budget": f"""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+         CAST(n_chars AS BIGINT) AS tok
+  FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+),
+s AS (SELECT min(score) AS lo, max(score) AS hi FROM d),
+b AS (
+  SELECT d.doc_id, d.tok,
+         least(CAST(floor((d.score - s.lo) * 100.0 / (s.hi - s.lo))
+                    AS BIGINT), 99) AS bin
+  FROM d, s
+),
+mass AS (SELECT bin, CAST(sum(tok) AS BIGINT) AS m FROM b GROUP BY bin),
+cum AS (
+  SELECT bin, m,
+         COALESCE(SUM(m) OVER (ORDER BY bin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+  FROM mass
+)
+SELECT b.doc_id
+FROM b JOIN cum USING (bin)
+WHERE above + m <= 60000
+   OR (above < 60000
+       AND {_hash52_sql(11)}
+             < (CAST(60000 - above AS DOUBLE) / CAST(m AS DOUBLE))
+               * 4503599627370496.0)
 """,
         # snapshot versioning: the same NULL-sentinel fingerprints
         # (chr(0)/chr(31) hash identically in both engines) through the

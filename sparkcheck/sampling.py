@@ -294,6 +294,90 @@ def repeat_to_budget(
     )
 
 
+def select_top_by_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    bins: int = 10_000,
+    seed: int = 1,
+) -> DataFrame:
+    """Quality-ranked selection under a token budget — "keep the BEST
+    documents up to N tokens" (the FineWeb-Edu-style curation step),
+    NOT a random sample. Exact top-by-score would globally sort the
+    corpus and run an unpartitioned prefix-sum window (one reducer at
+    10^12 rows), so this uses the scalable two-phase shape:
+
+      1. one O(1) agg finds the score range; one O(bins) agg builds a
+         token-mass histogram over ``bins`` equi-width score bins;
+      2. the driver walks bins top-down: bins whose cumulative mass
+         fits the budget are kept WHOLE; the single boundary bin keeps
+         the deterministic hash fraction ``(budget - mass_above) /
+         bin_mass`` (same 52-bit keep rule as the samplers); lower
+         bins drop.
+
+    Everything after the two tiny aggs is map-only. The deviation from
+    exact ranking is confined to the boundary bin (≤ 1/bins of the
+    score range): inside it selection is hash-uniform, not
+    score-ordered — the standard threshold-selection contract.
+    Deterministic end to end, so a SQL oracle re-derives the identical
+    keep set (all arithmetic is the same IEEE double ops in the same
+    order). Rows with NULL score/token/id drop (unrankable)."""
+    score = F.col(score_col).cast("double")
+    d = df.where(
+        F.col(score_col).isNotNull()
+        & F.col(token_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+    lo, hi = d.agg(F.min(score), F.max(score)).first()
+    if lo is None:
+        return d  # empty input
+    if hi == lo:
+        # degenerate: one bin — plain deterministic sample at the
+        # budget rate
+        total = d.agg(F.sum(F.col(token_col).cast("long"))).first()[0] or 0
+        rate = min(1.0, budget / total) if total > 0 else 0.0
+        return d.where(
+            _hash52(F.col(id_col), seed).cast("double")
+            < F.lit(rate * 2.0**52)
+        )
+    # bin arithmetic mirrored literally by the oracle: (score - lo) *
+    # bins / (hi - lo), floor, clamp the score==hi row into the top bin
+    bin_col = F.least(
+        F.floor((score - F.lit(lo)) * F.lit(float(bins)) / F.lit(hi - lo)),
+        F.lit(bins - 1),
+    ).cast("long")
+    mass = {
+        r[0]: int(r[1])
+        for r in d.groupBy(bin_col.alias("_bin"))
+        .agg(F.sum(F.col(token_col).cast("long")))
+        .collect()
+    }
+    above = 0
+    boundary_rate = 0.0
+    for b in sorted(mass, reverse=True):
+        if above + mass[b] <= budget:
+            above += mass[b]
+            continue
+        boundary_bin = b
+        if above < budget:
+            boundary_rate = (budget - above) / mass[b]
+        # else: budget exactly exhausted by higher bins — rate stays 0,
+        # this bin and below drop
+        break
+    else:
+        return d  # total mass fits the budget: keep everything
+    keep = (bin_col > F.lit(boundary_bin)) | (
+        (bin_col == F.lit(boundary_bin))
+        & (
+            _hash52(F.col(id_col), seed).cast("double")
+            < F.lit(boundary_rate * 2.0**52)
+        )
+    )
+    return d.where(keep)
+
+
 def deterministic_shuffle(
     df: DataFrame,
     num_shards: int,

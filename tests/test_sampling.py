@@ -378,3 +378,55 @@ def test_repeat_to_budget_epochs_remainder_and_caps(spark):
     # map-only after the planning agg
     plan_str = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan_str
+
+
+def test_select_top_by_budget_threshold_and_boundary(spark):
+    """High-score bins are kept WHOLE top-down until the budget;
+    exactly one boundary bin keeps a deterministic hash fraction;
+    everything below drops; degenerate (constant-score) input falls
+    back to a plain rate sample; realization is map-only after the
+    two planning aggs."""
+    import hashlib
+
+    from sparkcheck.sampling import select_top_by_budget
+
+    # three well-separated score plateaus, 100 docs x 10 tokens each
+    rows = [(i, 0.9, 10) for i in range(100)]
+    rows += [(1000 + i, 0.5, 10) for i in range(100)]
+    rows += [(2000 + i, 0.1, 10) for i in range(100)]
+    rows += [(None, 0.9, 10), (3000, None, 10), (3001, 0.9, None)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tok long")
+
+    # budget 1500: top plateau (1000) whole, middle is the boundary
+    # (rate 0.5), bottom drops; NULL score/token/id rows never appear
+    out = select_top_by_budget(df, 1500, "score", "n_tok", seed=3)
+    got = sorted(r.doc_id for r in out.collect())
+    top = [i for i in range(100)]
+    assert [i for i in got if i < 1000] == top
+    assert not [i for i in got if i >= 2000]
+    mid = [i for i in got if 1000 <= i < 2000]
+    thr = 0.5 * 2.0**52
+    expect_mid = [
+        i for i in range(1000, 1100)
+        if int(hashlib.md5(f"3|{i}".encode()).hexdigest()[:13], 16) < thr
+    ]
+    assert mid == expect_mid
+
+    # budget >= total mass: everything (with non-NULL fields) kept
+    assert select_top_by_budget(df, 10**9, "score", "n_tok").count() == 300
+
+    # budget that an exact whole number of bins satisfies: rate 0 for
+    # the next bin down
+    out2 = select_top_by_budget(df, 1000, "score", "n_tok", seed=3)
+    assert sorted(r.doc_id for r in out2.collect()) == top
+
+    # degenerate: all scores equal -> plain deterministic sample
+    flat = spark.createDataFrame(
+        [(i, 1.0, 10) for i in range(200)],
+        "doc_id long, score double, n_tok long",
+    )
+    out3 = select_top_by_budget(flat, 1000, "score", "n_tok", seed=3)
+    n3 = out3.count()
+    assert 0 < n3 < 200  # rate 0.5 sample
+    plan = out3._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Sort" not in plan
