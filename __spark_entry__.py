@@ -1393,6 +1393,41 @@ def q_select_top_by_budget(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The ENTIRE post-dedup curation layer as ONE verified unit
+    (mirroring dedup_corpus's whole-pipeline oracle): hashed-unigram
+    classifier scores → quality-ranked selection under a 60k-token
+    budget (ranking on the LOGIT scale — exact-integer-derived, no
+    libm in the binning) → seeded 4-shard global shuffle → 2048-token
+    sequence packing in SHUFFLED order (pack id = shard_pos). Output:
+    every surviving doc's training-layout coordinates
+    (shard_id, shard_pos, seq_id, seq_offset). The oracle composes the
+    same four stages in one SQL query — classifier fold, histogram
+    threshold, md5 permutation, prefix-sum packing — and matches
+    row-for-row."""
+    from sparkcheck.sampling import (
+        deterministic_shuffle,
+        pack_sequences,
+        select_top_by_budget,
+    )
+    from sparkcheck.textstats.classifier import classifier_score
+
+    d = _t(spark, sf, "documents")
+    scored = classifier_score(
+        d, _CLF_W, bias=-0.2, bigrams=False, seed=5, logits_col="logit"
+    )
+    selected = select_top_by_budget(
+        scored, 60000, "logit", "n_chars", id_col="doc_id", bins=100, seed=11
+    )
+    shuffled = deterministic_shuffle(selected, num_shards=4, seed=13)
+    packed = pack_sequences(
+        shuffled, "n_chars", 2048, id_col="shard_pos", shard_col="shard_id"
+    )
+    return packed.select(
+        "doc_id", "shard_id", "shard_pos", "seq_id", "seq_offset"
+    )
+
+
 # deterministic demo weights for the classifier oracle — 64 buckets,
 # values in [-0.5, 0.5); the oracle embeds the same micro-unit ints
 _CLF_W = [((i * 37) % 101) / 100.0 - 0.5 for i in range(64)]
@@ -1538,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": q_classifier_scores,
         "repeat_to_budget": q_repeat_to_budget,
         "select_top_by_budget": q_select_top_by_budget,
+        "curated_corpus": q_curated_corpus,
         "embedding_violation_rows": q_embedding_violation_rows,
         "embedding_quality": q_embedding_quality,
         "embedding_dim_means": q_embedding_dim_means,
@@ -2486,6 +2522,73 @@ WHERE above + m <= 60000
        AND {_hash52_sql(11)}
              < (CAST(60000 - above AS DOUBLE) / CAST(m AS DOUBLE))
                * 4503599627370496.0)
+""",
+        # the WHOLE curation layer in one query: classifier logits
+        # (exact-integer fold, no libm) -> histogram-threshold
+        # selection -> md5-keyed 4-shard permutation -> prefix-sum
+        # packing in shuffled order
+        "curated_corpus": f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         -0.2 + CAST(coalesce(list_sum(
+           list_transform(
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> ''),
+             t -> ({_clf_wlit_sql()})[
+               CAST({_fold13_sql("md5('5|' || t)")} % 64 AS BIGINT) + 1])),
+           0) AS DOUBLE) / 1000000.0 AS score
+  FROM documents WHERE doc_id IS NOT NULL
+),
+d AS (
+  SELECT doc_id, score, CAST(n_chars AS BIGINT) AS tok
+  FROM scored WHERE n_chars IS NOT NULL
+),
+s AS (SELECT min(score) AS lo, max(score) AS hi FROM d),
+b AS (
+  SELECT d.doc_id, d.tok,
+         least(CAST(floor((d.score - s.lo) * 100.0 / (s.hi - s.lo))
+                    AS BIGINT), 99) AS bin
+  FROM d, s
+),
+mass AS (SELECT bin, CAST(sum(tok) AS BIGINT) AS m FROM b GROUP BY bin),
+cum AS (
+  SELECT bin, m,
+         COALESCE(SUM(m) OVER (ORDER BY bin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+  FROM mass
+),
+sel AS (
+  SELECT b.doc_id, b.tok
+  FROM b JOIN cum USING (bin)
+  WHERE above + m <= 60000
+     OR (above < 60000
+         AND {_hash52_sql(11)}
+               < (CAST(60000 - above AS DOUBLE) / CAST(m AS DOUBLE))
+                 * 4503599627370496.0)
+),
+sh AS (
+  SELECT doc_id, tok,
+         md5('13|' || CAST(doc_id AS VARCHAR)) AS hh,
+         CAST({_hash52_sql(13)} % 4 AS BIGINT) AS shard_id
+  FROM sel
+),
+r AS (
+  SELECT doc_id, tok, shard_id,
+         CAST(row_number() OVER (PARTITION BY shard_id
+              ORDER BY substr(hh, 14, 19), doc_id) - 1 AS BIGINT)
+           AS shard_pos
+  FROM sh
+),
+p AS (
+  SELECT doc_id, shard_id, shard_pos,
+         COALESCE(SUM(tok) OVER (PARTITION BY shard_id ORDER BY shard_pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM r
+)
+SELECT doc_id, shard_id, shard_pos,
+       CAST(before // 2048 AS BIGINT) AS seq_id,
+       CAST(before % 2048 AS BIGINT) AS seq_offset
+FROM p
 """,
         # snapshot versioning: the same NULL-sentinel fingerprints
         # (chr(0)/chr(31) hash identically in both engines) through the

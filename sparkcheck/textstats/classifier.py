@@ -92,10 +92,17 @@ def classifier_score(
     bigrams: bool = True,
     seed: int = 0,
     out_col: str = "clf_score",
+    logits_col: str | None = None,
 ) -> DataFrame:
     """Literal-weights inference — map-only. ``len(weights)`` IS the
     hash dimension. Appends ``out_col`` = sigmoid(bias + Σ w[bucket])
-    as a double; empty/NULL text scores sigmoid(bias)."""
+    as a double; empty/NULL text scores sigmoid(bias). ``logits_col``
+    additionally emits the raw logit — downstream THRESHOLDING
+    (select_top_by_budget) should rank on it: it is derived from the
+    exact integer accumulation by two IEEE ops (÷SCALE, +bias) and is
+    therefore bit-identical across engines, whereas the sigmoid passes
+    through libm exp whose last ulp is implementation-defined.
+    Monotone-equivalent, so the selection is the same."""
     dim = len(weights)
     if dim == 0:
         raise ValueError("weights must be non-empty — its length is the dim")
@@ -107,7 +114,10 @@ def classifier_score(
         lambda s, t: s + F.element_at(w, (term_bucket(t, dim, seed) + 1).cast("int")),
     )
     logits = F.lit(float(bias)) + acc.cast("double") / F.lit(float(SCALE))
-    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-logits)))
+    out = df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-logits)))
+    if logits_col is not None:
+        out = out.withColumn(logits_col, logits)
+    return out
 
 
 def classifier_score_joined(

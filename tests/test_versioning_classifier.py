@@ -333,3 +333,18 @@ def test_embedding_paths_stay_jvm_side(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan  # no per-row python
+
+
+def test_classifier_logits_col_is_exact_preimage(spark):
+    # the logit output is the exact-integer-derived preimage of the
+    # sigmoid: score == 1/(1+exp(-logit)), and thresholding on it is
+    # monotone-equivalent to thresholding on the score
+    out = classifier_score(
+        _docs(spark), _W, bias=0.3, bigrams=True, logits_col="logit"
+    ).collect()
+    for r in out:
+        assert r.clf_score == 1.0 / (1.0 + math.exp(-r.logit))
+    ordered = sorted(out, key=lambda r: r.logit)
+    assert [r.doc_id for r in ordered] == [
+        r.doc_id for r in sorted(out, key=lambda r: r.clf_score)
+    ]
