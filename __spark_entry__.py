@@ -1450,6 +1450,32 @@ def q_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality signal (textstats.lm): a 3-gram
+    stupid-backoff model trained on the corpus's 'en' slice (the
+    trusted-reference stand-in), every doc scored against it, then
+    CCNet's head/middle/tail tercile per language (ntile over
+    (perplexity, doc_id)). Per-position scores are BIGINT-count ratios
+    (bit-identical across engines); ln() is rounded to integer
+    micro-nats BEFORE the exact per-doc BIGINT sum, so logprob_micro
+    is hash-stable and the only rounded floats are the two derived
+    columns. Train = one explode + one groupBy; score = one explode +
+    five broadcast joins + one groupBy with map-side partials."""
+    from sparkcheck.textstats.lm import (
+        perplexity_buckets,
+        perplexity_scores,
+        train_ngram_counts,
+    )
+
+    d = _t(spark, sf, "documents")
+    counts = train_ngram_counts(d.where(F.col("lang") == "en"), n=3)
+    scored = perplexity_scores(d, counts, n=3, keep_cols=("lang",))
+    return perplexity_buckets(scored, by="lang").select(
+        "doc_id", "lang", "n_tokens", "logprob_micro", "avg_logprob",
+        "perplexity", F.col("ppl_bucket").cast("int").alias("ppl_bucket"),
+    )
+
+
 # Driver-sample rotation policy (VERDICT r4 "Next round" #6, now encoded
 # rather than applied by hand): the external correctness gate samples the
 # FIRST 50 queries() entries per round, so the dict is ordered by
@@ -1577,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_violation_rows": q_embedding_violation_rows,
         "embedding_quality": q_embedding_quality,
         "embedding_dim_means": q_embedding_dim_means,
+        "lm_perplexity": q_lm_perplexity,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -2666,6 +2693,72 @@ SELECT doc_id,
              CAST({_fold13_sql("md5('5|' || t)")} % 64 AS BIGINT) + 1])),
          0) AS DOUBLE) / 1000000.0))), 6) AS clf_score
 FROM documents
+""",
+        # 3-gram stupid-backoff perplexity vs an 'en'-trained model:
+        # per-position scores are BIGINT-count ratios (IEEE division —
+        # bit-identical across engines); ln() rounded to integer
+        # micro-nats BEFORE the exact per-doc BIGINT sum absorbs the
+        # engines' ~1-ulp libm differences; the tercile orders by the
+        # already-rounded perplexity with a doc_id tie-break
+        "lm_perplexity": """
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, lang,
+         toks[i] AS g1,
+         CASE WHEN i >= 2 THEN toks[i-1] || ' ' || toks[i] END AS g2,
+         CASE WHEN i >= 3
+              THEN toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i] END AS g3,
+         CASE WHEN i >= 2 THEN toks[i-1] END AS c2,
+         CASE WHEN i >= 3 THEN toks[i-2] || ' ' || toks[i-1] END AS c3
+  FROM tok, unnest(generate_series(1, len(toks))) AS u(i)
+),
+train AS (SELECT * FROM pos WHERE lang = 'en'),
+cnt AS (
+  SELECT g1 AS gram, count(*) AS cnt FROM train GROUP BY 1
+  UNION ALL SELECT g2, count(*) FROM train WHERE g2 IS NOT NULL GROUP BY 1
+  UNION ALL SELECT g3, count(*) FROM train WHERE g3 IS NOT NULL GROUP BY 1
+),
+n_tot AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM train),
+looked AS (
+  SELECT p.doc_id, p.lang, p.g2, p.g3,
+         a.cnt AS cnt_g1, b.cnt AS cnt_g2, c.cnt AS cnt_g3,
+         d.cnt AS cnt_c2, e.cnt AS cnt_c3
+  FROM pos p
+  LEFT JOIN cnt a ON a.gram = p.g1
+  LEFT JOIN cnt b ON b.gram = p.g2
+  LEFT JOIN cnt c ON c.gram = p.g3
+  LEFT JOIN cnt d ON d.gram = p.c2
+  LEFT JOIN cnt e ON e.gram = p.c3
+),
+s1 AS (SELECT *, CASE WHEN cnt_g1 IS NULL THEN 1.0 / (SELECT N FROM n_tot)
+                      ELSE CAST(cnt_g1 AS DOUBLE) / (SELECT N FROM n_tot)
+                 END AS s_1
+       FROM looked),
+s2 AS (SELECT *, CASE WHEN g2 IS NULL THEN s_1
+                      WHEN cnt_g2 IS NOT NULL AND cnt_c2 IS NOT NULL
+                        THEN CAST(cnt_g2 AS DOUBLE) / CAST(cnt_c2 AS DOUBLE)
+                      ELSE 0.4 * s_1 END AS s_2 FROM s1),
+s3 AS (SELECT *, CASE WHEN g3 IS NULL THEN s_2
+                      WHEN cnt_g3 IS NOT NULL AND cnt_c3 IS NOT NULL
+                        THEN CAST(cnt_g3 AS DOUBLE) / CAST(cnt_c3 AS DOUBLE)
+                      ELSE 0.4 * s_2 END AS s_3 FROM s2),
+per_doc AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(round(ln(s_3) * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS logprob_micro
+  FROM s3 GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_tokens, logprob_micro,
+       round(logprob_micro / 1000000.0 / n_tokens, 6) AS avg_logprob,
+       round(exp(-(logprob_micro / 1000000.0 / n_tokens)), 3) AS perplexity,
+       CAST(ntile(3) OVER (PARTITION BY lang ORDER BY
+            round(exp(-(logprob_micro / 1000000.0 / n_tokens)), 3), doc_id)
+         AS INT) AS ppl_bucket
+FROM per_doc
 """,
         # packed layout materialized to bytes: same span arithmetic as
         # packed_manifest but over length(text), slices string_agg'd in

@@ -13,6 +13,11 @@ from sparkcheck.textstats.analysis import (
     token_stats,
     winnow_near_duplicates,
 )
+from sparkcheck.textstats.lm import (
+    perplexity_buckets,
+    perplexity_scores,
+    train_ngram_counts,
+)
 from sparkcheck.textstats.pii import PII_PATTERNS, pii_redact, pii_stats
 
 __all__ = [
@@ -32,4 +37,7 @@ __all__ = [
     "PII_PATTERNS",
     "pii_stats",
     "pii_redact",
+    "train_ngram_counts",
+    "perplexity_scores",
+    "perplexity_buckets",
 ]

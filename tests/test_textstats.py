@@ -383,3 +383,185 @@ def test_remove_duplicate_spans_persisted_path_identical(spark):
         storage_level=StorageLevel.MEMORY_AND_DISK).collect()))
     assert a == b
     spark.catalog.clearCache()
+
+
+# ----------------------------------------------------- LM perplexity (CCNet)
+
+
+def _sb_mirror(train_texts, n=3, alpha=0.4, min_count=1):
+    """Pure-python stupid-backoff reference (counts + scorer)."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    N = 0
+    for d in train_texts:
+        t = [x for x in d.split(" ") if x]
+        N += len(t)
+        for o in range(1, n + 1):
+            for i in range(o, len(t) + 1):
+                cnt[" ".join(t[i - o : i])] += 1
+    if min_count > 1:
+        cnt = Counter(
+            {g: c for g, c in cnt.items()
+             if " " not in g or c >= min_count}
+        )
+
+    def score(t, i):
+        s = cnt[t[i]] / N if t[i] in cnt else 1.0 / N
+        for o in range(2, n + 1):
+            if i - o + 1 < 0:
+                continue
+            g = " ".join(t[i - o + 1 : i + 1])
+            c = " ".join(t[i - o + 1 : i])
+            if g in cnt and c in cnt:
+                s = cnt[g] / cnt[c]
+            else:
+                s = alpha * s
+        return s
+
+    return cnt, N, score
+
+
+_LM_TRAIN = ["the cat sat on the mat", "the cat ate the fish"]
+
+
+@pytest.fixture(scope="module")
+def lm_counts(spark):
+    from sparkcheck.textstats import train_ngram_counts
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_LM_TRAIN)], ["doc_id", "text"]
+    )
+    return train_ngram_counts(train, n=3)
+
+
+def test_train_ngram_counts_golden(lm_counts):
+    got = {r["gram"]: (r["ord"], r["cnt"]) for r in lm_counts.collect()}
+    mirror, n_tok, _ = _sb_mirror(_LM_TRAIN)
+    assert got == {
+        g: (g.count(" ") + 1, c) for g, c in mirror.items()
+    }
+    assert sum(c for (o, c) in got.values() if o == 1) == n_tok == 11
+
+
+def test_perplexity_scores_match_python_mirror(spark, lm_counts):
+    import math
+
+    from sparkcheck.textstats import perplexity_scores
+    from sparkcheck.textstats.lm import MICRO
+
+    texts = {
+        10: "the cat sat",          # all orders hit
+        11: "the dog sat on the mat",  # OOV mid-doc
+        12: "zebra",                 # single OOV token
+    }
+    score_df = spark.createDataFrame(
+        list(texts.items()) + [(13, ""), (14, None)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in perplexity_scores(score_df, lm_counts, n=3).collect()
+    }
+    # empty / NULL text docs have no positions and are absent
+    assert set(out) == set(texts)
+    _, _, sb = _sb_mirror(_LM_TRAIN)
+    for did, text in texts.items():
+        t = text.split(" ")
+        lp = sum(round(math.log(sb(t, i)) * MICRO) for i in range(len(t)))
+        assert out[did]["n_tokens"] == len(t)
+        assert out[did]["logprob_micro"] == lp
+        avg = lp / MICRO / len(t)
+        assert out[did]["avg_logprob"] == pytest.approx(round(avg, 6))
+        assert out[did]["perplexity"] == pytest.approx(
+            round(math.exp(-avg), 3)
+        )
+    # the OOV-heavy doc must look worse than the in-domain one
+    assert out[11]["perplexity"] > out[10]["perplexity"]
+
+
+def test_min_count_prunes_higher_orders_only(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcheck.textstats import train_ngram_counts
+
+    train = spark.createDataFrame(
+        [(0, "a b a b c")], ["doc_id", "text"]
+    )
+    pruned = train_ngram_counts(train, n=2, min_count=2)
+    got = {r["gram"]: r["cnt"] for r in pruned.collect()}
+    # 'a b' seen twice survives; 'b a' / 'b c' seen once are pruned
+    assert got["a b"] == 2 and "b a" not in got and "b c" not in got
+    # unigrams are NEVER pruned: N stays the true token count
+    n = (
+        pruned.where(F.col("ord") == 1)
+        .agg(F.sum("cnt").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n == 5 and got["c"] == 1
+
+
+def test_pruned_bigram_falls_back_with_alpha(spark):
+    import math
+
+    from sparkcheck.textstats import perplexity_scores, train_ngram_counts
+    from sparkcheck.textstats.lm import MICRO
+
+    train = spark.createDataFrame([(0, "a b a b c")], ["doc_id", "text"])
+    full = train_ngram_counts(train, n=2)
+    pruned = train_ngram_counts(train, n=2, min_count=2)
+    doc = spark.createDataFrame([(1, "b c")], ["doc_id", "text"])
+    lp_full = perplexity_scores(doc, full, n=2).collect()[0]["logprob_micro"]
+    lp_pruned = perplexity_scores(doc, pruned, n=2).collect()[0][
+        "logprob_micro"
+    ]
+    # full: P(b)=2/5, P(c|b)=1/2; pruned: 'b c' gone -> 0.4 * P(c)=0.4/5
+    assert lp_full == round(math.log(2 / 5) * MICRO) + round(
+        math.log(1 / 2) * MICRO
+    )
+    assert lp_pruned == round(math.log(2 / 5) * MICRO) + round(
+        math.log(0.4 * 1 / 5) * MICRO
+    )
+
+
+def test_perplexity_broadcast_plan(spark, lm_counts):
+    from sparkcheck.textstats import perplexity_scores
+
+    doc = spark.createDataFrame([(1, "the cat sat")], ["doc_id", "text"])
+    plan = (
+        perplexity_scores(doc, lm_counts, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # all five count lookups broadcast; nothing falls to a sort-merge join
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_buckets_terciles(spark, lm_counts):
+    from sparkcheck.textstats import perplexity_buckets, perplexity_scores
+
+    rows = [
+        (i, lang, f"w{i % 7} w{(i + 1) % 5} w{(i + 2) % 3}")
+        for i, lang in enumerate(["en"] * 9 + ["fr"] * 6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    scored = perplexity_scores(docs, lm_counts, n=3, keep_cols=("lang",))
+    out = perplexity_buckets(scored, by="lang").collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert sorted(
+        sum(1 for r in by_lang["en"] if r["ppl_bucket"] == b)
+        for b in (1, 2, 3)
+    ) == [3, 3, 3]
+    assert sorted(
+        sum(1 for r in by_lang["fr"] if r["ppl_bucket"] == b)
+        for b in (1, 2, 3)
+    ) == [2, 2, 2]
+    # bucket order follows perplexity order within each lang
+    for rs in by_lang.values():
+        rs.sort(key=lambda r: (r["perplexity"], r["doc_id"]))
+        assert [r["ppl_bucket"] for r in rs] == sorted(
+            r["ppl_bucket"] for r in rs
+        )
