@@ -1450,6 +1450,21 @@ def q_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cap_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-domination cap (sampling.cap_per_group): keep the 10
+    lowest-sampling-hash docs per source — C4-style per-host capping.
+    The Spark plan buckets each group by the hash's first 2 hex digits
+    and drops everything past the cap before any ranking (no mega-group
+    window); the oracle uses the equivalent naive window because the
+    bucketed rank IS the global (hash, id) rank."""
+    from sparkcheck.sampling import cap_per_group
+
+    d = _t(spark, sf, "documents")
+    return cap_per_group(d, "source", 10, seed=7).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style LM quality signal (textstats.lm): a 3-gram
     stupid-backoff model trained on the corpus's 'en' slice (the
@@ -1604,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quality": q_embedding_quality,
         "embedding_dim_means": q_embedding_dim_means,
         "lm_perplexity": q_lm_perplexity,
+        "cap_per_group": q_cap_per_group,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -2276,6 +2292,23 @@ WHERE md5('1|' || CAST(doc_id AS VARCHAR)) <
         "deterministic_sample": """
 SELECT doc_id, source FROM documents
 WHERE md5('7|' || CAST(doc_id AS VARCHAR)) < '59999999999998000000000000000000'
+""",
+        # per-group cap: the oracle ranks naively over the whole group —
+        # provably the same set the Spark bucketed plan keeps, because
+        # bucketing by a hash PREFIX then ordering within buckets is the
+        # global (hash, id) order
+        "cap_per_group": """
+WITH pre AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5('7|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM pre
+)
+SELECT doc_id, source, lang, n_chars FROM ranked WHERE rk <= 10
 """,
         # rates are DERIVED from the data (budget/total), so no static
         # hex threshold exists — both engines fold the first 13 hex

@@ -668,3 +668,90 @@ def assemble_sequences(
             joined.alias("seq_content"),
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Cap every group at ``cap`` rows — the domain-domination control
+    of web-corpus curation (C4 and successors cap documents per host so
+    boilerplate-heavy mega-domains cannot own the training mix). The
+    kept rows are the cap LOWEST sampling hashes ``md5(seed|id)`` per
+    group: exact, deterministic at any parallelism, engine-portable,
+    and stable under re-crawls (a doc already kept stays kept unless
+    cap-many lower-hash docs appear in its group).
+
+    SCALE — the naive ``row_number() OVER (PARTITION BY group)`` ranks
+    EVERY row of a 10^9-doc host on one reducer to keep 10^5. Instead:
+
+      1. bucket each row by the first ``prefix_len`` hex digits of its
+         hash (16^prefix_len ordered sub-buckets; uniform by md5);
+      2. one skew-proof count agg over (group, bucket) — map-side
+         partials, output O(groups * 16^prefix_len);
+      3. a prefix-sum window over that TINY stats frame gives each
+         bucket its number of predecessors ``cum_before``;
+      4. rows join their bucket's stats and everything past the cap
+         (``cum_before >= cap``) drops BEFORE any ranking — a 10^9-row
+         host with cap 10^5 sheds ~all rows here;
+      5. one window over (group, bucket) ranks only the survivors —
+         at most ~cap + group_size/16^prefix_len rows per group, and
+         partitions are 16^prefix_len-times finer than the group.
+
+    Keep rule: ``cum_before + rank <= cap`` — exact for fully-kept
+    buckets (rank never exceeds the bucket count) and for the single
+    boundary bucket. NULL ids and NULL groups are dropped (no stable
+    identity / no group to cap — the samplers' contract).
+
+    The stats join is left to AQE (broadcast when groups are few,
+    shuffle on the composite key — never skewed, buckets split hot
+    groups 16^prefix_len ways)."""
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    if not 1 <= prefix_len <= 8:
+        raise ValueError(f"prefix_len must be in 1..8, got {prefix_len}")
+    clash = {"_cph", "_cpb", "_cpn", "_cp_before"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — rename them "
+            "(cap_per_group stages internal _cp* columns)"
+        )
+    if cap == 0:
+        return df.limit(0)
+    h = _sample_hash(F.col(id_col), seed)
+    pre = df.where(
+        F.col(id_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        "*",
+        h.alias("_cph"),
+        F.substring(h, 1, prefix_len).alias("_cpb"),
+    )
+    stats = pre.groupBy(group_col, "_cpb").agg(
+        F.count(F.lit(1)).alias("_cpn")
+    )
+    before = (
+        Window.partitionBy(group_col)
+        .orderBy("_cpb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stats = stats.select(
+        F.col(group_col).alias("_cpg"),
+        "_cpb",
+        F.coalesce(F.sum("_cpn").over(before), F.lit(0)).alias("_cp_before"),
+    )
+    joined = pre.join(
+        stats,
+        (pre[group_col] == stats["_cpg"]) & (pre["_cpb"] == stats["_cpb"]),
+    ).drop(stats["_cpb"]).drop("_cpg").where(F.col("_cp_before") < cap)
+    rank_w = Window.partitionBy(group_col, "_cpb").orderBy(
+        "_cph", F.col(id_col)
+    )
+    return (
+        joined.withColumn("_cprk", F.row_number().over(rank_w))
+        .where(F.col("_cp_before") + F.col("_cprk") <= cap)
+        .select(*df.columns)
+    )

@@ -430,3 +430,66 @@ def test_select_top_by_budget_threshold_and_boundary(spark):
     assert 0 < n3 < 200  # rate 0.5 sample
     plan = out3._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Sort" not in plan
+
+
+# ------------------------------------------------------- per-group capping
+
+
+def test_cap_per_group_exact_lowest_hashes(spark):
+    import hashlib
+
+    from sparkcheck.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(90)] + [
+        (1000, None),   # NULL group: dropped
+        (None, "g0"),   # NULL id: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = {r["doc_id"] for r in cap_per_group(df, "grp", 5, seed=7).collect()}
+
+    def h(i):
+        return hashlib.md5(f"7|{i}".encode()).hexdigest()
+
+    exp = set()
+    for g in range(3):
+        members = sorted((h(i), i) for i in range(90) if i % 3 == g)
+        exp |= {i for _, i in members[:5]}
+    assert got == exp and len(got) == 15
+
+
+def test_cap_per_group_edge_caps_and_stability(spark):
+    from sparkcheck.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(20)], "doc_id long, grp string"
+    )
+    assert cap_per_group(df, "grp", 0).count() == 0
+    assert cap_per_group(df, "grp", 100).count() == 20
+    # re-crawl stability: a kept doc stays kept when the group shrinks
+    kept_full = {r["doc_id"] for r in cap_per_group(df, "grp", 5).collect()}
+    survivor = sorted(kept_full)[0]
+    shrunk = df.where(f"doc_id = {survivor} or doc_id >= 10")
+    kept_shrunk = {
+        r["doc_id"] for r in cap_per_group(shrunk, "grp", 5).collect()
+    }
+    assert survivor in kept_shrunk
+
+
+def test_cap_per_group_windows_are_bucketed(spark):
+    from sparkcheck.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(50)], "doc_id long, grp string"
+    )
+    plan = (
+        cap_per_group(df, "grp", 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the ranking window must partition by (group, hash-prefix bucket),
+    # never by the bare group — that is the mega-group reducer
+    assert "row_number()" in plan
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_cpb" in line, line
