@@ -1450,6 +1450,22 @@ def q_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding topic clustering (similarity.kmeans): deterministic
+    Lloyd k-means, k=4, 2 iterations, hash-seeded init — the DCLM /
+    FineWeb-style cluster-based-curation step. The ENTIRE training
+    loop is engine-portable (micro-int coordinate grid → exact BIGINT
+    per-dim sums → identical centroids; index-ordered distance folds →
+    identical argmins), so the oracle re-derives fit AND assignment,
+    not just the final map. Assignment is map-only (literal centroid
+    array + array_min argmin); each iteration shuffles only k x dim
+    partial sums."""
+    from sparkcheck.similarity.kmeans import kmeans_cluster
+
+    d = _t(spark, sf, "embeddings")
+    return kmeans_cluster(d, k=4, n_iter=2, seed=3, keep_cols=("label",))
+
+
 def q_cap_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Domain-domination cap (sampling.cap_per_group): keep the 10
     lowest-sampling-hash docs per source — C4-style per-host capping.
@@ -1620,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_means": q_embedding_dim_means,
         "lm_perplexity": q_lm_perplexity,
         "cap_per_group": q_cap_per_group,
+        "kmeans_clusters": q_kmeans_clusters,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -1655,6 +1672,47 @@ def _shingles_cte(name: str, id_expr: str = "doc_id", extra_where: str = "") -> 
   FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
         WHERE text IS NOT NULL{extra_where}) t,
        unnest(generate_series(1, GREATEST(len(arr) - 2, 1))) AS u(i)
+)"""
+
+
+_KM_DIST = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> (CAST(b.m[i] AS DOUBLE) - c.c[i]) * (CAST(b.m[i] AS DOUBLE) - c.c[i])), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _km_assign_cte(name: str, cents: str, final: bool = False) -> str:
+    """One Lloyd assignment as SQL: argmin over the centroid frame via
+    a (dist, cid)-ordered window — list_reduce folds the squared
+    distance in index order, matching Spark's F.aggregate bit-for-bit
+    (the 0.0 initial is an exact identity)."""
+    cols = "b.vec_id, b.label, b.m, c.cid" + (
+        f", {_KM_DIST} AS dist" if final else ""
+    )
+    return f"""{name} AS (
+  SELECT * EXCLUDE (rk) FROM (
+    SELECT {cols},
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_KM_DIST}, c.cid) AS rk
+    FROM base b CROSS JOIN {cents} c) WHERE rk = 1
+)"""
+
+
+def _km_update_cte(s_name: str, c_name: str, a_name: str, prev: str) -> str:
+    """One Lloyd update as SQL: exact BIGINT per-dimension sums, one
+    double division per coordinate; an empty cluster COALESCEs to its
+    previous centroid (same rule as kmeans_fit)."""
+    return f"""{s_name} AS (
+  SELECT cid, i AS d, sum(m[i]) AS s, count(*) AS n
+  FROM {a_name}, unnest(generate_series(1, 64)) AS t(i)
+  GROUP BY 1, 2
+),
+{c_name} AS (
+  SELECT {prev}.cid, COALESCE(nn.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN (
+    SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY d) AS c
+    FROM {s_name} GROUP BY cid) nn USING (cid)
 )"""
 
 
@@ -2309,6 +2367,35 @@ ranked AS (
   FROM pre
 )
 SELECT doc_id, source, lang, n_chars FROM ranked WHERE rk <= 10
+""",
+        # deterministic Lloyd k-means, the WHOLE training loop unrolled
+        # (init -> assign -> update -> assign -> update -> final assign):
+        # micro-int grid makes every per-dim sum an exact BIGINT, every
+        # centroid one double division, every distance an index-ordered
+        # fold — bit-identical to the Spark loop
+        "kmeans_clusters": f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+seeds AS (
+  SELECT m, row_number() OVER (
+           ORDER BY md5('3|' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+  FROM base
+  QUALIFY row_number() OVER (
+           ORDER BY md5('3|' || CAST(vec_id AS VARCHAR)), vec_id) <= 4
+),
+c0 AS (SELECT cid, list_transform(m, x -> CAST(x AS DOUBLE)) AS c FROM seeds),
+{_km_assign_cte("a1", "c0")},
+{_km_update_cte("s1", "c1", "a1", "c0")},
+{_km_assign_cte("a2", "c1")},
+{_km_update_cte("s2", "c2", "a2", "c1")},
+{_km_assign_cte("a3", "c2", final=True)}
+SELECT vec_id, label, CAST(cid AS INT) AS cluster_id,
+       CAST(round(dist) AS BIGINT) AS dist2_micro
+FROM a3
 """,
         # rates are DERIVED from the data (budget/total), so no static
         # hex threshold exists — both engines fold the first 13 hex

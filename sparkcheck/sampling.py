@@ -738,15 +738,18 @@ def cap_per_group(
         .orderBy("_cpb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # fresh names on the stats side: stats derives from pre, so joining
+    # on same-named columns would resolve both sides to ONE attribute
+    # (Spark's trivially-true-predicate trap on self-join lineage)
     stats = stats.select(
         F.col(group_col).alias("_cpg"),
-        "_cpb",
+        F.col("_cpb").alias("_cpb2"),
         F.coalesce(F.sum("_cpn").over(before), F.lit(0)).alias("_cp_before"),
     )
     joined = pre.join(
         stats,
-        (pre[group_col] == stats["_cpg"]) & (pre["_cpb"] == stats["_cpb"]),
-    ).drop(stats["_cpb"]).drop("_cpg").where(F.col("_cp_before") < cap)
+        (F.col(group_col) == F.col("_cpg")) & (F.col("_cpb") == F.col("_cpb2")),
+    ).drop("_cpg", "_cpb2").where(F.col("_cp_before") < cap)
     rank_w = Window.partitionBy(group_col, "_cpb").orderBy(
         "_cph", F.col(id_col)
     )

@@ -1,0 +1,180 @@
+"""Deterministic Lloyd k-means over embedding columns — the
+topic/domain clustering step of cluster-based corpus curation (DCLM /
+FineWeb-style: cluster document embeddings, then inspect, rebalance,
+or filter whole clusters). MLlib's KMeans (similarity/ivf.py's coarse
+quantizer) is seed-deterministic but NOT engine-portable — k-means||
+init and float accumulation order can't be reproduced outside Spark.
+This variant is: every step is exact or order-proof, so a DuckDB
+oracle re-derives the ENTIRE training loop bit-for-bit.
+
+Determinism contract (the same discipline as textstats/classifier.py):
+
+  - coordinates quantize once to integer MICROS (round(x * 1e6) —
+    float→double is exact, the product and round are IEEE-identical
+    everywhere), so per-cluster per-dimension sums are BIGINTs:
+    exact under ANY summation order, which a distributed groupBy
+    cannot otherwise promise;
+  - centroids are sums/count — one double division of exact operands,
+    identical in Python, the JVM and DuckDB;
+  - init is hash-seeded, not RNG: the k vectors with the lowest
+    sampling hash md5(seed|id), ranked (hash, id) — cluster_id is the
+    rank, so even the labels are portable;
+  - squared-distance folds run in index order (F.aggregate here,
+    list_reduce in the oracle): identical rounding, identical doubles,
+    identical argmins (ties break to the lowest cluster_id).
+
+Execution shape: assignment is MAP-ONLY — the k centroids ride the
+plan as a literal array of structs and the argmin is F.array_min over
+it (no crossJoin row blow-up, no shuffle, whole-stage codegen). Each
+Lloyd iteration shuffles only the (k x dim) per-dimension partial sums
+(posexplode + groupBy with map-side combine), and the k x dim stats
+frame is collected to the driver (tiny) to become the next literal.
+At 10^12 docs: fit on a deterministic sample (cap the input with
+sampling.deterministic_sample), then kmeans_assign the full corpus
+map-only — the MLlib path's deployment shape, kept here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MICRO_SCALE = 1_000_000.0
+
+
+def _microize(vec_col: str) -> Column:
+    """array<float|double> → array<bigint> micro-units (exact, engine-
+    portable — see module docstring)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * MICRO_SCALE, 0).cast("bigint"),
+    )
+
+
+def _cent_literal(cents: list[list[float]]) -> Column:
+    """Centroid list → plan-literal array<struct<cid, c: array<double>>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in c]).alias("c"),
+            )
+            for cid, c in enumerate(cents)
+        ]
+    )
+
+
+def _dist2(m_col: Column, cent: Column) -> Column:
+    """Squared euclidean distance in micro units: index-ordered fold of
+    (x - c)^2 — identical rounding in every engine."""
+    return F.aggregate(
+        F.zip_with(
+            m_col, cent, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_expr(cents: list[list[float]], m_col: Column) -> Column:
+    """struct(d, cid) of the nearest centroid — array_min over the
+    literal centroid array compares (distance, cid) lexicographically,
+    so ties break to the lowest cluster id."""
+    scored = F.transform(
+        _cent_literal(cents),
+        lambda c: F.struct(_dist2(m_col, c["c"]).alias("d"), c["cid"].alias("cid")),
+    )
+    return F.array_min(scored)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 3,
+) -> list[list[float]]:
+    """Lloyd iterations; returns the k centroids (micro-unit doubles,
+    cluster_id = list index). Each iteration is one map-only assignment
+    + one (k x dim)-row stats agg collected to the driver; an empty
+    cluster keeps its previous centroid. The driver holds only
+    O(k x dim) floats — never data rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.where(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col).alias("_id"), _microize(vec_col).alias("_m"))
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col("_id").cast("string")))
+    seed_rows = (
+        base.select("_m", h.alias("_h"), "_id")
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"k={k} but only {len(seed_rows)} non-null vectors exist"
+        )
+    cents = [[float(x) for x in r["_m"]] for r in seed_rows]
+    for _ in range(n_iter):
+        assigned = base.select(
+            F.col("_m"), _assign_expr(cents, F.col("_m"))["cid"].alias("_cid")
+        )
+        stats = (
+            assigned.select(
+                "_cid", F.posexplode("_m").alias("_d", "_v")
+            )
+            .groupBy("_cid", "_d")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cid.setdefault(r["_cid"], {})[r["_d"]] = (r["_s"], r["_n"])
+        cents = [
+            [
+                by_cid[cid][d][0] / by_cid[cid][d][1]
+                for d in range(len(cents[cid]))
+            ]
+            if cid in by_cid
+            else cents[cid]  # empty cluster: keep the previous centroid
+            for cid in range(k)
+        ]
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Map-only assignment of every vector to its nearest centroid:
+    (id_col, *keep_cols, cluster_id, dist2_micro) where dist2_micro is
+    the squared distance in micro^2 units rounded to an exact BIGINT
+    (hash-stable). This is the full-corpus step — zero shuffle, fuses
+    into the scan."""
+    best = _assign_expr(cents, _microize(vec_col))
+    return df.where(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        best["cid"].cast("int").alias("cluster_id"),
+        F.round(best["d"], 0).cast("bigint").alias("dist2_micro"),
+    )
+
+
+def kmeans_cluster(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 3,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """fit + assign in one call — the curation entry point."""
+    cents = kmeans_fit(df, k, n_iter, vec_col, id_col, seed)
+    return kmeans_assign(df, cents, vec_col, id_col, keep_cols)

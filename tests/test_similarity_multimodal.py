@@ -337,3 +337,101 @@ def test_jpeg_unsupported_and_malformed_raise():
     sub[sof + 11] = 0x22  # first component h/v factors
     with pytest.raises(MediaDecodeError):
         decode_jpeg(bytes(sub))
+
+
+# ------------------------------------------- deterministic Lloyd k-means
+
+
+def _planted_vectors():
+    """Three tight, well-separated 4-d clusters around distinct corners."""
+    centers = {0: [10.0, 0.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0, 0.0],
+               2: [0.0, 0.0, 10.0, 0.0]}
+    rows = []
+    for i in range(30):
+        c = centers[i % 3]
+        jitter = ((i * 37) % 7 - 3) / 100.0
+        rows.append((i, [v + jitter for v in c], i % 3))
+    return rows
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from sparkcheck.similarity import kmeans_cluster
+
+    df = spark.createDataFrame(
+        _planted_vectors(), "vec_id long, embedding array<double>, label int"
+    )
+    out = kmeans_cluster(df, k=3, n_iter=3, keep_cols=("label",)).collect()
+    # every planted group lands in exactly one k-means cluster
+    mapping = {}
+    for r in out:
+        mapping.setdefault(r["label"], set()).add(r["cluster_id"])
+    assert all(len(cids) == 1 for cids in mapping.values())
+    assert len({next(iter(c)) for c in mapping.values()}) == 3
+
+
+def test_kmeans_deterministic_across_runs_and_parallelism(spark):
+    from sparkcheck.similarity import kmeans_cluster
+
+    df = spark.createDataFrame(
+        _planted_vectors(), "vec_id long, embedding array<double>, label int"
+    )
+    a = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist2_micro"])
+        for r in kmeans_cluster(df, k=3, n_iter=2).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist2_micro"])
+        for r in kmeans_cluster(df.repartition(7), k=3, n_iter=2).collect()
+    )
+    assert a == b
+
+
+def test_kmeans_assign_is_map_only(spark):
+    from sparkcheck.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        _planted_vectors(), "vec_id long, embedding array<double>, label int"
+    )
+    cents = [[10.0e6, 0.0, 0.0, 0.0], [0.0, 10.0e6, 0.0, 0.0]]
+    plan = (
+        kmeans_assign(df, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # literal centroids, array_min argmin
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    import hashlib
+
+    from sparkcheck.similarity.kmeans import kmeans_fit
+
+    # two IDENTICAL vectors whose ids hash lowest become both seeds;
+    # the tie breaks to cluster 0, so cluster 1 is empty from round 1
+    # and must keep its seed centroid verbatim
+    ids = list(range(12))
+    by_hash = sorted(ids, key=lambda i: hashlib.md5(f"3|{i}".encode()).hexdigest())
+    s0, s1 = by_hash[0], by_hash[1]
+    rows = []
+    for i in ids:
+        if i in (s0, s1):
+            rows.append((i, [5.0, 5.0]))
+        else:
+            rows.append((i, [float(i % 3), 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=2, n_iter=2)
+    assert cents[1] == [5.0e6, 5.0e6]
+
+
+def test_kmeans_k_exceeds_rows_raises(spark):
+    import pytest as _pytest
+
+    from sparkcheck.similarity.kmeans import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="only 2"):
+        kmeans_fit(df, k=5)
