@@ -1466,6 +1466,24 @@ def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return kmeans_cluster(d, k=4, n_iter=2, seed=3, keep_cols=("label",))
 
 
+def q_cluster_balanced(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-based curation END TO END: deterministic k-means topic
+    clustering (q_kmeans_clusters' exact loop) then sampling.
+    balance_groups — every cluster capped EXACTLY at the smallest
+    cluster's size by the lowest-sampling-hash rule, so no topic
+    dominates the mix. The oracle re-derives the whole composition:
+    init + 2 Lloyd rounds + final assignment + min-cluster target +
+    per-cluster rank. Driver-side state is O(k) counts only."""
+    from sparkcheck.sampling import balance_groups
+    from sparkcheck.similarity.kmeans import kmeans_cluster
+
+    d = _t(spark, sf, "embeddings")
+    assign = kmeans_cluster(d, k=4, n_iter=2, seed=3, keep_cols=("label",))
+    return balance_groups(
+        assign, "cluster_id", id_col="vec_id", seed=11
+    ).select("vec_id", "label", "cluster_id")
+
+
 def q_cap_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Domain-domination cap (sampling.cap_per_group): keep the 10
     lowest-sampling-hash docs per source — C4-style per-host capping.
@@ -1637,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "cap_per_group": q_cap_per_group,
         "kmeans_clusters": q_kmeans_clusters,
+        "cluster_balanced": q_cluster_balanced,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -1714,6 +1733,30 @@ def _km_update_cte(s_name: str, c_name: str, a_name: str, prev: str) -> str:
     SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY d) AS c
     FROM {s_name} GROUP BY cid) nn USING (cid)
 )"""
+
+
+# the shared k-means pipeline CTE chain (init -> 2 Lloyd rounds ->
+# final assignment in a3) — composed by the kmeans_clusters and
+# cluster_balanced oracles
+_KM_PIPELINE = f"""base AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+seeds AS (
+  SELECT m, row_number() OVER (
+           ORDER BY md5('3|' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+  FROM base
+  QUALIFY row_number() OVER (
+           ORDER BY md5('3|' || CAST(vec_id AS VARCHAR)), vec_id) <= 4
+),
+c0 AS (SELECT cid, list_transform(m, x -> CAST(x AS DOUBLE)) AS c FROM seeds),
+{_km_assign_cte("a1", "c0")},
+{_km_update_cte("s1", "c1", "a1", "c0")},
+{_km_assign_cte("a2", "c1")},
+{_km_update_cte("s2", "c2", "a2", "c1")},
+{_km_assign_cte("a3", "c2", final=True)}"""
 
 
 def _sigs_cte(name: str, src: str) -> str:
@@ -2374,28 +2417,27 @@ SELECT doc_id, source, lang, n_chars FROM ranked WHERE rk <= 10
         # centroid one double division, every distance an index-ordered
         # fold — bit-identical to the Spark loop
         "kmeans_clusters": f"""
-WITH base AS (
-  SELECT vec_id, label,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
-  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-),
-seeds AS (
-  SELECT m, row_number() OVER (
-           ORDER BY md5('3|' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-  FROM base
-  QUALIFY row_number() OVER (
-           ORDER BY md5('3|' || CAST(vec_id AS VARCHAR)), vec_id) <= 4
-),
-c0 AS (SELECT cid, list_transform(m, x -> CAST(x AS DOUBLE)) AS c FROM seeds),
-{_km_assign_cte("a1", "c0")},
-{_km_update_cte("s1", "c1", "a1", "c0")},
-{_km_assign_cte("a2", "c1")},
-{_km_update_cte("s2", "c2", "a2", "c1")},
-{_km_assign_cte("a3", "c2", final=True)}
+WITH {_KM_PIPELINE}
 SELECT vec_id, label, CAST(cid AS INT) AS cluster_id,
        CAST(round(dist) AS BIGINT) AS dist2_micro
 FROM a3
+""",
+        # cluster-based curation end to end: the k-means pipeline above
+        # plus exact equal-size rebalancing — every cluster capped at the
+        # smallest cluster's size by the lowest-sampling-hash rule
+        "cluster_balanced": f"""
+WITH {_KM_PIPELINE},
+target AS (
+  SELECT min(cnt) AS t FROM (SELECT count(*) AS cnt FROM a3 GROUP BY cid)
+),
+ranked AS (
+  SELECT vec_id, label, cid,
+         row_number() OVER (PARTITION BY cid ORDER BY
+           md5('11|' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM a3
+)
+SELECT vec_id, label, CAST(cid AS INT) AS cluster_id
+FROM ranked WHERE rk <= (SELECT t FROM target)
 """,
         # rates are DERIVED from the data (budget/total), so no static
         # hex threshold exists — both engines fold the first 13 hex

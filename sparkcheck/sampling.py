@@ -758,3 +758,37 @@ def cap_per_group(
         .where(F.col("_cp_before") + F.col("_cprk") <= cap)
         .select(*df.columns)
     )
+
+
+def balance_groups(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: int = 11,
+    target: int | None = None,
+) -> DataFrame:
+    """Equal representation across groups — the REBALANCING step of
+    cluster-based curation (after k-means topic clustering, shrink
+    every cluster to the same size so no topic dominates the mix).
+    ``target`` defaults to the smallest group's size, so the output is
+    the largest exactly-balanced corpus the data admits; an explicit
+    target caps at min(target, group size) per group (smaller groups
+    keep everything they have — stated, not silent: the result is then
+    balanced only down to the data).
+
+    One O(groups) count agg picks the target (driver collect of group
+    counts — O(groups), same contract as budget_rates); the selection
+    itself is ``cap_per_group``, so it is EXACT (precisely target rows
+    per group, not a statistical rate), deterministic at any
+    parallelism, re-crawl-stable, and skew-proof."""
+    counts = [
+        int(r[1])
+        for r in df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)))
+        .collect()
+    ]
+    if not counts:
+        return df.limit(0)
+    cap = min(counts) if target is None else min(target, max(counts))
+    return cap_per_group(df, group_col, cap, id_col=id_col, seed=seed)

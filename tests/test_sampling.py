@@ -493,3 +493,21 @@ def test_cap_per_group_windows_are_bucketed(spark):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "_cpb" in line, line
+
+
+def test_balance_groups_exact_equal_sizes(spark):
+    from sparkcheck.sampling import balance_groups
+
+    rows = (
+        [(i, "a") for i in range(30)]
+        + [(100 + i, "b") for i in range(12)]
+        + [(200 + i, "c") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = balance_groups(df, "grp").groupBy("grp").count().collect()
+    assert {r["grp"]: r["count"] for r in out} == {"a": 12, "b": 12, "c": 12}
+    # explicit target: small groups keep what they have
+    out2 = balance_groups(df, "grp", target=15).groupBy("grp").count().collect()
+    assert {r["grp"]: r["count"] for r in out2} == {"a": 15, "b": 12, "c": 15}
+    # empty input
+    assert balance_groups(df.limit(0), "grp").count() == 0
