@@ -253,6 +253,25 @@ def main() -> None:
         spark.catalog.clearCache()
     pipe_sec = round(best, 3)
 
+    # CCNet-style LM perplexity scoring guard: train a pruned 3-gram
+    # stupid-backoff model on a 100k-doc slice, score the 1M-doc table
+    # (the broadcast-join hot path). Best-of-3 — rep 1 pays JIT/codegen
+    # warm-up (measured 49.6 -> 21.7 -> 13.6 s on an idle host).
+    from sparkcheck.textstats.lm import perplexity_scores, train_ngram_counts
+
+    lm_df = spark.read.parquet(webtext_parquet(spark, EXTRACT_N))
+    lm_train = lm_df.where(F.col("doc_id") < EXTRACT_N // 10)
+    lm_best = float("inf")
+    lm_docs = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        lm_counts = train_ngram_counts(lm_train, text_col="text", n=3, min_count=5)
+        lm_docs = perplexity_scores(
+            lm_df, lm_counts, text_col="text", id_col="doc_id", n=3
+        ).count()
+        lm_best = min(lm_best, time.perf_counter() - t0)
+    lm_sec = round(lm_best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -267,6 +286,8 @@ def main() -> None:
                 "dedup_corpus_sec": pipe_sec,
                 "dedup_corpus_docs": pipe_n,
                 "dedup_corpus_survivors": pipe_survivors,
+                "lm_score_sec": lm_sec,
+                "lm_score_docs": lm_docs,
                 # single-thread CPU burn samples (idle floor ~0.65 s):
                 # values well above it mark a degraded host window —
                 # read regressions against these before blaming a plan

@@ -165,8 +165,14 @@ def perplexity_scores(
                 _gram_ending_at(toks, F.col("i") - 1, o - 1).alias(f"c{o}")
             )
             lookup_names.append(f"c{o}")
-    # one explode to O(positions) rows; sequence() is guarded because
-    # Spark's sequence(1, 0) counts DOWN, it is not empty
+    # one explode to O(positions) rows; the exploded row carries the
+    # token array and slices its grams afterwards. (The tempting
+    # alternative — build per-position structs INSIDE the array and
+    # explode those — measured 3-5x SLOWER at 1M docs: materializing
+    # a positions x 5-string struct array per document is one giant
+    # UnsafeArrayData cell per row, while the carried token array is
+    # sliced lazily inside codegen.) sequence() is guarded because
+    # Spark's sequence(1, 0) counts DOWN, it is not empty.
     pos = (
         docs.where(F.col(text_col).isNotNull())
         .select(
@@ -185,9 +191,35 @@ def perplexity_scores(
             *_position_fields(F.col("_toks"), F.col("i"), n),
         )
     )
-    lut = counts.select("gram", "cnt")
+    # each of the 2n-1 joins carries its own aliased select of the
+    # model, so each BroadcastExchange has a DISTINCT subplan and
+    # ReuseExchange cannot dedup them — without materialization the
+    # whole counts aggregation re-runs once per join (measured ~5x the
+    # model-build cost at n=3), plus once more for the token total N.
+    # Broadcast path: the model is broadcast-sized by contract, so
+    # materialize it to a driver-local relation once (eager at call
+    # time, stated) and fold N into a plan literal. Shuffle path (big
+    # models): persist, so the first consumer computes and the rest
+    # read cache.
     if broadcast_counts:
-        lut = F.broadcast(lut)
+        spark = docs.sparkSession
+        rows = counts.select("gram", "ord", "cnt").collect()
+        # exact: BIGINT total < 2^53 holds to ~9e15 training tokens
+        n_literal = float(sum(r["cnt"] for r in rows if r["ord"] == 1))
+        lut = F.broadcast(
+            spark.createDataFrame(
+                [(r["gram"], r["cnt"]) for r in rows],
+                "gram string, cnt bigint",
+            )
+        )
+        pos = pos.withColumn("_N", F.lit(n_literal))
+    else:
+        counts = counts.persist()
+        lut = counts.select("gram", "cnt")
+        n_total = counts.where(F.col("ord") == 1).agg(
+            F.sum("cnt").cast("double").alias("_N")
+        )
+        pos = pos.crossJoin(F.broadcast(n_total))
     for name in lookup_names:
         pos = pos.join(
             lut.select(
@@ -196,10 +228,6 @@ def perplexity_scores(
             on=name,
             how="left",
         )
-    n_total = counts.where(F.col("ord") == 1).agg(
-        F.sum("cnt").cast("double").alias("_N")
-    )
-    pos = pos.crossJoin(F.broadcast(n_total))
     # stupid-backoff fold, order 1 up — see module docstring
     s = F.when(
         F.col("cnt_g1").isNull(), F.lit(1.0) / F.col("_N")
@@ -224,6 +252,15 @@ def perplexity_scores(
         .withColumn("avg_logprob", F.round(avg_lp, 6))
         .withColumn("perplexity", F.round(F.exp(-avg_lp), 3))
     )
+
+
+def _position_field_names(n: int) -> list[str]:
+    out = []
+    for o in range(1, n + 1):
+        out.append(f"g{o}")
+        if o >= 2:
+            out.append(f"c{o}")
+    return out
 
 
 def _position_fields(toks: Column, i: Column, n: int) -> list[Column]:
