@@ -1466,6 +1466,33 @@ def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return kmeans_cluster(d, k=4, n_iter=2, seed=3, keep_cols=("label",))
 
 
+def q_corpus_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test carving (sampling.split_corpus):
+    disjoint hash intervals, exhaustive by construction, and a doc's
+    split NEVER changes as the corpus grows — the property that keeps
+    eval docs out of every future training set. Map-only."""
+    from sparkcheck.sampling import split_corpus
+
+    d = _t(spark, sf, "documents")
+    return split_corpus(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=17
+    ).select("doc_id", "source", "split")
+
+
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted mixing (sampling.temperature_sample, XLM-R
+    style, T=2): rates ∝ sqrt(n_s)/n_s derived from the data, realized
+    with the 52-bit numeric keep rule. The float normalizer's fold
+    order is PINNED (ascending (n, stratum)) so DuckDB re-derives the
+    identical double via an ordered list_reduce."""
+    from sparkcheck.sampling import temperature_sample
+
+    d = _t(spark, sf, "documents")
+    return temperature_sample(
+        d, "source", total_target=300, temperature=2.0, seed=19
+    ).select("doc_id", "source")
+
+
 def q_cluster_balanced(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster-based curation END TO END: deterministic k-means topic
     clustering (q_kmeans_clusters' exact loop) then sampling.
@@ -1656,6 +1683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_balanced": q_cluster_balanced,
+        "corpus_splits": q_corpus_splits,
+        "temperature_mix": q_temperature_mix,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -2421,6 +2450,45 @@ WITH {_KM_PIPELINE}
 SELECT vec_id, label, CAST(cid AS INT) AS cluster_id,
        CAST(round(dist) AS BIGINT) AS dist2_micro
 FROM a3
+""",
+        # disjoint hash intervals; the cumulative thresholds are the
+        # EXACT hex strings the operator's float accumulation produces
+        # (labels in repr-sort order: test, train, val)
+        "corpus_splits": """
+SELECT doc_id, source,
+       CASE WHEN md5('17|' || CAST(doc_id AS VARCHAR))
+                 < '1999999999999a000000000000000000' THEN 'test'
+            WHEN md5('17|' || CAST(doc_id AS VARCHAR))
+                 < 'e6666666666668000000000000000000' THEN 'train'
+            ELSE 'val' END AS split
+FROM documents WHERE doc_id IS NOT NULL
+""",
+        # temperature mixing, T=2: weights are sqrt(n) (IEEE-exact in
+        # every engine, unlike pow(n, 0.5)); the normalizer is an
+        # ORDERED fold over ascending (n, source) — float addition is
+        # order-dependent, so the operator pins the order and the
+        # oracle reproduces it with list_reduce over a sorted list
+        "temperature_mix": f"""
+WITH sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+),
+normv AS (
+  SELECT list_reduce(
+           list(sqrt(CAST(n AS DOUBLE)) ORDER BY n, source),
+           (a, b) -> a + b) AS norm
+  FROM sizes
+),
+rates AS (
+  SELECT source,
+         least(1.0, 300.0 * (sqrt(CAST(n AS DOUBLE))
+                             / (SELECT norm FROM normv))
+                    / CAST(n AS DOUBLE)) AS rate
+  FROM sizes
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE {_hash52_sql(19)} < r.rate * 4503599627370496.0
 """,
         # cluster-based curation end to end: the k-means pipeline above
         # plus exact equal-size rebalancing — every cluster capped at the

@@ -24,6 +24,8 @@ window (see pack_sequences' scale note).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -792,3 +794,113 @@ def balance_groups(
         return df.limit(0)
     cap = min(counts) if target is None else min(target, max(counts))
     return cap_per_group(df, group_col, cap, id_col=id_col, seed=seed)
+
+
+def split_corpus(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 17,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test carving: ``splits`` maps a label to
+    its fraction (must sum to 1 within 1e-9 — a corpus split is a
+    PARTITION, not a family of samples). Each row gets exactly one
+    label by which disjoint interval of [0, 16^32) its sampling hash
+    falls in; interval edges are the cumulative ``hex_threshold``
+    values, label order is the deterministic repr-sort of the keys.
+
+    Two properties the per-split ``deterministic_sample`` calls would
+    NOT give: the splits are disjoint-and-exhaustive by construction
+    (independent samples overlap), and a document's label never changes
+    as the corpus grows (hash intervals are fixed) — the property that
+    keeps eval docs out of every future training set. Map-only; NULL
+    ids are dropped (no stable identity ⇒ no stable split)."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if split_col in df.columns:
+        raise ValueError(f"column {split_col!r} already exists")
+    cum = 0.0
+    expr: Column | None = None
+    h = _sample_hash(F.col(id_col), seed)
+    items = sorted(splits.items(), key=lambda kv: repr(kv[0]))
+    for label, frac in items[:-1]:
+        cum += frac
+        cond = h < F.lit(hex_threshold(cum))
+        expr = (
+            F.when(cond, F.lit(label))
+            if expr is None
+            else expr.when(cond, F.lit(label))
+        )
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.where(F.col(id_col).isNotNull()).withColumn(split_col, expr)
+
+
+def temperature_rates(
+    sizes: dict, total_target: int, temperature: float = 2.0
+) -> dict:
+    """Temperature-weighted mixing rates (XLM-R style, Conneau et al.
+    '19): stratum weights ∝ n_s^(1/T) — T=1 is proportional (big strata
+    dominate), T→∞ is uniform. Rates realize ``total_target`` kept rows
+    in expectation: ``rate_s = min(1, total_target * w_s / n_s)``.
+
+    Engine-portability of the normalizer: Σ n_j^(1/T) is a FLOAT sum,
+    and float addition is order-dependent — a SQL engine's group-sum
+    order is not Python's dict order. The contract therefore pins the
+    fold order: addends are summed in ascending (n_j, stratum-repr)
+    order, which an oracle reproduces with an ORDER BY inside a
+    list_reduce. Over-asked strata cap at 1.0 (the shortfall is NOT
+    redistributed — silent redistribution would corrupt the requested
+    temperature curve; callers see rates and can re-target)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    inv_t = 1.0 / temperature
+    ordered = sorted(sizes.items(), key=lambda kv: (kv[1], repr(kv[0])))
+    # math.sqrt for T=2 (the default): sqrt is IEEE-correctly-rounded
+    # everywhere, while pow(x, 0.5) only usually equals it — the sqrt
+    # form is what keeps the default temperature oracle-exact
+    weights = {
+        s: math.sqrt(n) if inv_t == 0.5 else float(n) ** inv_t
+        for s, n in ordered
+    }
+    norm = 0.0
+    for s, _ in ordered:
+        norm += weights[s]
+    return {
+        s: min(1.0, total_target * (weights[s] / norm) / n) if n > 0 else 0.0
+        for s, n in sizes.items()
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    total_target: int,
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    seed: int = 19,
+) -> DataFrame:
+    """Deterministic temperature mixing: derive per-stratum sizes (one
+    O(strata) agg), convert to ``temperature_rates``, keep via the
+    52-bit numeric compare (rates are data-derived, so no static hex
+    threshold exists — same contract as sample_to_budget). NULL strata
+    are dropped (a mixture definition is exhaustive). Map-only after
+    the one agg."""
+    rows = (
+        df.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    sizes = {r[0]: int(r[1]) for r in rows}
+    if not sizes:
+        return df.limit(0)
+    rates = temperature_rates(sizes, total_target, temperature)
+    thr: Column = F.lit(-1.0)
+    for value, rate in sorted(rates.items(), key=lambda kv: repr(kv[0])):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(rate * 2.0**52)
+        ).otherwise(thr)
+    return df.where(_hash52(F.col(id_col), seed).cast("double") < thr)

@@ -1,6 +1,7 @@
 """sampling.py — deterministic sampling / dataset mixing / sequence
 packing goldens."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparkcheck.sampling import (
@@ -511,3 +512,75 @@ def test_balance_groups_exact_equal_sizes(spark):
     assert {r["grp"]: r["count"] for r in out2} == {"a": 15, "b": 12, "c": 15}
     # empty input
     assert balance_groups(df.limit(0), "grp").count() == 0
+
+
+# ------------------------------------------- splits and temperature mixing
+
+
+def test_split_corpus_partition_properties(spark):
+    from sparkcheck.sampling import split_corpus
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)] + [(None,)], "doc_id long"
+    )
+    out = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    # exhaustive + disjoint: every non-NULL row exactly one label
+    assert len(out) == 2000
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    assert sum(len(v) for v in by.values()) == 2000
+    # proportions within binomial noise (exp 1600, std ~18)
+    assert 1530 < len(by["train"]) < 1670
+    # stability: a doc's split never changes when the corpus grows
+    half = split_corpus(
+        df.where("doc_id < 1000"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    full_map = {r["doc_id"]: r["split"] for r in out}
+    assert all(full_map[r["doc_id"]] == r["split"] for r in half)
+
+
+def test_split_corpus_validation(spark):
+    from sparkcheck.sampling import split_corpus
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError, match="already exists"):
+        split_corpus(
+            df.withColumn("split", F.lit("x")),
+            {"train": 0.5, "val": 0.5},
+        )
+
+
+def test_temperature_rates_curve_and_caps():
+    from sparkcheck.sampling import temperature_rates
+
+    sizes = {"big": 10000, "small": 100}
+    # T=1: proportional — both rates equal target/total
+    r1 = temperature_rates(sizes, 1010, temperature=1.0)
+    assert abs(r1["big"] - 0.1) < 1e-9 and abs(r1["small"] - 0.1) < 1e-9
+    # T=2: the small stratum is up-weighted relative to the big one
+    r2 = temperature_rates(sizes, 1010, temperature=2.0)
+    assert r2["small"] > r2["big"]
+    # over-ask caps at 1.0, never redistributes
+    r3 = temperature_rates(sizes, 10**9, temperature=2.0)
+    assert r3 == {"big": 1.0, "small": 1.0}
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_rates(sizes, 10, temperature=0.0)
+
+
+def test_temperature_sample_realizes_expected_mix(spark):
+    from sparkcheck.sampling import temperature_rates, temperature_sample
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_sample(
+        df, "src", total_target=2000, temperature=2.0, seed=19
+    )
+    got = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    rates = temperature_rates({"big": 9000, "small": 1000}, 2000, 2.0)
+    for s, n in (("big", 9000), ("small", 1000)):
+        exp = rates[s] * n
+        assert abs(got[s] - exp) < 4 * (exp ** 0.5) + 1  # binomial noise
