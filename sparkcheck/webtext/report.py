@@ -28,20 +28,28 @@ def corpus_report(
     id_col: str = "doc_id",
     lang_top_k: int = 10,
     storage_level=None,
+    reference_lm: DataFrame | None = None,
 ) -> dict[str, Any]:
-    """Corpus-quality summary dict (JSON-serializable)."""
+    """Corpus-quality summary dict (JSON-serializable). Pass a
+    ``textstats.lm.train_ngram_counts`` frame as ``reference_lm`` to
+    add the CCNet perplexity family (mean / p50 / p90 vs the trusted
+    corpus — one more pruned scan)."""
     base = df
     if storage_level is not None:
         base = base.persist(storage_level)
     try:
-        return _collect_report(base, text_col, id_col, lang_top_k)
+        return _collect_report(base, text_col, id_col, lang_top_k, reference_lm)
     finally:
         if storage_level is not None:
             base.unpersist()
 
 
 def _collect_report(
-    base: DataFrame, text_col: str, id_col: str, lang_top_k: int
+    base: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_top_k: int,
+    reference_lm: DataFrame | None = None,
 ) -> dict[str, Any]:
     from sparkcheck.dedup import exact_duplicate_groups
     from sparkcheck.textstats import (
@@ -105,7 +113,23 @@ def _collect_report(
     n_null = int(vol["null_text"] or 0)
     n_nonnull = n_docs - n_null
 
+    ppl = None
+    if reference_lm is not None:
+        from sparkcheck.textstats.lm import perplexity_scores
+
+        row = perplexity_scores(base, reference_lm, text_col, id_col).agg(
+            F.round(F.avg("perplexity"), 3).alias("mean"),
+            F.percentile_approx("perplexity", 0.5).alias("p50"),
+            F.percentile_approx("perplexity", 0.9).alias("p90"),
+        ).collect()[0]
+        ppl = {
+            "mean": float(row["mean"] or 0.0),
+            "p50": float(row["p50"] or 0.0),
+            "p90": float(row["p90"] or 0.0),
+        }
+
     return {
+        **({"perplexity": ppl} if ppl is not None else {}),
         "docs": n_docs,
         "null_text": n_null,
         "tokens": {
@@ -156,6 +180,14 @@ def render_corpus_html(report: dict[str, Any], title: str = "corpus report") -> 
         ("repetitive docs", f'{report["repetition"]["repetitive_rate"]:.2%}'),
         ("exact duplicate docs", f'{d["exact_dup_docs"]:,} ({d["exact_dup_rate"]:.2%})'),
     ]
+    if "perplexity" in report:
+        pp = report["perplexity"]
+        rows.append(
+            (
+                "LM perplexity (mean / p50 / p90)",
+                f'{pp["mean"]:.1f} / {pp["p50"]:.1f} / {pp["p90"]:.1f}',
+            )
+        )
     table = "".join(
         f"<tr><td>{_html.escape(k)}</td><td>{_html.escape(v)}</td></tr>"
         for k, v in rows

@@ -345,3 +345,32 @@ def test_host_reputation_verdicts_and_filter(spark):
     plan = filter_by_host_reputation(df, rep)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_corpus_report_with_reference_lm(spark):
+    """Passing a trained LM adds the perplexity family: in-domain docs
+    score lower than an out-of-domain one, and the HTML renders it."""
+    from sparkcheck.textstats.lm import train_ngram_counts
+    from sparkcheck.webtext import corpus_report, render_corpus_html
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog slept") for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog slept on the mat"),
+        (2, "zzz qqq xxx www yyy vvv"),  # out-of-domain
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_ngram_counts(ref, n=3)
+    rep = corpus_report(df, reference_lm=lm)
+    assert set(rep["perplexity"]) == {"mean", "p50", "p90"}
+    assert rep["perplexity"]["p90"] > rep["perplexity"]["p50"] > 0
+    import json
+    json.dumps(rep)
+    doc = render_corpus_html(rep)
+    assert "LM perplexity" in doc
+    # without the LM the family is absent (shape unchanged for old callers)
+    assert "perplexity" not in corpus_report(df)
