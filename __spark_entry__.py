@@ -1466,6 +1466,19 @@ def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return kmeans_cluster(d, k=4, n_iter=2, seed=3, keep_cols=("label",))
 
 
+def q_distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF distinctive terms per source (textstats.analysis.
+    distinctive_terms) — the C4-paper-style 'what is in this source'
+    corpus inspection. tf and df are exact BIGINTs; the one ln() per
+    term is micro-rounded BEFORE multiplying by tf, so tfidf_micro is
+    engine-portable; ranking (score desc, term asc) over the
+    aggregated O(groups x vocab) frame."""
+    from sparkcheck.textstats.analysis import distinctive_terms
+
+    d = _t(spark, sf, "documents")
+    return distinctive_terms(d, "source", top_k=3)
+
+
 def q_corpus_splits(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test carving (sampling.split_corpus):
     disjoint hash intervals, exhaustive by construction, and a doc's
@@ -1685,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced": q_cluster_balanced,
         "corpus_splits": q_corpus_splits,
         "temperature_mix": q_temperature_mix,
+        "distinctive_terms": q_distinctive_terms,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -2450,6 +2464,35 @@ WITH {_KM_PIPELINE}
 SELECT vec_id, label, CAST(cid AS INT) AS cluster_id,
        CAST(round(dist) AS BIGINT) AS dist2_micro
 FROM a3
+""",
+        # TF-IDF distinctive terms: exact BIGINT tf/df, one micro-rounded
+        # ln() per term multiplied by the exact tf — engine-portable score
+        "distinctive_terms": """
+WITH terms AS (
+  SELECT g, doc_id, t AS term FROM (
+    SELECT source AS g, doc_id, unnest(string_split(text, ' ')) AS t
+    FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+  WHERE t <> ''
+),
+nd AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+),
+tf AS (SELECT g, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1
+),
+scored AS (
+  SELECT tf.g AS source, tf.term, tf.tf, d.df,
+         tf.tf * CAST(round(ln((SELECT n FROM nd) / CAST(d.df AS DOUBLE))
+                            * 1000000.0) AS BIGINT) AS tfidf_micro
+  FROM tf JOIN dfreq d USING (term)
+)
+SELECT source, term, tf, df, tfidf_micro, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY tfidf_micro DESC, term ASC) AS rk
+  FROM scored) WHERE rk <= 3
 """,
         # disjoint hash intervals; the cumulative thresholds are the
         # EXACT hex strings the operator's float accumulation produces

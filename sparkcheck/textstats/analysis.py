@@ -21,7 +21,7 @@ shuffle at all; at 10^12 docs it parallelizes linearly with partitions.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 # Marker stopwords per language for the n-gram language-ID heuristic.
 # Deliberately tiny + deterministic; order of dict = tie-break priority.
@@ -626,4 +626,64 @@ def winnow_near_duplicates(
         )
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .where(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """TF-IDF distinctive terms per group — the corpus-inspection tool
+    behind every "what is actually IN this source/domain/cluster"
+    review (the C4-paper-style corpus analysis). Per (group, term):
+
+        score = tf_group * ln(N_docs / df_term)
+
+    with tf_group the term's occurrence count inside the group and
+    df_term its corpus-wide document frequency. Returns the top_k
+    terms per group: (group, term, tf, df, tfidf_micro, rank), ranked
+    by (score desc, term asc). The single ln() per term is rounded to
+    integer micro-units TIMES the exact BIGINT tf, so tfidf_micro is
+    engine-portable (same discipline as textstats.lm).
+
+    Plan: ONE explode feeds both aggregations (tf via groupBy(group,
+    term) with map-side partials; df via groupBy(term) over distinct
+    (doc, term) — the distinct is the one row-level shuffle); the join
+    back is term-keyed (broadcast-able when the vocabulary is, which
+    a pruned/real vocabulary at web scale is after a min-df cut); the
+    ranking window partitions by group over the AGGREGATED frame —
+    O(groups x vocab) rows, never corpus rows."""
+    t = F.col(text_col)
+    terms = df.where(t.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(t)).alias("term"),
+    ).where(F.col("term") != "")
+    n_docs = df.where(t.isNotNull() & F.col(group_col).isNotNull()).count()
+    tf = terms.groupBy("_g", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        terms.select("_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf_micro = F.round(
+        F.log(F.lit(float(n_docs)) / F.col("df").cast("double")) * 1_000_000, 0
+    ).cast("bigint")
+    scored = tf.join(dfreq, on="term").select(
+        F.col("_g").alias(group_col),
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * idf_micro).alias("tfidf_micro"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("tfidf_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
     )

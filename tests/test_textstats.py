@@ -565,3 +565,31 @@ def test_perplexity_buckets_terciles(spark, lm_counts):
         assert [r["ppl_bucket"] for r in rs] == sorted(
             r["ppl_bucket"] for r in rs
         )
+
+
+def test_distinctive_terms_tfidf_golden(spark):
+    import math
+
+    from sparkcheck.textstats.analysis import distinctive_terms
+
+    rows = [
+        (0, "a", "cat cat cat shared"),
+        (1, "a", "cat shared"),
+        (2, "b", "dog dog shared"),
+        (3, "b", "dog shared shared"),
+        (4, None, "noise noise"),   # NULL group dropped
+        (5, "a", None),             # NULL text dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = {
+        (r["src"], r["term"]): (r["tf"], r["df"], r["tfidf_micro"], r["rank"])
+        for r in distinctive_terms(df, "src", top_k=2).collect()
+    }
+    # N = 4 group-and-text docs; df: cat 2, dog 2, shared 4
+    idf_cat = round(math.log(4 / 2) * 1e6)
+    assert out[("a", "cat")] == (4, 2, 4 * idf_cat, 1)
+    assert out[("b", "dog")] == (3, 2, 3 * idf_cat, 1)
+    # ubiquitous term scores exactly zero (ln 1) but still ranks 2nd
+    assert out[("a", "shared")][2] == 0 and out[("a", "shared")][3] == 2
+    assert all(r[3] <= 2 for r in out.values())
+    assert not any(g is None for g, _ in out)
