@@ -461,7 +461,14 @@ def pack_sequences(
     partitions by it, giving per-shard sequence ids — exactly how
     multi-source training data is packed anyway (sequences never mix
     sources). NULL token counts are treated as 0-length (the doc still
-    appears, at the current offset)."""
+    appears, at the current offset).
+
+    Separator/EOS accounting: pipelines that append k separator tokens
+    after each document pack on a derived column —
+    ``df.withColumn("n_eff", F.col(token_col) + k)`` — rather than a
+    dedicated parameter; the offsets then point at each doc's first
+    CONTENT token and the k-token gap before the next doc is the
+    separator's stream space."""
     if budget <= 0:
         raise ValueError(
             f"budget must be a positive token count, got {budget} (a zero "

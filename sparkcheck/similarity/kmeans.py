@@ -149,21 +149,76 @@ def kmeans_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     keep_cols: tuple[str, ...] = (),
+    engine: str = "column",
 ) -> DataFrame:
     """Map-only assignment of every vector to its nearest centroid:
     (id_col, *keep_cols, cluster_id, dist2_micro) where dist2_micro is
     the squared distance in micro^2 units rounded to an exact BIGINT
-    (hash-stable). This is the full-corpus step — zero shuffle, fuses
-    into the scan."""
-    best = _assign_expr(cents, _microize(vec_col))
-    return df.where(
+    (hash-stable). Zero shuffle either way — the engines differ only
+    in who runs the arithmetic:
+
+      - ``"column"`` (default): pure Column expressions — the
+        ORACLE-PARITY path (index-ordered folds, engine-identical
+        doubles). Spark's higher-order functions are interpreted, not
+        codegen'd, so this evaluates ~85k vec/s/32-threads at dim 64.
+      - ``"arrow"``: Arrow-batched numpy (mapInPandas) — one (B x dim)
+        @ (dim x k) matmul per batch, the sanctioned fast path for
+        dense linear algebra (BENCH/KMEANS.md: ~14x). numpy's pairwise
+        summation is NOT the index-ordered fold, so distances can
+        differ in final ULPs; assignments match except on exact
+        distance TIES (argmin takes the lowest cid in both paths, and
+        assignment equality is pytest-pinned on real data) — use
+        "column" where bit-stable dist2_micro matters, "arrow" for the
+        full-corpus pass.
+    """
+    filtered = df.where(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
-    ).select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        best["cid"].cast("int").alias("cluster_id"),
-        F.round(best["d"], 0).cast("bigint").alias("dist2_micro"),
     )
+    if engine == "column":
+        best = _assign_expr(cents, _microize(vec_col))
+        return filtered.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            best["cid"].cast("int").alias("cluster_id"),
+            F.round(best["d"], 0).cast("bigint").alias("dist2_micro"),
+        )
+    if engine != "arrow":
+        raise ValueError(f"engine must be 'column' or 'arrow', got {engine!r}")
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cmat = np.asarray(cents, dtype=np.float64)  # (k, dim)
+    c2 = (cmat * cmat).sum(axis=1)  # (k,)
+    in_cols = [id_col, *keep_cols, vec_col]
+    schema = T.StructType(
+        [filtered.schema[c] for c in (id_col, *keep_cols)]
+        + [
+            T.StructField("cluster_id", T.IntegerType(), False),
+            T.StructField("dist2_micro", T.LongType(), False),
+        ]
+    )
+
+    def assign_batches(it):
+        for pdf in it:
+            x = np.rint(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                * MICRO_SCALE
+            )  # (B, dim) on the micro grid
+            # ||x-c||^2 = x.x + c.c - 2 x.c — one matmul per batch
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                + c2[None, :]
+                - 2.0 * (x @ cmat.T)
+            )  # (B, k)
+            out = pdf[[id_col, *keep_cols]].copy()
+            out["cluster_id"] = d2.argmin(axis=1).astype("int32")
+            out["dist2_micro"] = (
+                np.rint(d2[np.arange(len(x)), out["cluster_id"]])
+                .astype("int64")
+            )
+            yield out
+
+    return filtered.select(*in_cols).mapInPandas(assign_batches, schema)
 
 
 def kmeans_cluster(

@@ -435,3 +435,29 @@ def test_kmeans_k_exceeds_rows_raises(spark):
     )
     with _pytest.raises(ValueError, match="only 2"):
         kmeans_fit(df, k=5)
+
+
+def test_kmeans_assign_arrow_matches_column_engine(spark):
+    from sparkcheck.similarity.kmeans import kmeans_assign, kmeans_fit
+
+    df = spark.createDataFrame(
+        _planted_vectors(), "vec_id long, embedding array<double>, label int"
+    )
+    real = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for frame, k in ((df, 3), (real, 4)):
+        cents = kmeans_fit(frame, k=k, n_iter=2)
+        col = sorted(
+            (r["vec_id"], r["cluster_id"], r["dist2_micro"])
+            for r in kmeans_assign(frame, cents, engine="column").collect()
+        )
+        arrow = sorted(
+            (r["vec_id"], r["cluster_id"], r["dist2_micro"])
+            for r in kmeans_assign(frame, cents, engine="arrow").collect()
+        )
+        assert [c[:2] for c in col] == [a[:2] for a in arrow]  # assignments
+        # dist2_micro agrees too on this data (ULP flips would only show
+        # within half a micro^2 unit of a rounding boundary)
+        assert col == arrow
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="engine"):
+        kmeans_assign(df, [[0.0] * 4], engine="bogus")
