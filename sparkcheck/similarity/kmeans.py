@@ -43,11 +43,40 @@ MICRO_SCALE = 1_000_000.0
 
 def _microize(vec_col: str) -> Column:
     """array<float|double> → array<bigint> micro-units (exact, engine-
-    portable — see module docstring)."""
+    portable — see module docstring). try_cast, not cast: the
+    optimizer infers isnotnull/size constraints from downstream
+    Generates and hoists this transform ABOVE the _valid_vec
+    short-circuit via subexpression elimination, so an ANSI cast would
+    throw on the very NaN rows the filter exists to drop (observed in
+    the executed plan). Valid rows are unaffected — their values are
+    finite — and invalid rows are filtered regardless."""
     return F.transform(
         F.col(vec_col),
-        lambda x: F.round(x.cast("double") * MICRO_SCALE, 0).cast("bigint"),
+        lambda x: F.round(x.cast("double") * MICRO_SCALE, 0).try_cast(
+            "bigint"
+        ),
     )
+
+
+def _valid_vec(vec_col: str, id_col: str, dim: int | None) -> Column:
+    """Rows k-means may consume: non-NULL id and vector, no NaN/NULL
+    elements, and (when the expected dimension is known) exactly dim
+    wide. Without this filter corrupted vectors fail SILENTLY or
+    LOUDLY, both wrongly: a wrong-dim vector zip_withs into NULL
+    distance terms and a NULL distance struct compares LOW in
+    array_min (it would WIN the argmin), while a NaN element makes the
+    ANSI-mode bigint cast throw mid-job. profile/embeddings.py is the
+    reporting view of the same failure modes — this is the execution
+    guard."""
+    v = F.col(vec_col)
+    ok = (
+        F.col(id_col).isNotNull()
+        & v.isNotNull()
+        & ~F.exists(v, lambda x: x.isNull() | F.isnan(x.cast("double")))
+    )
+    if dim is not None:
+        ok = ok & (F.size(v) == dim)
+    return ok
 
 
 def _cent_literal(cents: list[list[float]]) -> Column:
@@ -101,12 +130,33 @@ def kmeans_fit(
     O(k x dim) floats — never data rows."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    base = df.where(
-        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
-    ).select(F.col(id_col).alias("_id"), _microize(vec_col).alias("_m"))
-    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col("_id").cast("string")))
+    h = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    ).alias("_h")
+    # the corpus dimension is whatever the lowest-hash valid vector has;
+    # rows of any OTHER width are dropped before seeding and fitting —
+    # mixed widths would zip_with into NULL distance terms, and a NULL
+    # distance struct compares LOW in array_min (it would WIN argmins).
+    # Both the validity and the width predicate test the RAW vector
+    # column: a predicate over the microized projection can be
+    # reordered ahead of the validity filter and force the ANSI bigint
+    # cast on a NaN row.
+    first = (
+        df.where(_valid_vec(vec_col, id_col, None))
+        .select(F.size(vec_col).alias("_dim"), h, F.col(id_col))
+        .orderBy("_h", id_col)
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError(f"k={k} but only 0 non-null vectors exist")
+    dim = int(first[0]["_dim"])
+    base = df.where(_valid_vec(vec_col, id_col, dim)).select(
+        F.col(id_col).alias("_id"), _microize(vec_col).alias("_m")
+    )
+    hb = F.md5(F.concat(F.lit(f"{seed}|"), F.col("_id").cast("string")))
     seed_rows = (
-        base.select("_m", h.alias("_h"), "_id")
+        base.select("_m", hb.alias("_h"), "_id")
         .orderBy("_h", "_id")
         .limit(k)
         .collect()
@@ -171,9 +221,7 @@ def kmeans_assign(
         "column" where bit-stable dist2_micro matters, "arrow" for the
         full-corpus pass.
     """
-    filtered = df.where(
-        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
-    )
+    filtered = df.where(_valid_vec(vec_col, id_col, len(cents[0])))
     if engine == "column":
         best = _assign_expr(cents, _microize(vec_col))
         return filtered.select(

@@ -461,3 +461,33 @@ def test_kmeans_assign_arrow_matches_column_engine(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="engine"):
         kmeans_assign(df, [[0.0] * 4], engine="bogus")
+
+
+def test_kmeans_drops_corrupted_vectors(spark):
+    """NaN elements, NULL elements, and wrong-dim vectors must be
+    EXCLUDED, not silently win argmins (a NULL distance struct compares
+    low in array_min) or throw in the ANSI bigint cast."""
+    from sparkcheck.similarity.kmeans import kmeans_assign, kmeans_fit
+
+    good = _planted_vectors()
+    bad = [
+        (100, [float("nan"), 0.0, 0.0, 0.0], 0),
+        (101, [1.0, None, 0.0, 0.0], 0),
+        (102, [1.0, 2.0], 0),                      # wrong dim
+        (103, None, 0),
+    ]
+    df = spark.createDataFrame(
+        good + bad, "vec_id long, embedding array<double>, label int"
+    )
+    cents = kmeans_fit(df, k=3, n_iter=2)
+    clean_cents = kmeans_fit(
+        spark.createDataFrame(
+            good, "vec_id long, embedding array<double>, label int"
+        ),
+        k=3,
+        n_iter=2,
+    )
+    assert cents == clean_cents  # corrupted rows never reached the fit
+    for engine in ("column", "arrow"):
+        out = kmeans_assign(df, cents, engine=engine).collect()
+        assert {r["vec_id"] for r in out} == {r[0] for r in good}
