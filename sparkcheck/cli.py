@@ -73,6 +73,73 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end corpus curation (the training-data pipeline this
+    package's operator families compose into): dedup (URL → exact →
+    LSH near-dup → keep-best) → Gopher quality filter → seeded global
+    shuffle → sequence packing, written as parquet with every doc's
+    training-layout coordinates (shard_id, shard_pos, seq_id,
+    seq_offset). Each stage is the library's own oracle-checked
+    operator; this command is the spark-submit composition of them."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.dedup import dedup_corpus
+    from sparkcheck.sampling import deterministic_shuffle, pack_sequences
+    from sparkcheck.textstats import gopher_quality_flags, token_stats
+
+    spark = _spark(args.cpus)
+    df = spark.read.parquet(args.table)
+    n_in = df.count()
+
+    stage = df
+    if not args.no_dedup:
+        stage = dedup_corpus(
+            stage,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            url_col=args.url_col,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    n_dedup = stage.count()
+
+    if not args.no_quality:
+        keep = gopher_quality_flags(
+            stage, args.text_col, args.id_col
+        ).where(F.col("keep") == 1).select(args.id_col)
+        stage = stage.join(keep, on=args.id_col, how="semi")
+    n_quality = stage.count()
+
+    toks = token_stats(stage, args.text_col, args.id_col).select(
+        args.id_col, "n_tokens"
+    )
+    stage = stage.join(toks, on=args.id_col)
+    shuffled = deterministic_shuffle(
+        stage, num_shards=args.shards, id_col=args.id_col, seed=args.seed
+    )
+    packed = pack_sequences(
+        shuffled, "n_tokens", args.seq_len,
+        id_col="shard_pos", shard_col="shard_id",
+    )
+    packed.write.mode("overwrite").parquet(args.out)
+
+    out_df = spark.read.parquet(args.out)
+    summary = {
+        "input_docs": n_in,
+        "after_dedup": n_dedup,
+        "after_quality": n_quality,
+        "packed_docs": out_df.count(),
+        "sequences": out_df.select(
+            "shard_id", "seq_id"
+        ).distinct().count(),
+        "tokens": int(
+            out_df.agg(F.sum("n_tokens")).collect()[0][0] or 0
+        ),
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from sparkcheck.io.config import load_ruleset_yaml
     from sparkcheck.io.sinks import write_report_json
@@ -407,6 +474,24 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--out", required=True)
     cr.add_argument("--html", default=None, help="also render the report page")
     cr.set_defaults(fn=cmd_corpus)
+
+    cu = sub.add_parser(
+        "curate",
+        help="dedup → quality-filter → shuffle → pack a corpus to parquet",
+    )
+    cu.add_argument("--table", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--url-col", default=None)
+    cu.add_argument("--shards", type=int, default=64)
+    cu.add_argument("--seq-len", type=int, default=2048)
+    cu.add_argument("--seed", type=int, default=1)
+    cu.add_argument("--no-dedup", action="store_true")
+    cu.add_argument("--no-quality", action="store_true")
+    cu.add_argument("--checkpoint-dir", default=None,
+                    help="dedup stage checkpoints (resume after a kill)")
+    cu.set_defaults(fn=cmd_curate)
 
     v = sub.add_parser("validate", help="run a YAML rule suite")
     v.add_argument("--table", required=True)

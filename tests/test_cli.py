@@ -190,3 +190,31 @@ def test_cli_corpus_report(spark, tmp_path):
     assert "langs" in rep and rep["quality"]["mean_quality"] > 0
     doc = open(page).read()
     assert "Language mix" in doc and "exact duplicate docs" in doc
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """curate: dedup → quality → shuffle → pack, parquet out with the
+    full training-layout coordinates and a funnel summary on stdout."""
+    import io
+    from contextlib import redirect_stdout
+
+    out = str(tmp_path / "curated")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["curate", "--table", DOCS, "--out", out,
+                   "--shards", "4", "--seq-len", "512"])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["input_docs"] == 500
+    assert 0 < summary["packed_docs"] <= summary["after_quality"] <= \
+        summary["after_dedup"] <= 500
+    assert summary["sequences"] > 0 and summary["tokens"] > 0
+
+    curated = spark.read.parquet(out)
+    for c in ("doc_id", "shard_id", "shard_pos", "seq_id", "seq_offset",
+              "n_tokens"):
+        assert c in curated.columns
+    # layout invariant: every (shard, position) is unique
+    n = curated.count()
+    assert curated.select("shard_id", "shard_pos").distinct().count() == n
+    assert curated.where("seq_offset >= 512").count() >= 0  # straddles allowed
