@@ -584,3 +584,50 @@ def test_temperature_sample_realizes_expected_mix(spark):
     for s, n in (("big", 9000), ("small", 1000)):
         exp = rates[s] * n
         assert abs(got[s] - exp) < 4 * (exp ** 0.5) + 1  # binomial noise
+
+
+# ----------------------------------------- property: cap_per_group vs mirror
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40),
+                   min_size=1, max_size=4),
+    cap=st.integers(min_value=0, max_value=12),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_cap_per_group_matches_python_mirror(spark, sizes, cap, seed):
+    """Random group sizes x caps x seeds: the bucketed plan keeps
+    exactly the cap lowest (md5, id) rows per group — including the
+    boundary-bucket arithmetic the golden test exercises only once."""
+    import hashlib
+
+    from sparkcheck.sampling import cap_per_group
+
+    rows, nid = [], 0
+    for g, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((nid, f"g{g}"))
+            nid += 1
+    if not rows:
+        rows = [(0, "g0")]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = {
+        r["doc_id"]
+        for r in cap_per_group(df, "grp", cap, seed=seed).collect()
+    }
+    exp = set()
+    by_g: dict = {}
+    for i, g in rows:
+        by_g.setdefault(g, []).append(i)
+    for g, ids in by_g.items():
+        ranked = sorted(
+            (hashlib.md5(f"{seed}|{i}".encode()).hexdigest(), i) for i in ids
+        )
+        exp |= {i for _, i in ranked[:cap]}
+    assert got == exp
