@@ -206,6 +206,14 @@ def perplexity_scores(
         rows = counts.select("gram", "ord", "cnt").collect()
         # exact: BIGINT total < 2^53 holds to ~9e15 training tokens
         n_literal = float(sum(r["cnt"] for r in rows if r["ord"] == 1))
+        if n_literal == 0.0:
+            # an empty model would make the OOV floor 1/N infinite and
+            # fail mid-job as a cryptic DIVIDE_BY_ZERO / cast overflow —
+            # fail at call time with the actual cause instead
+            raise ValueError(
+                "the n-gram model is empty (no unigrams) — train it on a "
+                "corpus with at least one non-empty document"
+            )
         lut = F.broadcast(
             spark.createDataFrame(
                 [(r["gram"], r["cnt"]) for r in rows],

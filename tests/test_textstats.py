@@ -593,3 +593,13 @@ def test_distinctive_terms_tfidf_golden(spark):
     assert out[("a", "shared")][2] == 0 and out[("a", "shared")][3] == 2
     assert all(r[3] <= 2 for r in out.values())
     assert not any(g is None for g, _ in out)
+
+
+def test_perplexity_empty_model_fails_at_call_time(spark):
+    from sparkcheck.textstats import perplexity_scores, train_ngram_counts
+
+    empty = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    counts = train_ngram_counts(empty, n=2)
+    doc = spark.createDataFrame([(2, "hello world")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="empty"):
+        perplexity_scores(doc, counts, n=2)
