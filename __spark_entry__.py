@@ -1479,6 +1479,17 @@ def q_distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
     return distinctive_terms(d, "source", top_k=3)
 
 
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (textstats.analysis.
+    chunk_documents): max 16 tokens, overlap 4 — context-window
+    enforcement / RAG chunking. Map-only (sequence + transform + one
+    explode); exact integer window arithmetic mirrored in SQL."""
+    from sparkcheck.textstats.analysis import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, max_tokens=16, overlap=4)
+
+
 def q_corpus_splits(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test carving (sampling.split_corpus):
     disjoint hash intervals, exhaustive by construction, and a doc's
@@ -1699,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_splits": q_corpus_splits,
         "temperature_mix": q_temperature_mix,
         "distinctive_terms": q_distinctive_terms,
+        "doc_chunks": q_doc_chunks,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -2464,6 +2476,25 @@ WITH {_KM_PIPELINE}
 SELECT vec_id, label, CAST(cid AS INT) AS cluster_id,
        CAST(round(dist) AS BIGINT) AS dist2_micro
 FROM a3
+""",
+        # overlapping token windows, max 16 / overlap 4 (stride 12);
+        # DuckDB list[a:b] is 1-based inclusive-end == Spark slice(a, len)
+        "doc_chunks": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+meta AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 16 THEN 1
+              ELSE 1 + CAST(floor((len(toks) - 16 + 11) / 12.0) AS INT)
+         END AS n_chunks
+  FROM tok WHERE len(toks) >= 1
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(len(toks[i * 12 + 1 : i * 12 + 16]) AS INT) AS n_chunk_tokens,
+       array_to_string(toks[i * 12 + 1 : i * 12 + 16], ' ') AS chunk_text
+FROM meta, unnest(generate_series(0, n_chunks - 1)) AS u(i)
 """,
         # TF-IDF distinctive terms: exact BIGINT tf/df, one micro-rounded
         # ln() per term multiplied by the exact tf — engine-portable score

@@ -687,3 +687,65 @@ def distinctive_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into overlapping token windows — the
+    long-document step between cleaning and packing (context-window
+    enforcement for pretraining; retrieval chunking for RAG corpora).
+    One row per (doc, chunk): (id_col, chunk_id, n_chunk_tokens,
+    chunk_text), whitespace-token windows of ``max_tokens`` with
+    stride ``max_tokens - overlap``:
+
+        n <= max_tokens          -> 1 chunk (the whole doc)
+        otherwise                -> 1 + ceil((n - max_tokens)/stride)
+
+    so the final chunk always contains at least one token the previous
+    chunk did not (no pure-suffix duplicate chunks), and every token
+    appears in at least one chunk. Empty/NULL docs produce no rows.
+    Map-only: sequence + transform + ONE explode, all codegen'd; at
+    corpus scale output rows ~ total_tokens/stride per doc with zero
+    shuffle."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    stride = max_tokens - overlap
+    t = F.col(text_col)
+    toks = F.filter(_tokens(t), lambda x: x != "")
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        # ceil((n - max_tokens)/stride) in exact integer arithmetic
+        F.lit(1)
+        + F.floor((n - max_tokens + stride - 1) / F.lit(stride)).cast("int")
+    )
+    chunk = F.explode(
+        F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_id"),
+                    F.slice(toks, i * stride + 1, max_tokens).alias("_w"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<chunk_id:int,_w:array<string>>>"))
+    )
+    return (
+        df.where(t.isNotNull())
+        .select(F.col(id_col), chunk.alias("_c"))
+        .select(
+            F.col(id_col),
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.size("_c._w").alias("n_chunk_tokens"),
+            F.array_join("_c._w", " ").alias("chunk_text"),
+        )
+    )

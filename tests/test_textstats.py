@@ -603,3 +603,48 @@ def test_perplexity_empty_model_fails_at_call_time(spark):
     doc = spark.createDataFrame([(2, "hello world")], "doc_id int, text string")
     with pytest.raises(ValueError, match="empty"):
         perplexity_scores(doc, counts, n=2)
+
+
+def test_chunk_documents_windows_and_coverage(spark):
+    from sparkcheck.textstats.analysis import chunk_documents
+
+    rows = [
+        (0, "a b c d e f g h i j"),  # 10 tokens
+        (1, "x y"),                  # shorter than the window
+        (2, ""),                     # empty: no chunks
+        (3, None),                   # NULL: no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=4, overlap=1).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert set(by) == {0, 1}
+    # starts 0, 3, 6 (stride 3): every token covered, final chunk has
+    # new content (no pure-suffix duplicate)
+    chunks = sorted(
+        (r["chunk_id"], r["chunk_text"]) for r in by[0]
+    )
+    assert chunks == [(0, "a b c d"), (1, "d e f g"), (2, "g h i j")]
+    assert all(r["n_chunk_tokens"] == len(r["chunk_text"].split()) for r in out)
+    assert by[1] == [by[1][0]] and by[1][0]["chunk_text"] == "x y"
+
+    # coverage property on a longer doc: concatenated non-overlap
+    # prefixes reproduce the original token stream
+    long = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(53)))], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["chunk_id"], r["chunk_text"].split())
+        for r in chunk_documents(long, max_tokens=8, overlap=3).collect()
+    )
+    stream = []
+    for cid, toks in got:
+        stream.extend(toks if cid == 0 else toks[3:])
+    assert stream == [f"t{i}" for i in range(53)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=4, overlap=4)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, max_tokens=0)
