@@ -127,6 +127,12 @@ def main() -> None:
         "start": round(cpu_calibration(), 3),
         "start_mt8": round(cpu_calibration_mt(), 3),
     }
+    # load average at start — the 1-second calibration slices miss a
+    # bursty co-tenant between them (measured: idle-floor calibrations
+    # bracketing an 11x-degraded suite), but the kernel's 1/5/15-min
+    # averages do not; recorded again at the end (BENCH/NOISE.md
+    # round-6 event)
+    loadavg = {"start": [round(x, 2) for x in os.getloadavg()]}
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -292,6 +298,10 @@ def main() -> None:
                 # values well above it mark a degraded host window —
                 # read regressions against these before blaming a plan
                 "cpu_calibration_sec": calib,
+                "loadavg_1_5_15": {
+                    **loadavg,
+                    "end": [round(x, 2) for x in os.getloadavg()],
+                },
                 "cpus": int(cpus),
             }
         )
