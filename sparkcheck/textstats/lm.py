@@ -288,12 +288,44 @@ def perplexity_buckets(
     ppl_col: str = "perplexity",
     id_col: str = "doc_id",
     buckets: int = 3,
+    method: str = "ntile",
 ) -> DataFrame:
-    """CCNet's head/middle/tail assignment: ntile(buckets) over each
-    ``by`` partition ordered by (perplexity, id) — the id tie-break
-    makes the split deterministic. Adds ``ppl_bucket`` (1 = head =
-    lowest perplexity = most reference-like). One sort per partition
-    group; at scale Spark range-partitions the window, and the
-    per-language groups of a real corpus are independent sorts."""
-    w = Window.partitionBy(by).orderBy(F.col(ppl_col).asc(), F.col(id_col).asc())
-    return scored.withColumn("ppl_bucket", F.ntile(buckets).over(w))
+    """CCNet's head/middle/tail assignment — adds ``ppl_bucket``
+    (1 = head = lowest perplexity = most reference-like). Two methods,
+    same contract, different scale ceilings:
+
+      - ``"ntile"`` (default): ntile(buckets) over each ``by``
+        partition ordered by (perplexity, id) — EXACTLY equal bucket
+        counts, deterministic via the id tie-break, and the oracle-
+        parity form. Scale ceiling: Window.partitionBy(lang) sends a
+        language's ENTIRE row set to one reducer — fine per corpus
+        slice, wrong for 10^11 'en' rows.
+      - ``"threshold"``: per-group approx-percentile boundaries (one
+        agg with map-side partials, O(groups x buckets) rows) joined
+        back broadcast, bucket = a CASE over the thresholds —
+        map-only on the corpus, no per-group reducer. Bucket counts
+        are equal only up to percentile-estimation error and ties at
+        the boundaries (CCNet itself cuts at fixed thresholds).
+    """
+    if method == "ntile":
+        w = Window.partitionBy(by).orderBy(
+            F.col(ppl_col).asc(), F.col(id_col).asc()
+        )
+        return scored.withColumn("ppl_bucket", F.ntile(buckets).over(w))
+    if method != "threshold":
+        raise ValueError(
+            f"method must be 'ntile' or 'threshold', got {method!r}"
+        )
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = scored.groupBy(by).agg(
+        F.percentile_approx(ppl_col, qs).alias("_ppl_bounds")
+    )
+    joined = scored.join(F.broadcast(bounds), on=by)
+    bucket = F.lit(1)
+    for i in range(len(qs)):
+        bucket = F.when(
+            F.col(ppl_col) > F.element_at("_ppl_bounds", i + 1), F.lit(i + 2)
+        ).otherwise(bucket)
+    return joined.withColumn(
+        "ppl_bucket", bucket.cast("int")
+    ).drop("_ppl_bounds")

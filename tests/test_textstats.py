@@ -648,3 +648,49 @@ def test_chunk_documents_windows_and_coverage(spark):
         chunk_documents(df, max_tokens=4, overlap=4)
     with _pytest.raises(ValueError, match="max_tokens"):
         chunk_documents(df, max_tokens=0)
+
+
+def test_perplexity_buckets_threshold_mode_scales_without_group_sort(spark, lm_counts):
+    from pyspark.sql import functions as F
+
+    from sparkcheck.textstats import perplexity_buckets, perplexity_scores
+
+    # vary both composition and length so perplexities take many
+    # distinct values — threshold cuts on heavily-tied scores can
+    # legitimately empty a middle bucket (documented semantics)
+    rows = [
+        (
+            i,
+            "en",
+            " ".join(
+                (["the", "cat", "sat"] * (i % 5 + 1))[: 3 + i % 17]
+                + [f"w{j % (2 + i % 7)}" for j in range(i % 11)]
+            ),
+        )
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    scored = perplexity_scores(docs, lm_counts, n=3, keep_cols=("lang",))
+    out = perplexity_buckets(scored, by="lang", method="threshold").collect()
+    sizes = {b: sum(1 for r in out if r["ppl_bucket"] == b) for b in (1, 2, 3)}
+    assert set(sizes) == {1, 2, 3} and all(v > 0 for v in sizes.values())
+    # monotone: every head doc scores <= every tail doc
+    head_max = max(r["perplexity"] for r in out if r["ppl_bucket"] == 1)
+    tail_min = min(r["perplexity"] for r in out if r["ppl_bucket"] == 3)
+    assert head_max <= tail_min
+    # no per-group sort: the plan must not contain a window at all
+    plan = (
+        perplexity_buckets(scored, by="lang", method="threshold")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # no Window physical operator (the ntile path's per-group sort);
+    # bare substring checks trip on 'perceNTILE_approx'
+    assert not re.search(r"\bWindow\s*\[", plan)
+    assert "ntile(" not in plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        perplexity_buckets(scored, method="median")
