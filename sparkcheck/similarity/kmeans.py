@@ -281,3 +281,16 @@ def kmeans_cluster(
     """fit + assign in one call — the curation entry point."""
     cents = kmeans_fit(df, k, n_iter, vec_col, id_col, seed)
     return kmeans_assign(df, cents, vec_col, id_col, keep_cols)
+
+
+def centroids_frame(spark, cents: list[list[float]]) -> "DataFrame":
+    """kmeans_fit output → the (centroid_id, centroid) frame
+    similarity.ivf.ivf_topk consumes as its coarse quantizer — the
+    deterministic replacement for the MLlib-trained train_centroids.
+    The micro-unit scale is irrelevant to IVF: its assignment and
+    search are cosine, which is scale-invariant, so micro-grid
+    centroids bucket vectors exactly like unit-scale ones."""
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )

@@ -635,6 +635,7 @@ def distinctive_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 5,
+    min_df: int = 1,
 ) -> DataFrame:
     """TF-IDF distinctive terms per group — the corpus-inspection tool
     behind every "what is actually IN this source/domain/cluster"
@@ -670,6 +671,12 @@ def distinctive_terms(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+    if min_df > 1:
+        # web-scale vocabulary cut: hapaxes and typos dominate raw
+        # vocabularies; pruning them bounds the join side (and is what
+        # makes it broadcast-able). Pruned terms simply drop out of the
+        # ranking — tf joins dfreq on the inner side.
+        dfreq = dfreq.where(F.col("df") >= min_df)
     idf_micro = F.round(
         F.log(F.lit(float(n_docs)) / F.col("df").cast("double")) * 1_000_000, 0
     ).cast("bigint")

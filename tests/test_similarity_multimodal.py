@@ -491,3 +491,30 @@ def test_kmeans_drops_corrupted_vectors(spark):
     for engine in ("column", "arrow"):
         out = kmeans_assign(df, cents, engine=engine).collect()
         assert {r["vec_id"] for r in out} == {r[0] for r in good}
+
+
+def test_ivf_with_deterministic_kmeans_quantizer(spark):
+    """The deterministic Lloyd fit drops in as IVF's coarse quantizer
+    (micro-unit centroids are fine — cosine is scale-invariant):
+    recall vs brute force stays high on the real embeddings table."""
+    from sparkcheck.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+        kmeans_fit,
+    )
+    from sparkcheck.similarity.kmeans import centroids_frame
+
+    corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = corpus.where("vec_id < 10")
+    cents = centroids_frame(spark, kmeans_fit(corpus, k=8, n_iter=2))
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(corpus, queries, cents, k=5, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall

@@ -694,3 +694,12 @@ def test_perplexity_buckets_threshold_mode_scales_without_group_sort(spark, lm_c
     import pytest as _pytest
     with _pytest.raises(ValueError, match="method"):
         perplexity_buckets(scored, method="median")
+
+
+def test_distinctive_terms_min_df_prunes_hapaxes(spark):
+    from sparkcheck.textstats.analysis import distinctive_terms
+
+    rows = [(0, "a", "rare cat cat"), (1, "a", "cat dog"), (2, "b", "dog")]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = {r["term"] for r in distinctive_terms(df, "src", min_df=2).collect()}
+    assert "rare" not in out and "cat" in out and "dog" in out
