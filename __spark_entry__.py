@@ -1479,6 +1479,29 @@ def q_distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
     return distinctive_terms(d, "source", top_k=3)
 
 
+def q_nb_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """The model-based quality filter TRAINED in-engine
+    (textstats.classifier.train_nb_classifier): multinomial Naive
+    Bayes on the hashed unigram buckets, label = (lang = 'en'),
+    then classifier_score inference with the trained weights.
+    Counts are exact BIGINTs (one O(dim) groupBy); weights and bias
+    are micro-quantized before use, so DuckDB re-derives TRAINING and
+    INFERENCE in one statement."""
+    from sparkcheck.textstats.classifier import (
+        classifier_score,
+        train_nb_classifier,
+    )
+
+    d = _t(spark, sf, "documents")
+    labeled = d.withColumn("_y", (F.col("lang") == "en").cast("int"))
+    w, b = train_nb_classifier(
+        labeled, "_y", dim=64, bigrams=False, seed=5
+    )
+    return classifier_score(
+        d.where(F.col("text").isNotNull()), w, bias=b, bigrams=False, seed=5
+    ).select("doc_id", F.round("clf_score", 6).alias("clf_score"))
+
+
 def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Overlapping token-window chunking (textstats.analysis.
     chunk_documents): max 16 tokens, overlap 4 — context-window
@@ -1711,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "distinctive_terms": q_distinctive_terms,
         "doc_chunks": q_doc_chunks,
+        "nb_classifier_scores": q_nb_classifier,
     }
     return dict(
         sorted(base.items(), key=lambda kv: _LAST_DRIVER_CHECKED.get(kv[0], 0))
@@ -2476,6 +2500,62 @@ WITH {_KM_PIPELINE}
 SELECT vec_id, label, CAST(cid AS INT) AS cluster_id,
        CAST(round(dist) AS BIGINT) AS dist2_micro
 FROM a3
+""",
+        # Naive-Bayes TRAINING + inference in one statement: exact
+        # BIGINT bucket counts, micro-rounded ln() weights and bias
+        # (the same quantization the Spark trainer applies), then the
+        # joined-weights scoring shape with an exact BIGINT per-doc sum
+        "nb_classifier_scores": f"""
+WITH base AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+  FROM documents
+),
+prior AS (
+  SELECT CAST(sum(y) AS DOUBLE) AS np, CAST(sum(1 - y) AS DOUBLE) AS nn
+  FROM base
+),
+terms AS (
+  SELECT y, doc_id,
+         CAST({_fold13_sql("md5('5|' || t)")} % 64 AS BIGINT) AS b
+  FROM (SELECT y, doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS t
+        FROM base WHERE text IS NOT NULL)
+),
+cnt AS (
+  SELECT b, CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM terms GROUP BY b
+),
+tots AS (
+  SELECT CAST(COALESCE(sum(pos), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(sum(neg), 0) AS BIGINT) AS tn
+  FROM cnt
+),
+wts AS (
+  SELECT g.b,
+         CAST(round((ln((COALESCE(cnt.pos, 0) + 1.0)
+                        / ((SELECT tp FROM tots) + 1.0 * 64))
+                     - ln((COALESCE(cnt.neg, 0) + 1.0)
+                          / ((SELECT tn FROM tots) + 1.0 * 64)))
+                    * 1000000.0) AS BIGINT) AS wm
+  FROM (SELECT unnest(generate_series(0, 63)) AS b) g
+  LEFT JOIN cnt ON cnt.b = g.b
+),
+biasv AS (
+  SELECT CAST(round(ln(np / nn) * 1000000.0) AS BIGINT) AS bm FROM prior
+),
+sums AS (
+  SELECT terms.doc_id, CAST(sum(w.wm) AS BIGINT) AS acc
+  FROM terms JOIN wts w USING (b) GROUP BY terms.doc_id
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(
+         (SELECT bm FROM biasv) / 1000000.0
+         + CAST(COALESCE(s.acc, 0) AS DOUBLE) / 1000000.0))), 6)
+         AS clf_score
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN sums s ON s.doc_id = d.doc_id
 """,
         # overlapping token windows, max 16 / overlap 4 (stride 12);
         # DuckDB list[a:b] is 1-based inclusive-end == Spark slice(a, len)

@@ -4,6 +4,8 @@ inference (sparkcheck/textstats/classifier.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -348,3 +350,80 @@ def test_classifier_logits_col_is_exact_preimage(spark):
     assert [r.doc_id for r in ordered] == [
         r.doc_id for r in sorted(out, key=lambda r: r.clf_score)
     ]
+
+
+# ------------------------------------------------ in-engine NB training
+
+
+def test_train_nb_classifier_matches_python_mirror_and_separates(spark):
+    import math
+    from collections import Counter
+
+    from sparkcheck.textstats.classifier import (
+        SCALE,
+        classifier_score,
+        train_nb_classifier,
+    )
+    from sparkcheck.sampling import fold_hex52  # noqa: F401 (import check)
+
+    pos_txt = "the cat sat on the mat today"
+    neg_txt = "zzz spam buy now cheap pills"
+    rows = (
+        [(i, 1, pos_txt) for i in range(20)]
+        + [(100 + i, 0, neg_txt) for i in range(20)]
+        + [(200, None, "dropped"), (201, 1, None)]  # NULL label / NULL text
+    )
+    df = spark.createDataFrame(rows, "doc_id long, y int, text string")
+    dim, seed = 32, 5
+    w, b = train_nb_classifier(df, "y", dim=dim, bigrams=False, seed=seed)
+
+    # python mirror: same hashing (via spark one-row probe is overkill —
+    # reuse the trained model's own separation + exact priors)
+    # bias: 21 positive docs (incl. the NULL-text one) vs 20 negative
+    assert b == round(math.log(21 / 20) * SCALE) / SCALE
+    # token mass: weights must be positive on pos-only buckets and
+    # negative on neg-only ones
+    import hashlib
+
+    def bucket(t):
+        h = hashlib.md5(f"{seed}|{t}".encode()).hexdigest()
+        return int(h[:13], 16) % dim
+
+    pos_counts: Counter = Counter()
+    neg_counts: Counter = Counter()
+    for _ in range(20):
+        for t in pos_txt.split():
+            pos_counts[bucket(t)] += 1
+        for t in neg_txt.split():
+            neg_counts[bucket(t)] += 1
+    tp, tn = sum(pos_counts.values()), sum(neg_counts.values())
+    exp_w = [
+        round(
+            (
+                math.log((pos_counts.get(bb, 0) + 1.0) / (tp + dim))
+                - math.log((neg_counts.get(bb, 0) + 1.0) / (tn + dim))
+            )
+            * SCALE
+        )
+        / SCALE
+        for bb in range(dim)
+    ]
+    assert w == exp_w
+
+    scored = classifier_score(
+        df.where("y is not null and text is not null"),
+        w, bias=b, bigrams=False, seed=seed,
+    ).collect()
+    pos_s = [r["clf_score"] for r in scored if r["y"] == 1]
+    neg_s = [r["clf_score"] for r in scored if r["y"] == 0]
+    assert min(pos_s) > 0.9 and max(neg_s) < 0.1
+
+
+def test_train_nb_classifier_requires_both_classes(spark):
+    from sparkcheck.textstats.classifier import train_nb_classifier
+
+    df = spark.createDataFrame(
+        [(1, 1, "only positives here")], "doc_id long, y int, text string"
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        train_nb_classifier(df, "y", dim=8)
