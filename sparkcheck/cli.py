@@ -107,6 +107,31 @@ def cmd_curate(args) -> int:
             stage, args.text_col, args.id_col
         ).where(F.col("keep") == 1).select(args.id_col)
         stage = stage.join(keep, on=args.id_col, how="semi")
+    if args.lm_ref:
+        # CCNet stage: train a pruned stupid-backoff LM on the trusted
+        # reference parquet, score the corpus, drop the worst tercile
+        # (threshold mode — map-only, no per-group sort)
+        from sparkcheck.textstats.lm import (
+            perplexity_buckets,
+            perplexity_scores,
+            train_ngram_counts,
+        )
+
+        ref = spark.read.parquet(args.lm_ref)
+        lm = train_ngram_counts(
+            ref, text_col=args.text_col, n=3, min_count=args.lm_min_count
+        )
+        scored = perplexity_scores(
+            stage, lm, text_col=args.text_col, id_col=args.id_col, n=3
+        ).withColumn("_all", F.lit("all"))
+        lm_keep = (
+            perplexity_buckets(
+                scored, by="_all", id_col=args.id_col, method="threshold"
+            )
+            .where(F.col("ppl_bucket") < 3)
+            .select(args.id_col)
+        )
+        stage = stage.join(lm_keep, on=args.id_col, how="semi")
     n_quality = stage.count()
 
     toks = token_stats(stage, args.text_col, args.id_col).select(
@@ -489,6 +514,10 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--seed", type=int, default=1)
     cu.add_argument("--no-dedup", action="store_true")
     cu.add_argument("--no-quality", action="store_true")
+    cu.add_argument("--lm-ref", default=None,
+                    help="trusted-reference parquet: train a 3-gram LM on it "
+                         "and drop the worst perplexity tercile (CCNet stage)")
+    cu.add_argument("--lm-min-count", type=int, default=2)
     cu.add_argument("--checkpoint-dir", default=None,
                     help="dedup stage checkpoints (resume after a kill)")
     cu.set_defaults(fn=cmd_curate)

@@ -218,3 +218,22 @@ def test_cli_curate_end_to_end(spark, tmp_path):
     n = curated.count()
     assert curated.select("shard_id", "shard_pos").distinct().count() == n
     assert curated.where("seq_offset >= 512").count() >= 0  # straddles allowed
+
+
+def test_cli_curate_with_lm_reference(spark, tmp_path):
+    """--lm-ref adds the CCNet perplexity stage: train on the trusted
+    parquet, drop the worst tercile — the funnel shrinks further."""
+    import io
+    from contextlib import redirect_stdout
+
+    out = str(tmp_path / "curated_lm")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["curate", "--table", DOCS, "--out", out,
+                   "--shards", "4", "--seq-len", "512",
+                   "--lm-ref", DOCS, "--no-dedup"])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # the tercile cut drops roughly a third of the quality survivors
+    assert summary["after_quality"] < summary["after_dedup"]
+    assert summary["packed_docs"] == summary["after_quality"] > 0
