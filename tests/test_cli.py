@@ -237,3 +237,26 @@ def test_cli_curate_with_lm_reference(spark, tmp_path):
     # the tercile cut drops roughly a third of the quality survivors
     assert summary["after_quality"] < summary["after_dedup"]
     assert summary["packed_docs"] == summary["after_quality"] > 0
+
+
+def test_cli_curate_is_deterministic(spark, tmp_path):
+    """The whole curated output — membership AND training-layout
+    coordinates — must be identical across runs (the layer's
+    reproducibility promise, end to end through the CLI)."""
+    import io
+    from contextlib import redirect_stdout
+
+    outs = []
+    for name in ("c1", "c2"):
+        out = str(tmp_path / name)
+        with redirect_stdout(io.StringIO()):
+            assert main(["curate", "--table", DOCS, "--out", out,
+                         "--shards", "4", "--seq-len", "512",
+                         "--no-dedup"]) == 0
+        rows = sorted(
+            tuple(r) for r in spark.read.parquet(out)
+            .select("doc_id", "shard_id", "shard_pos", "seq_id", "seq_offset")
+            .collect()
+        )
+        outs.append(rows)
+    assert outs[0] == outs[1] and len(outs[0]) > 0
