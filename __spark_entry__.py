@@ -51,11 +51,54 @@ SF_SMOKE = "/root/testdata/sf0.001"
 LANGS = ("en", "es", "fr", "de", "zh")
 
 
+def _scan_parallelism(path: str) -> tuple[int, int]:
+    """(row groups, bytes) of a parquet file/dir: splits are row-group-
+    granular, so a single-row-group file is read by ONE task no matter
+    how small the split size is."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(f"{path}/*.parquet")) or [path]
+    rgs = sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    return rgs, sum(_os.path.getsize(f) for f in files)
+
+
+_SCAN_PAR_CACHE: dict[str, tuple[int, int]] = {}
+
+# only repartition SMALL under-parallel inputs: above this, the exchange
+# of the full table costs more than the parallelism it buys (measured:
+# repartitioning the 131 MB 6-row-group lineitem added ~3 s per pass)
+_REPARTITION_MAX_BYTES = 64 * 1024 * 1024
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The oracle comparison needs timestamp rendering to be UTC-stable
     # regardless of the harness session's default timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The driver-generated tables are written as one row group per file
+    # (documents/embeddings/events: ONE task reads everything), so the
+    # per-row compute of every downstream operator serializes onto a
+    # single core (guide §2.5 input skew: "one huge unsplittable file...
+    # repartition immediately after the read"). A round-robin exchange of
+    # these small tables costs milliseconds and unlocks the full slot
+    # count; tables whose row-group count already feeds every slot (e.g.
+    # a 100 TB lake table) skip it — the check is metadata-only.
+    path = f"{sf_dir}/{name}.parquet"
+    meta = _SCAN_PAR_CACHE.get(path)
+    if meta is None:
+        try:
+            meta = _scan_parallelism(path)
+        except Exception:
+            meta = (1 << 30, 1 << 60)  # metadata unreadable: assume splittable
+        _SCAN_PAR_CACHE[path] = meta
+    par, nbytes = meta
+    slots = spark.sparkContext.defaultParallelism
+    if par < slots and nbytes <= _REPARTITION_MAX_BYTES:
+        df = df.repartition(slots)
+    return df
 
 
 def _doc_suite():
@@ -100,9 +143,31 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     # Two fused aggs, not one: mixing count_distinct (which plans an
     # Expand ×(N+1)) with exact-percentile buffers multiplies the buffer
-    # traffic ~8× — splitting them measured 34s → 4s at sf0.1. Exact
-    # percentile/ndv are for oracle parity; the profiler module's scale
-    # path uses percentile_approx + approx_count_distinct.
+    # traffic ~8× — splitting them measured 34s → 4s at sf0.1. ndv stays
+    # exact for oracle parity; the profiler module's scale path uses
+    # approx_count_distinct.
+    # Quartiles come from profiler.exact_percentiles — bit-identical to
+    # the percentile() aggregate (pytest-pinned) without its
+    # single-reducer value-map merge, which alone cost 12.5 s on the
+    # near-unique l_extendedprice at sf1.0 (round-7 measurement; the
+    # whole query is now ~4 s there).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sparkcheck.profile.profiler import exact_percentiles
+
+    # The ndv jobs (one per column — a 3-column count_distinct in ONE
+    # agg plans an Expand ×3) run CONCURRENTLY with the percentile
+    # passes from driver threads (guide §2.6; the session's FAIR pools
+    # make them share slots), so the query's wall time is
+    # max(percentiles, ndv) + the fused basic agg.
+    def _ndv(c: str) -> int:
+        return li.agg(F.count_distinct(F.col(c))).collect()[0][0]
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        pct_fut = pool.submit(exact_percentiles, li, cols, [0.25, 0.5, 0.75])
+        ndv_futs = {c: pool.submit(_ndv, c) for c in cols}
+        pct = pct_fut.result()
+        ndvs = {c: f.result() for c, f in ndv_futs.items()}
     aggs = []
     for c in cols:
         col = F.col(c)
@@ -113,14 +178,15 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max(col), 4).alias(f"{c}__max"),
             F.round(F.avg(col), 4).alias(f"{c}__mean"),
             F.round(F.stddev_samp(col), 4).alias(f"{c}__std"),
-            F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"{c}__qs"),
+            F.lit(ndvs[c]).cast("long").alias(f"{c}__ndv"),
         ]
-    ndv = li.agg(*[F.count_distinct(F.col(c)).alias(f"{c}__ndv") for c in cols])
-    one = li.agg(*aggs).crossJoin(F.broadcast(ndv))
+    one = li.agg(*aggs)
     for c in cols:
         for i, s in enumerate(["q1", "med", "q3"]):
-            one = one.withColumn(f"{c}__{s}", F.round(F.col(f"{c}__qs")[i], 4))
-        one = one.drop(f"{c}__qs")
+            one = one.withColumn(
+                f"{c}__{s}",
+                F.round(F.lit(pct[c][i]).cast("double"), 4),
+            )
     stats = ["cnt", "nulls", "ndv", "min", "max", "mean", "std", "q1", "med", "q3"]
     stack = ", ".join(
         "'" + c + "', " + ", ".join(f"`{c}__{s}`" for s in stats) for c in cols
@@ -705,11 +771,13 @@ def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus n-gram statistics: top-20 word bigrams with doc frequency —
     the standard corpus-inspection op (and the input to stopword-phrase
     discovery for the LSH hot-bucket cap). One explode + one groupBy."""
-    from sparkcheck.dedup.jaccard import shingle_expr
+    from sparkcheck.dedup.jaccard import shingles_from_tokens
 
     d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
     grams = d.select(
-        F.col("doc_id"), F.explode(shingle_expr(F.col("text"), 2)).alias("bigram")
+        F.col("doc_id"), F.split(F.col("text"), " ").alias("_toks")
+    ).select(
+        F.col("doc_id"), F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("bigram")
     )
     return (
         grams.groupBy("bigram")

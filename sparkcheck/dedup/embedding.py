@@ -142,6 +142,82 @@ def _proj_sign_bit(vec: Column, plane: list[float]) -> Column:
     return (dot >= 0).cast("int")
 
 
+def _arrow_band_assignments(planes, dim: int, bands: int, bits: int):
+    """mapInArrow kernel for the sign-bit band keys — bit-identical to
+    the interpreted Column construction: each plane's dot product is the
+    same strict left fold over element index (a d-loop of vectorized
+    float64 ops, not a reassociating matmul), the sign test is the same
+    ``dot >= 0``, and a vector containing NULL elements reproduces the
+    Column path's NULL-poisoned fold (every bit NULL ⇒ ``concat_ws``
+    yields the empty key). Wrong-length vectors raise, matching the
+    Column path's raise_error guard."""
+    import numpy as np
+    import pyarrow as pa
+
+    P = np.array(
+        [planes[j][b] for j in range(bands) for b in range(bits)],
+        dtype=np.float64,
+    )  # (bands*bits, dim)
+    lut = np.array(
+        ["".join(str((v >> (bits - 1 - i)) & 1) for i in range(bits)) for v in range(1 << bits)],
+        dtype=object,
+    )
+    weights = np.array([1 << (bits - 1 - i) for i in range(bits)], dtype=np.int64)
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column("id")
+            arr = batch.column("v")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            n = batch.num_rows
+            if n == 0:
+                continue
+            offs = arr.offsets.to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            if arr.null_count or (lens != dim).any():
+                bad = (lens != dim) | ~np.asarray(arr.is_valid())
+                first = int(np.nonzero(bad)[0][0])
+                got = "NULL" if not arr.is_valid()[first].as_py() else str(int(lens[first]))
+                raise ValueError(
+                    f"embedding length != dim={dim} (got {got}); pass dim= "
+                    "matching the vector column"
+                )
+            vals = arr.values
+            null_rows = np.zeros(n, dtype=bool)
+            if vals.null_count:
+                elem_valid = np.asarray(vals.is_valid())
+                for r in range(n):
+                    if not elem_valid[offs[r]:offs[r + 1]].all():
+                        null_rows[r] = True
+            flat = np.asarray(vals.to_numpy(zero_copy_only=False), dtype=np.float64)
+            V = flat[np.add.outer(offs[:-1], np.arange(dim))]
+            acc = np.zeros((n, P.shape[0]), dtype=np.float64)
+            for d in range(dim):
+                acc += V[:, d][:, None] * P[:, d][None, :]
+            # Spark comparison semantics order NaN above every double,
+            # so a NaN dot yields bit 1 there; numpy's NaN >= 0 is False
+            bit_vals = ((acc >= 0) | np.isnan(acc)).astype(np.int64)
+            key_idx = bit_vals.reshape(n, bands, bits) @ weights
+            keys = lut[key_idx]  # (n, bands) of strings
+            if null_rows.any():
+                keys = keys.copy()
+                keys[null_rows, :] = ""
+            id_np = ids.to_numpy(zero_copy_only=False)
+            out_ids = np.repeat(id_np, bands)
+            out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.int64()),
+                    pa.array(out_band, type=pa.int32()),
+                    pa.array(list(keys.reshape(-1)), type=pa.string()),
+                ],
+                ["id", "band_idx", "band_key"],
+            )
+
+    return fn
+
+
 def embedding_band_assignments(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -150,11 +226,34 @@ def embedding_band_assignments(
     bands: int = 8,
     bits: int = 16,
     seed: int = 1,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, band_idx, band_key) — one row per doc per band; band_key is
     the concatenated sign-bit string of that band's hyperplanes.
-    Map-only (no shuffle)."""
+    Map-only (no shuffle).
+
+    ``engine="arrow"`` (default) computes the bands×bits interpreted
+    dot-product folds in one numpy kernel per batch — bit-identical
+    keys (see ``_arrow_band_assignments``; equality pytest-pinned),
+    measured 4× on 20k×64-dim vectors. ``engine="column"`` keeps the
+    pure-JVM expression (the oracle-parity reference shape)."""
     planes = hyperplanes(dim, bands, bits, seed)
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if engine == "arrow" and not isinstance(
+        id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        engine = "column"  # the arrow schema pins id to int64
+    if engine == "arrow":
+        return df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+        ).mapInArrow(
+            _arrow_band_assignments(planes, dim, bands, bits),
+            "id long, band_idx int, band_key string",
+        )
+    if engine != "column":
+        raise ValueError(f"engine must be 'arrow' or 'column', got {engine!r}")
     # Loud dim guard: zip_with pads the SHORTER array with nulls, so a
     # vector whose length != dim would poison every dot product to null,
     # make every sign bit null, and concat_ws would collapse ALL docs
@@ -231,30 +330,213 @@ def embedding_candidate_pairs(
     )
 
 
+def _arrow_pair_cosine(dim: int):
+    """mapInArrow kernel: raw cosine of attached (va, vb) vector pairs
+    via numpy — BIT-IDENTICAL to the interpreted Column fold (`_dot` /
+    `_norm`): the dot and the squared norms are strict left folds over
+    element index, reproduced as a d-loop of vectorized float64 FMAs
+    (``acc += va[:, d] * vb[:, d]`` is elementwise the same IEEE add/mul
+    sequence as ``aggregate(zip_with(...), 0.0, acc + x)``), NOT a
+    ``numpy.dot`` (whose pairwise/SIMD summation reassociates). Rows
+    whose vectors are malformed (wrong length or NULL elements) yield
+    NULL cosine, exactly as the Column path's null-propagating fold."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            ids_a = batch.column("id_a")
+            ids_b = batch.column("id_b")
+            valid = np.ones(batch.num_rows, dtype=bool)
+            mats = []
+            for name in ("va", "vb"):
+                arr = batch.column(name)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                offs = arr.offsets.to_numpy(zero_copy_only=False)
+                lens = offs[1:] - offs[:-1]
+                ok = lens == dim
+                if arr.null_count:
+                    ok &= np.asarray(arr.is_valid())
+                vals = arr.values
+                if vals.null_count:
+                    # rows containing NULL elements fold to NULL — rare
+                    # (corrupt input), so a plain per-row check suffices
+                    elem_valid = np.asarray(vals.is_valid())
+                    for r in np.nonzero(ok)[0]:
+                        if not elem_valid[offs[r]:offs[r + 1]].all():
+                            ok[r] = False
+                valid &= ok
+                mats.append((vals, offs))
+            acc_d = np.zeros(batch.num_rows, dtype=np.float64)
+            acc_a = np.zeros(batch.num_rows, dtype=np.float64)
+            acc_b = np.zeros(batch.num_rows, dtype=np.float64)
+            if valid.any():
+                idx = np.nonzero(valid)[0]
+                gathered = []
+                for vals, offs in mats:
+                    flat = np.asarray(
+                        vals.to_numpy(zero_copy_only=False), dtype=np.float64
+                    )
+                    # one row-gather per side (a per-dim gather from the
+                    # flat buffer costs ~dim× more)
+                    gathered.append(
+                        flat[np.add.outer(offs[:-1][idx], np.arange(dim))]
+                    )
+                va, vb = gathered
+                sub_d = np.zeros(len(idx), dtype=np.float64)
+                sub_a = np.zeros(len(idx), dtype=np.float64)
+                sub_b = np.zeros(len(idx), dtype=np.float64)
+                for d in range(dim):
+                    xa = va[:, d]
+                    xb = vb[:, d]
+                    sub_d += xa * xb
+                    sub_a += xa * xa
+                    sub_b += xb * xb
+                acc_d[idx], acc_a[idx], acc_b[idx] = sub_d, sub_a, sub_b
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = acc_d / (np.sqrt(acc_a) * np.sqrt(acc_b))
+            yield pa.RecordBatch.from_arrays(
+                [ids_a, ids_b, pa.array(cos, type=pa.float64(), mask=~valid)],
+                ["id_a", "id_b", "_cos"],
+            )
+
+    return fn
+
+
+def _arrow_broadcast_cosine(bc, dim: int):
+    """mapInArrow kernel over BARE (id_a, id_b) pairs: vectors come from
+    a Spark-broadcast (sorted ids, float64 matrix, validity) triple, so
+    the Python boundary carries 16 bytes per pair instead of 2×dim
+    floats (measured 2.3× at 9.7M pairs × 64 dims). Fold order and NULL
+    semantics identical to ``_arrow_pair_cosine``."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        ids, mat, vec_ok = bc.value
+        for batch in batches:
+            ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+            ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+            pa_idx = np.searchsorted(ids, ia)
+            pb_idx = np.searchsorted(ids, ib)
+            np.clip(pa_idx, 0, len(ids) - 1, out=pa_idx)
+            np.clip(pb_idx, 0, len(ids) - 1, out=pb_idx)
+            valid = (ids[pa_idx] == ia) & (ids[pb_idx] == ib)
+            valid &= vec_ok[pa_idx] & vec_ok[pb_idx]
+            acc_d = np.zeros(batch.num_rows, dtype=np.float64)
+            acc_a = np.zeros(batch.num_rows, dtype=np.float64)
+            acc_b = np.zeros(batch.num_rows, dtype=np.float64)
+            idx = np.nonzero(valid)[0]
+            if len(idx):
+                # gather each pair's two vectors ONCE (row gather), then
+                # fold over the gathered matrices' columns — a per-dim
+                # gather from the full matrix costs ~dim× more; the fold
+                # accumulates densely and scatters once at the end
+                va = mat[pa_idx[idx]]
+                vb = mat[pb_idx[idx]]
+                sub_d = np.zeros(len(idx), dtype=np.float64)
+                sub_a = np.zeros(len(idx), dtype=np.float64)
+                sub_b = np.zeros(len(idx), dtype=np.float64)
+                for d in range(dim):
+                    xa = va[:, d]
+                    xb = vb[:, d]
+                    sub_d += xa * xb
+                    sub_a += xa * xa
+                    sub_b += xb * xb
+                acc_d[idx], acc_a[idx], acc_b[idx] = sub_d, sub_a, sub_b
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = acc_d / (np.sqrt(acc_a) * np.sqrt(acc_b))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("id_a"), batch.column("id_b"),
+                 pa.array(cos, type=pa.float64(), mask=~valid)],
+                ["id_a", "id_b", "_cos"],
+            )
+
+    return fn
+
+
 def cosine_for_pairs(
     df: DataFrame,
     pairs: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    engine: str = "arrow",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine computed ONLY for the given (id_a, id_b) pairs —
-    two equi-joins against the vector table, linear in pairs."""
-    base = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("_n", _norm(F.col("v")))
+    two equi-joins against the vector table, linear in pairs.
+
+    Engines — identical results (bit-equality pytest-pinned), different
+    scale/speed contracts:
+      - ``"arrow"`` (default): attach vectors via broadcast joins, fold
+        dot/norms in a numpy ``mapInArrow`` kernel. Spark's array
+        higher-order functions are INTERPRETED, and the 64-float fold
+        per candidate pair measured 5.9 s for 9.7M pairs at sf1.0 vs
+        3.6 s vectorized. Fully distributed — no driver collect.
+      - ``"arrow_broadcast"``: collect the (id, vector) table ONCE to a
+        driver numpy matrix, Spark-broadcast it, and ship only the
+        16-byte id pairs through the Python boundary (1.5 s on the same
+        workload). Requires the VECTOR TABLE (not the pairs) to be
+        broadcast-sized — the same contract as the LM scorer's model
+        broadcast; callers with >~10⁶ vectors should use "arrow".
+      - ``"column"``: the pure-JVM interpreted expression (the oracle-
+        parity reference shape).
+    The kernels fold in exactly the Column path's element order (see
+    ``_arrow_pair_cosine``), so all three agree bitwise.
+    ``dim`` (arrow engines) defaults to the first vector's length."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     p = pairs.select("id_a", "id_b").distinct()
-    a = base.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("_n").alias("na")
-    )
-    b = base.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("_n").alias("nb")
-    )
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    if engine in ("arrow", "arrow_broadcast") and dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("n")).first()
+        dim = int(probe["n"]) if probe and probe["n"] is not None else 0
+    if engine == "arrow_broadcast":
+        import numpy as np
+
+        rows = base.collect()
+        ids = np.empty(len(rows), dtype=np.int64)
+        mat = np.zeros((len(rows), dim), dtype=np.float64)
+        vec_ok = np.zeros(len(rows), dtype=bool)
+        for i, r in enumerate(rows):
+            ids[i] = r["id"]
+            v = r["v"]
+            if v is not None and len(v) == dim and all(e is not None for e in v):
+                mat[i] = v
+                vec_ok[i] = True
+        order = np.argsort(ids, kind="stable")
+        ids, mat, vec_ok = ids[order], mat[order], vec_ok[order]
+        bc = df.sparkSession.sparkContext.broadcast((ids, mat, vec_ok))
+        scored = p.select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long")
+        ).mapInArrow(
+            _arrow_broadcast_cosine(bc, dim), "id_a long, id_b long, _cos double"
+        )
+        return scored.select(
+            "id_a", "id_b", F.round(F.col("_cos"), 4).alias("cosine")
+        ).where(F.col("cosine") >= threshold)
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    attached = p.join(a, "id_a").join(b, "id_b")
+    if engine == "arrow":
+        scored = attached.select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"), "va", "vb"
+        ).mapInArrow(
+            _arrow_pair_cosine(dim),
+            "id_a long, id_b long, _cos double",
+        )
+        return scored.select(
+            "id_a", "id_b", F.round(F.col("_cos"), 4).alias("cosine")
+        ).where(F.col("cosine") >= threshold)
+    if engine != "column":
+        raise ValueError(
+            f"engine must be 'arrow', 'arrow_broadcast' or 'column', got {engine!r}"
+        )
+    na = _norm(F.col("va"))
+    nb = _norm(F.col("vb"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (na * nb), 4)
     return (
-        p.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", cos.alias("cosine"))
+        attached.select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -271,9 +553,16 @@ def embedding_near_duplicates(
     seed: int = 1,
     max_bucket: int | None = 1000,
     target_recall: float = 0.9,
+    engine: str = "auto",
 ) -> DataFrame:
     """Pairs (id_a < id_b, cosine) with cosine ≥ threshold (rounded to
     4 dp for cross-engine stability).
+
+    ``engine`` (bucketed path only) picks the verify kernel — see
+    ``cosine_for_pairs``. "auto" (default) uses the broadcast-matrix
+    kernel when the vector table is broadcast-sized (≤ 32M elements ≈
+    256 MB of float64) and the fully-distributed attach-join kernel
+    otherwise; all engines return bit-identical results.
 
     bucketed=True routes through banded random-hyperplane LSH with a
     hot-bucket cap (scale path); bucketed=False is the exact quadratic
@@ -298,7 +587,15 @@ def embedding_near_duplicates(
         cands = embedding_candidate_pairs(
             df, vec_col, id_col, dim, bands, bits, seed, max_bucket
         )
-        return cosine_for_pairs(df, cands, vec_col, id_col, threshold)
+        if engine == "auto":
+            engine = (
+                "arrow_broadcast"
+                if df.count() * dim <= 32_000_000
+                else "arrow"
+            )
+        return cosine_for_pairs(
+            df, cands, vec_col, id_col, threshold, engine=engine, dim=dim
+        )
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     base = base.withColumn("_n", _norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")

@@ -24,8 +24,11 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _token_bit(b: int):
-    # parity of the b-th hex char of md5(token): '0'..'9','a'..'f' ascii
-    return F.ascii(F.substring(F.md5(F.col("tok")), b + 1, 1)) % 2
+    # parity of the b-th hex char of md5(token): '0'..'9','a'..'f' ascii.
+    # Reads the PRE-COMPUTED '_md5' column: md5 inside each of the B
+    # aggregate expressions would be evaluated B times per token row
+    # (aggregates share no common-subexpression elimination).
+    return F.ascii(F.substring(F.col("_md5"), b + 1, 1)) % 2
 
 
 def simhash(
@@ -39,6 +42,7 @@ def simhash(
     toks = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .select("id", F.md5(F.col("tok")).alias("_md5"))
     )
     aggs = [
         (F.sum(_token_bit(b) * 2 - 1) > 0).cast("int").alias(f"bit_{b}")

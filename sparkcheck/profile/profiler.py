@@ -204,6 +204,141 @@ def profile_table(
     return TableProfile(table=table_name, total_rows=total, columns=out)
 
 
+def exact_percentiles(
+    df: DataFrame,
+    cols: Sequence[str],
+    qs: Sequence[float],
+    accuracy: int = 10000,
+    q_margin: float = 0.002,
+) -> dict[str, list[float | None]]:
+    """EXACT percentiles (bit-identical to Spark's ``percentile()``)
+    without the single-reducer value-map merge — the scale path for
+    exact quantiles over high-cardinality columns.
+
+    Spark's exact ``percentile`` aggregate builds a value→count
+    OpenHashMap per task and merges + sorts them on ONE final reducer;
+    for a near-unique double column the merge holds every distinct
+    value (measured 12.5 s single-threaded on a 6M-row ~4.6M-distinct
+    column, vs 0.2 s for the same table's 50-distinct column). This
+    replaces it with distributed rank selection (guide §2: shuffle a
+    lightweight proxy — counts — never the values):
+
+      1. ONE fused agg: per column, ``count()`` + GK sketches
+         (``percentile_approx``) bracketing each target rank with a
+         ±``q_margin`` quantile margin at rank error ≤ N/``accuracy``;
+      2. ONE fused agg: the exact rank of every bracket's lower value
+         (conditional counts — map-side combined, O(cols×qs) result);
+      3. ONE job collecting each bracket's (value, multiplicity) slice
+         (grouped — a heavy-duplicate column collapses to a few rows);
+      4. driver: walk the slice's cumulative counts to the value at
+         positions floor/ceil(q·(N−1)) and interpolate with EXACTLY
+         Spark's formula ``(hi−pos)·vL + (pos−lo)·vH`` — the same IEEE
+         double ops in the same order, so results are bit-identical
+         (pytest-pinned against ``percentile()`` per scale factor).
+
+    Every pass is a map-side-combined scan — no shuffle grows with the
+    data, and the collected slices are O(cols × qs × N·q_margin)
+    DISTINCT values (~24k rows per bracket at the defaults). If a
+    bracket misses its rank (approx error beyond the margin — cannot
+    happen while percentile_approx honors its rank-error contract), the
+    affected column falls back to the exact ``percentile`` aggregate.
+    NULLs are ignored and an all-NULL column yields ``None``s, matching
+    ``percentile()``.
+    """
+    import math
+
+    qs = list(qs)
+    agg0 = []
+    for c in cols:
+        col = F.col(c)
+        agg0 += [
+            F.count(col).alias(f"{c}__n"),
+            F.percentile_approx(
+                col, [max(0.0, q - q_margin) for q in qs], accuracy
+            ).alias(f"{c}__lo"),
+            F.percentile_approx(
+                col, [min(1.0, q + q_margin) for q in qs], accuracy
+            ).alias(f"{c}__hi"),
+        ]
+    row0 = df.agg(*agg0).collect()[0]
+
+    base_aggs = []
+    slice_parts = []
+    bounds: dict[str, tuple[list, list]] = {}
+    for c in cols:
+        if row0[f"{c}__n"] == 0:
+            continue
+        col = F.col(c)
+        los, his = row0[f"{c}__lo"], row0[f"{c}__hi"]
+        bounds[c] = (los, his)
+        cond = None
+        for i, (lo, hi) in enumerate(zip(los, his)):
+            base_aggs.append(
+                F.count(F.when(col < F.lit(lo), 1)).alias(f"{c}__b{i}")
+            )
+            rng = (col >= F.lit(lo)) & (col <= F.lit(hi))
+            cond = rng if cond is None else (cond | rng)
+        slice_parts.append(
+            df.where(cond).groupBy(col.alias("v")).agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).select(F.lit(c).alias("c"), "v", "cnt")
+        )
+    out: dict[str, list[float | None]] = {c: [None] * len(qs) for c in cols}
+    if not base_aggs:
+        return out
+    row1 = df.agg(*base_aggs).collect()[0]
+    from functools import reduce
+
+    slices_df = reduce(lambda a, b: a.unionByName(b), slice_parts)
+    slices: dict[str, list] = {c: [] for c in bounds}
+    for r in slices_df.collect():
+        slices[r["c"]].append((r["v"], r["cnt"]))
+    fallback = []
+    for c, (los, his) in bounds.items():
+        n = row0[f"{c}__n"]
+        vals = sorted(slices[c])
+        res: list[float | None] = []
+        for i, q in enumerate(qs):
+            pos = q * (n - 1)
+            lower, higher = math.floor(pos), math.ceil(pos)
+            base = row1[f"{c}__b{i}"]
+
+            def value_at(p: int, lo=los[i], base=base):
+                if p < base:
+                    return None
+                cum = base
+                for v, cnt in vals:
+                    if v < lo:
+                        continue
+                    cum += cnt
+                    if cum > p:
+                        return v
+                return None
+
+            v_l, v_h = value_at(lower), value_at(higher)
+            if v_l is None or v_h is None:
+                fallback.append(c)
+                break
+            if higher == lower or v_l == v_h:
+                res.append(float(v_l))
+            else:
+                res.append((higher - pos) * v_l + (pos - lower) * v_h)
+        else:
+            out[c] = res
+    if fallback:
+        row = df.agg(
+            *[
+                F.expr(
+                    f"percentile(`{c}`, array({', '.join(map(str, qs))}))"
+                ).alias(c)
+                for c in fallback
+            ]
+        ).collect()[0]
+        for c in fallback:
+            out[c] = list(row[c])
+    return out
+
+
 def histogram_exprs(
     specs: Mapping[str, tuple[float, float]], bins: int = 10
 ) -> list:

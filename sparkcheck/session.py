@@ -46,6 +46,17 @@ def get_spark(
         # and test runner submit independent jobs from driver threads).
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Floor on scan parallelism (guide §6): when an input is smaller
+        # than cores × maxPartitionBytes, Spark would otherwise plan a
+        # handful of splits and leave the cluster idle — minPartitionNum
+        # shrinks the split size until every slot has work. Scale-adaptive
+        # by construction: at 100 TB the bytes/minPartitionNum quotient
+        # exceeds maxPartitionBytes and the 128m ceiling governs, so this
+        # only affects inputs small relative to the cluster.
+        .config("spark.sql.files.minPartitionNum", str(2 * nslots))
+        # Let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1) — skips both sorts.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -197,10 +197,12 @@ def repetition_stats(
     Both shuffles are keyed by doc id (uniform), so this scales like any
     keyed agg; no all-pairs anything. Output:
     (id, n_grams, top_gram_n, top_gram_frac, f_repetitive)."""
-    from sparkcheck.dedup.jaccard import shingle_expr
+    from sparkcheck.dedup.jaccard import shingles_from_tokens
 
     grams = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.explode(shingle_expr(F.col(text_col), n)).alias("gram")
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    ).select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("gram")
     )
     counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     per_doc = counts.groupBy(id_col).agg(
@@ -287,8 +289,12 @@ def cross_doc_span_stats(
     # of returning empty — a doc shorter than k words must yield no
     # spans (matches DuckDB generate_series, which is empty there)
     toks = _tokens(F.col(text_col))
-    base = df.where(F.col(text_col).isNotNull()).where(F.size(toks) >= k)
-    blocks = _span_blocks(text_col, k)
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size(F.col("_toks")) >= k)
+    )
+    blocks = _span_blocks(F.col("_toks"), k)
     # .distinct(): the contract is "block appears in >= min_docs distinct
     # DOCUMENTS" (and the oracle SQL dedups (doc_id, block) likewise), so
     # duplicate rows of one id — the same url crawled m times hashed to
@@ -330,10 +336,12 @@ def cross_doc_span_stats(
     )
 
 
-def _span_blocks(text_col: str, k: int) -> Column:
-    """Distinct non-overlapping k-word blocks of a text column (in-row
-    array_distinct — no shuffle)."""
-    toks = _tokens(F.col(text_col))
+def _span_blocks(toks: Column, k: int) -> Column:
+    """Distinct non-overlapping k-word blocks of an ALREADY-MATERIALIZED
+    token-array column (in-row array_distinct — no shuffle). The tokens
+    must be a plain column reference: an expression referenced inside
+    the interpreted transform lambda is re-evaluated once per element
+    (see dedup.jaccard.shingles_from_tokens)."""
     nblk = F.floor(F.size(toks) / k).cast("int")
     return F.array_distinct(
         F.transform(
@@ -366,8 +374,9 @@ def span_contamination(
     toks = _tokens(F.col(text_col))
     corpus_spans = (
         corpus.where(F.col(text_col).isNotNull())
-        .where(F.size(toks) >= k)
-        .select(F.col(id_col).alias("id"), F.explode(_span_blocks(text_col, k)).alias("block"))
+        .select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .where(F.size(F.col("_toks")) >= k)
+        .select("id", F.explode(_span_blocks(F.col("_toks"), k)).alias("block"))
         # duplicate rows of one id collapse — n_spans counts a doc's
         # DISTINCT spans (array_distinct covers within-row; this covers
         # re-crawled ids), matching the oracle's DISTINCT (doc_id, block)
@@ -375,8 +384,9 @@ def span_contamination(
     )
     bench_spans = (
         benchmark.where(F.col(text_col).isNotNull())
-        .where(F.size(toks) >= k)
-        .select(F.explode(_span_blocks(text_col, k)).alias("block"))
+        .select(toks.alias("_toks"))
+        .where(F.size(F.col("_toks")) >= k)
+        .select(F.explode(_span_blocks(F.col("_toks"), k)).alias("block"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

@@ -93,7 +93,7 @@ def train_ngram_counts(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = _tokens(F.col(text_col))
+    toks = F.col("_toks")
     sz = F.size(toks)
     # per order: all grams of that order as an array (empty when the
     # doc is shorter than the order); concat + ONE explode for all
@@ -101,6 +101,10 @@ def train_ngram_counts(
     # DOWN, it is not empty. The lambda MUST be single-argument: a
     # two-arg lambda makes F.transform pass the element INDEX as the
     # second argument, silently shadowing any default-bound loop var.
+    # The token array is MATERIALIZED as a column first: higher-order
+    # lambdas are interpreted and re-evaluate any non-column expression
+    # they reference once per element — an inline split() makes gram
+    # generation O(tokens²) per doc (dedup.jaccard.shingles_from_tokens).
     def _grams_of_order(o: int) -> Column:
         return F.when(
             sz >= o,
@@ -112,6 +116,8 @@ def train_ngram_counts(
 
     per_order = [_grams_of_order(o) for o in range(1, n + 1)]
     grams = docs.where(F.col(text_col).isNotNull()).select(
+        _tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.explode(F.concat(*per_order)).alias("gram")
     )
     counts = grams.groupBy("gram").agg(
@@ -153,18 +159,7 @@ def perplexity_scores(
         raise ValueError(f"n must be >= 1, got {n}")
     toks = _tokens(F.col(text_col))
     sz = F.size(toks)
-    fields = [F.col("i").alias("pos")]
-    lookup_names: list[str] = []
-    for o in range(1, n + 1):
-        fields.append(_gram_ending_at(toks, F.col("i"), o).alias(f"g{o}"))
-        lookup_names.append(f"g{o}")
-        if o >= 2:
-            # context of the order-o gram at i = the (o-1)-gram ending
-            # at i-1; NULL exactly when g{o} is NULL
-            fields.append(
-                _gram_ending_at(toks, F.col("i") - 1, o - 1).alias(f"c{o}")
-            )
-            lookup_names.append(f"c{o}")
+    lookup_names = _position_field_names(n)
     # one explode to O(positions) rows; the exploded row carries the
     # token array and slices its grams afterwards. (The tempting
     # alternative — build per-position structs INSIDE the array and
@@ -222,6 +217,10 @@ def perplexity_scores(
         )
         pos = pos.withColumn("_N", F.lit(n_literal))
     else:
+        # caller-owned lifetime: the cached model stays persisted for
+        # the session (repeated scoring reuses it); long-running drivers
+        # scoring many disposable models should unpersist via
+        # spark.catalog.clearCache() between models
         counts = counts.persist()
         lut = counts.select("gram", "cnt")
         n_total = counts.where(F.col("ord") == 1).agg(
