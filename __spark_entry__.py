@@ -1680,10 +1680,10 @@ _LAST_DRIVER_CHECKED: dict[str, int] = {
     "lang_id": 5, "fingerprints": 5, "gopher_quality": 5,
     "simhash_bits": 5, "simhash_pairs": 5, "top_bigrams": 5,
     "pii_stats": 5, "ann_topk": 5, "ann_bucketed": 5, "sql_testsuite": 5,
-    "host_stats": 5, "cross_doc_spans": 5, "chi2_lang_drift": 5,
-    "span_contamination": 5, "pii_redacted": 5, "dedup_keep_best": 5,
-    "repetition_stats": 5, "dup_segment_stats": 5, "fk_candidates": 5,
-    "canonical_urls": 5, "url_dedup_stats": 5, "incremental_dedup": 5,
+    "host_stats": 6, "cross_doc_spans": 6, "chi2_lang_drift": 6,
+    "span_contamination": 6, "pii_redacted": 6, "dedup_keep_best": 6,
+    "repetition_stats": 6, "dup_segment_stats": 6, "fk_candidates": 6,
+    "canonical_urls": 6, "url_dedup_stats": 5, "incremental_dedup": 5,
     "span_dedup_rewrite": 5, "rules_summary": 5, "profile_stats": 5,
     "histogram_totalprice": 5, "top_k_brand": 5, "bottom_k_type": 5,
     "uniqueness_orders": 5, "duplicate_doc_texts": 5, "orphan_orders": 5,
@@ -1694,16 +1694,26 @@ _LAST_DRIVER_CHECKED: dict[str, int] = {
     "reconcile_orders": 5,
     # riding on round-4 driver evidence (plus a judge rerun in the r5
     # session) — these lead the r6 ordering for fresh driver rows
-    "unique_violation_groups": 4,
-    "unique_violation_rows": 4, "null_counts": 4,
-    "string_length_stats": 4, "temporal_profile": 4,
-    "orphan_recent_orders": 4, "arrow_custom_rule": 4,
-    "data_type_conformance": 4, "json_extract_stats": 4,
-    "sessionization": 4, "profile_delta_drift": 4, "daily_event_stats": 4,
-    "category_set_drift": 4, "dedup_jaccard": 4, "dedup_clusters": 4,
-    "minhash_signatures": 4, "dedup_minhash_lsh": 4,
+    "unique_violation_groups": 6,
+    "unique_violation_rows": 6, "null_counts": 6,
+    "string_length_stats": 6, "temporal_profile": 6,
+    "orphan_recent_orders": 6, "arrow_custom_rule": 6,
+    "data_type_conformance": 6, "json_extract_stats": 6,
+    "sessionization": 6, "profile_delta_drift": 6, "daily_event_stats": 6,
+    "category_set_drift": 6, "dedup_jaccard": 6, "dedup_clusters": 6,
+    "minhash_signatures": 6, "dedup_minhash_lsh": 6,
     "dedup_corpus": 5, "deterministic_sample": 5,
     "packed_sequences": 5, "stratified_sample": 5,
+    # driver-checked green in round 6 (CORRECTNESS_r06.json)
+    "assembled_sequences": 6, "cap_per_group": 6, "classifier_scores": 6,
+    "cluster_balanced": 6, "corpus_splits": 6, "curated_corpus": 6,
+    "distinctive_terms": 6, "doc_chunks": 6, "embedding_dim_means": 6,
+    "embedding_quality": 6, "embedding_violation_rows": 6,
+    "host_reputation": 6, "kmeans_clusters": 6, "lm_perplexity": 6,
+    "nb_classifier_scores": 6, "packed_manifest": 6, "repeat_to_budget": 6,
+    "revalidate_targets": 6, "sample_to_budget": 6,
+    "select_top_by_budget": 6, "shuffle_shards": 6, "snapshot_diff": 6,
+    "temperature_mix": 6,
 }
 
 
