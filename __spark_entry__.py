@@ -1531,7 +1531,13 @@ def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from sparkcheck.similarity.kmeans import kmeans_cluster
 
     d = _t(spark, sf, "embeddings")
-    return kmeans_cluster(d, k=4, n_iter=2, seed=3, keep_cols=("label",))
+    # engine="column": the interpreted index-ordered folds are the
+    # engine-portable arithmetic this oracle mirrors; the arrow engine
+    # (library default — ~11× fit, ~14× assign) reassociates the fold
+    # and may flip exact-distance ties
+    return kmeans_cluster(
+        d, k=4, n_iter=2, seed=3, keep_cols=("label",), engine="column"
+    )
 
 
 def q_distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
@@ -1620,7 +1626,10 @@ def q_cluster_balanced(spark: SparkSession, sf: str) -> DataFrame:
     from sparkcheck.similarity.kmeans import kmeans_cluster
 
     d = _t(spark, sf, "embeddings")
-    assign = kmeans_cluster(d, k=4, n_iter=2, seed=3, keep_cols=("label",))
+    # engine="column" for oracle parity — see q_kmeans_clusters
+    assign = kmeans_cluster(
+        d, k=4, n_iter=2, seed=3, keep_cols=("label",), engine="column"
+    )
     return balance_groups(
         assign, "cluster_id", id_col="vec_id", seed=11
     ).select("vec_id", "label", "cluster_id")

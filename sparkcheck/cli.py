@@ -93,14 +93,27 @@ def cmd_curate(args) -> int:
 
     stage = df
     if not args.no_dedup:
-        stage = dedup_corpus(
-            stage,
-            text_col=args.text_col,
-            id_col=args.id_col,
-            url_col=args.url_col,
-            checkpoint_dir=args.checkpoint_dir,
+        # Materialize the SURVIVOR-ID frame once (localCheckpoint — the
+        # same narrow-ids discipline as dedup/pipeline.py's internal
+        # stages): the dedup lineage previously re-executed for this
+        # count, the quality count, AND the final token-join + write —
+        # the most expensive stage ran ~3× per curate run. Ids only;
+        # full rows re-join the pruned source.
+        dedup_ids = (
+            dedup_corpus(
+                stage,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                url_col=args.url_col,
+                checkpoint_dir=args.checkpoint_dir,
+            )
+            .select(args.id_col)
+            .localCheckpoint()
         )
-    n_dedup = stage.count()
+        stage = df.join(dedup_ids, on=args.id_col, how="left_semi")
+        n_dedup = dedup_ids.count()
+    else:
+        n_dedup = n_in
 
     if not args.no_quality:
         keep = gopher_quality_flags(
@@ -132,8 +145,25 @@ def cmd_curate(args) -> int:
             .select(args.id_col)
         )
         stage = stage.join(lm_keep, on=args.id_col, how="semi")
-    n_quality = stage.count()
+    if not (args.no_quality and not args.lm_ref):
+        # same single-execution discipline for the quality stages: pin
+        # the surviving ids so the token-stats join + write below don't
+        # re-run the gopher/LM filters
+        quality_ids = stage.select(args.id_col).localCheckpoint()
+        stage = df.join(quality_ids, on=args.id_col, how="left_semi")
+        n_quality = quality_ids.count()
+    else:
+        n_quality = n_dedup
 
+    if "n_tokens" in stage.columns:
+        # same explicit-clash contract as deterministic_shuffle /
+        # pack_sequences' staged columns: a pre-existing n_tokens would
+        # silently duplicate under the join and fail far away at packing
+        raise ValueError(
+            "input table already has an 'n_tokens' column — rename or drop "
+            "it; curate derives n_tokens from token_stats over "
+            f"--text-col {args.text_col!r}"
+        )
     toks = token_stats(stage, args.text_col, args.id_col).select(
         args.id_col, "n_tokens"
     )

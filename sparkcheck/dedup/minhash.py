@@ -154,8 +154,12 @@ def lsh_candidate_pairs(
 
     Bands are materialized by ONE explode (band_idx, band_key) rather
     than b separate self-joins; the self-join happens once on
-    (band_idx, band_key)."""
-    banded = band_assignments(signatures, num_hashes, rows_per_band)
+    (band_idx, band_key). The band frame is localCheckpoint-ed first:
+    it has up to three consumers (hot-bucket count, anti-join probe,
+    self-join) and Spark shares no common subplans, so each would
+    otherwise recompute the whole signature aggregation (measured ~2 s
+    per extra consumer at 250k webtext docs)."""
+    banded = band_assignments(signatures, num_hashes, rows_per_band).localCheckpoint()
     return candidate_pairs_from_bands(banded, max_bucket)
 
 

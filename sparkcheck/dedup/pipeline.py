@@ -57,17 +57,24 @@ def _drop_url_duplicates(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     content dedup's NULL-text exemption. Grouping the unparseables under
     the shared '' key would silently collapse them all into one
     surviving doc."""
-    from sparkcheck.webtext.urls import canonicalize_url
+    from sparkcheck.webtext.urls import SCHEME_RE, canonicalize_url
 
+    # canonicalize_url is a 5-regex expression chain; referencing it in
+    # both filters AND the groupBy key evaluated it three times per row.
+    # "does not canonicalize" ⟺ "has no scheme://" (canonicalize_url
+    # returns '' exactly when the anchored SCHEME_RE fails), so the
+    # filters use the single cheap rlike and the full chain runs ONCE,
+    # in the groupBy key over the dedupable rows only.
     canon = canonicalize_url(F.col(url_col), strip_www=True)
-    dedupable = df.where(F.col(url_col).isNotNull() & (canon != ""))
+    has_scheme = F.col(url_col).rlike(SCHEME_RE)
+    dedupable = df.where(F.col(url_col).isNotNull() & has_scheme)
     keep = (
         dedupable.groupBy(canon.alias("_cu"))
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
     kept = dedupable.join(keep, on=id_col, how="left_semi")
-    exempt = df.where(F.col(url_col).isNull() | (canon == ""))
+    exempt = df.where(F.col(url_col).isNull() | ~has_scheme)
     return kept.unionByName(exempt)
 
 

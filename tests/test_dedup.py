@@ -1090,3 +1090,70 @@ def test_compact_band_index_preserves_semantics(spark):
         for t in ("cmp_idx", "cmp_idx_counts",
                   "cmp_idx__compacting", "cmp_idx__compacting_counts"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cosine_verify_engines_bit_identical(spark):
+    """Round-7 pin: all three cosine_for_pairs engines (interpreted
+    Column fold, attach-join numpy fold, broadcast-matrix numpy fold)
+    agree BITWISE — the numpy kernels fold in the Column path's element
+    order by construction, so even the 4-dp rounding boundary cannot
+    flip. Includes a malformed row (wrong width) which every engine
+    must drop."""
+    import pyspark.sql.functions as F
+
+    from sparkcheck.dedup.embedding import cosine_for_pairs
+
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), d -> cast(sin(id * 1.3 + d) as float))"
+        ).alias("embedding"),
+    ).union(
+        spark.sql(
+            "select 99L as vec_id, array(cast(1.0 as float)) as embedding"
+        )
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(0, 40, 3) for b in range(a + 1, 40, 7)]
+        + [(0, 99)],
+        "id_a long, id_b long",
+    )
+    outs = {
+        eng: sorted(
+            (r.id_a, r.id_b, r.cosine)
+            for r in cosine_for_pairs(
+                vecs, pairs, threshold=-1.0, engine=eng, dim=8
+            ).collect()
+        )
+        for eng in ("column", "arrow", "arrow_broadcast")
+    }
+    assert outs["column"] == outs["arrow"] == outs["arrow_broadcast"]
+    assert len(outs["column"]) > 0
+    assert all(t[1] != 99 for t in outs["column"])  # malformed row dropped
+
+
+def test_embedding_band_assignment_engines_identical(spark):
+    """Round-7 pin: the numpy band-key kernel reproduces the interpreted
+    sign-bit construction exactly (same left fold, same >= 0 decision,
+    same key strings)."""
+    import pyspark.sql.functions as F
+
+    from sparkcheck.dedup.embedding import embedding_band_assignments
+
+    df = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 12), d -> cast(cos(id * 2.1 + d) as float))"
+        ).alias("embedding"),
+    )
+    col = sorted(
+        map(tuple, embedding_band_assignments(
+            df, dim=12, bands=4, bits=3, seed=2, engine="column"
+        ).collect())
+    )
+    arr = sorted(
+        map(tuple, embedding_band_assignments(
+            df, dim=12, bands=4, bits=3, seed=2, engine="arrow"
+        ).collect())
+    )
+    assert col == arr and len(col) == 60 * 4

@@ -206,3 +206,33 @@ def test_pk_candidate_inference(spark):
 
     back = TableProfile.from_dict(prof.to_dict())
     assert back.primary_key_candidates == ["pk"]
+
+
+def test_exact_percentiles_match_percentile_aggregate(spark):
+    """Round-7 pin: profiler.exact_percentiles (distributed rank
+    selection + driver interpolation) is BIT-IDENTICAL to Spark's exact
+    percentile() aggregate — near-unique doubles, heavy-duplicate
+    ints, an all-NULL column, and a single-row column."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from sparkcheck.profile.profiler import exact_percentiles
+
+    df = spark.range(5000).select(
+        (F.sin(F.col("id") * 12.9898) * 43758.5453).alias("uniqish"),
+        (F.col("id") % 7).cast("double").alias("dupes"),
+        F.lit(None).cast("double").alias("allnull"),
+        F.when(F.col("id") == 0, F.lit(3.5)).alias("single"),
+    )
+    qs = [0.25, 0.5, 0.75]
+    mine = exact_percentiles(df, ["uniqish", "dupes", "allnull", "single"], qs)
+    ref = df.agg(
+        *[
+            F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(c)
+            for c in ("uniqish", "dupes", "allnull", "single")
+        ]
+    ).collect()[0]
+    for c in ("uniqish", "dupes", "single"):
+        assert mine[c] == list(ref[c]), (c, mine[c], ref[c])
+    assert mine["allnull"] == [None, None, None] and ref["allnull"] is None
