@@ -153,21 +153,19 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
     # whole query is now ~4 s there).
     from concurrent.futures import ThreadPoolExecutor
 
-    from sparkcheck.profile.profiler import exact_percentiles
+    from sparkcheck.profile.profiler import (
+        exact_percentiles,
+        percentile_bracket_aggs,
+    )
 
-    # The ndv jobs (one per column — a 3-column count_distinct in ONE
-    # agg plans an Expand ×3) run CONCURRENTLY with the percentile
-    # passes from driver threads (guide §2.6; the session's FAIR pools
-    # make them share slots), so the query's wall time is
-    # max(percentiles, ndv) + the fused basic agg.
-    def _ndv(c: str) -> int:
-        return li.agg(F.count_distinct(F.col(c))).collect()[0][0]
-
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        pct_fut = pool.submit(exact_percentiles, li, cols, [0.25, 0.5, 0.75])
-        ndv_futs = {c: pool.submit(_ndv, c) for c in cols}
-        pct = pct_fut.result()
-        ndvs = {c: f.result() for c, f in ndv_futs.items()}
+    # Job layout (guide §2.6 — overlap independent jobs, and §1.2 —
+    # don't re-scan for what one pass can fuse): the ndv jobs (one per
+    # column — a 3-column count_distinct in ONE agg plans an Expand ×3)
+    # run from driver threads CONCURRENTLY with a single fused scan
+    # computing basic stats + the percentile bracket sketches, followed
+    # by the two small rank/slice jobs. The final frame is assembled
+    # from the collected literals — no extra pass over the table.
+    qs3 = [0.25, 0.5, 0.75]
     aggs = []
     for c in cols:
         col = F.col(c)
@@ -178,15 +176,36 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max(col), 4).alias(f"{c}__max"),
             F.round(F.avg(col), 4).alias(f"{c}__mean"),
             F.round(F.stddev_samp(col), 4).alias(f"{c}__std"),
-            F.lit(ndvs[c]).cast("long").alias(f"{c}__ndv"),
         ]
-    one = li.agg(*aggs)
+    aggs += percentile_bracket_aggs(cols, qs3)
+
+    def _ndv(c: str) -> int:
+        return li.agg(F.count_distinct(F.col(c))).collect()[0][0]
+
+    def _stats_and_pct():
+        row = li.agg(*aggs).collect()[0]
+        return row, exact_percentiles(li, cols, qs3, sketch_row=row)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        stats_fut = pool.submit(_stats_and_pct)
+        ndv_futs = {c: pool.submit(_ndv, c) for c in cols}
+        row, pct = stats_fut.result()
+        ndvs = {c: f.result() for c, f in ndv_futs.items()}
+    sel = []
     for c in cols:
-        for i, s in enumerate(["q1", "med", "q3"]):
-            one = one.withColumn(
-                f"{c}__{s}",
-                F.round(F.lit(pct[c][i]).cast("double"), 4),
-            )
+        sel += [
+            F.lit(row[f"{c}__cnt"]).cast("long").alias(f"{c}__cnt"),
+            F.lit(row[f"{c}__nulls"]).cast("long").alias(f"{c}__nulls"),
+            F.lit(ndvs[c]).cast("long").alias(f"{c}__ndv"),
+            F.lit(row[f"{c}__min"]).cast("double").alias(f"{c}__min"),
+            F.lit(row[f"{c}__max"]).cast("double").alias(f"{c}__max"),
+            F.lit(row[f"{c}__mean"]).cast("double").alias(f"{c}__mean"),
+            F.lit(row[f"{c}__std"]).cast("double").alias(f"{c}__std"),
+        ] + [
+            F.round(F.lit(pct[c][i]).cast("double"), 4).alias(f"{c}__{s}")
+            for i, s in enumerate(["q1", "med", "q3"])
+        ]
+    one = spark.range(1).select(*sel)
     stats = ["cnt", "nulls", "ndv", "min", "max", "mean", "std", "q1", "med", "q3"]
     stack = ", ".join(
         "'" + c + "', " + ", ".join(f"`{c}__{s}`" for s in stats) for c in cols

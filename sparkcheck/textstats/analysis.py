@@ -311,6 +311,17 @@ def cross_doc_span_stats(
     )
     if dedup_ids:
         exploded = exploded.distinct()
+    # Materialize ONCE: the frame has three consumers (totals, the
+    # shared-block counts, and the join back), and although they look
+    # identical, the inner join pushes isnotnull(bk)/isnotnull(id)
+    # constraints into two of the subtrees, so their canonical plans
+    # differ and ReuseExchange never fires — each consumer re-ran the
+    # whole scan → tokenize → explode → distinct pipeline (plan-verified:
+    # 3 separate scan subtrees, zero ReusedExchange nodes). One
+    # localCheckpoint is the same discipline as minhash's band frame
+    # (guide §5: cut lineage for multi-consumer intermediates); it holds
+    # O(blocks) rows — the same order as the shuffle it already pays.
+    exploded = exploded.localCheckpoint()
     totals = exploded.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
     shared = (
         exploded.groupBy("bk")
