@@ -100,21 +100,30 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(common), "shingle", "left_anti")
-    # Dictionary-encode shingles to dense BIGINTs before the self-join:
-    # the h² pair emission then joins/aggregates on 8-byte ints instead
-    # of multi-word strings (measured 7.9 → 5.8 s on the 114M-pair
-    # sf1.0 pair mass). row_number over the sorted distinct-shingle
-    # frame is an exact bijection — no hash-collision caveat — and its
-    # single-partition window is bounded by the DISTINCT shingle count,
-    # fine at this function's scale contract (all-pairs Jaccard is the
-    # small-input/oracle-parity path; corpus scale goes through
-    # minhash.py, which never builds this dictionary).
+    # Dictionary-encode shingles to BIGINTs before the self-join: the
+    # h² pair emission then joins/aggregates on 8-byte ints instead of
+    # multi-word strings (measured 7.9 → 5.8 s on the 114M-pair sf1.0
+    # pair mass). The id is rank-within-hash-bucket × n_buckets +
+    # bucket: an exact bijection — no hash-collision caveat, collisions
+    # only co-locate shingles in a bucket — that is deterministic
+    # (xxhash64 + total order within bucket) and DISTRIBUTED: a global
+    # row_number window funneled every distinct shingle through one
+    # task, which a 10×-vocabulary corpus measured as the stage's
+    # bottleneck (the bucketed form removes the single-partition sort).
+    _nb = 1024
     dic = (
         sh.select("shingle")
         .distinct()
+        .withColumn("_bk", F.pmod(F.xxhash64("shingle"), F.lit(_nb)).cast("int"))
         .select(
             "shingle",
-            F.row_number().over(Window.orderBy("shingle")).alias("_sid"),
+            (
+                F.row_number().over(
+                    Window.partitionBy("_bk").orderBy("shingle")
+                ).cast("long")
+                * _nb
+                + F.col("_bk")
+            ).alias("_sid"),
         )
     )
     # persist the ENCODED frame: it has three consumers (sizes + both
