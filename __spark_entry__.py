@@ -72,6 +72,12 @@ _SCAN_PAR_CACHE: dict[str, tuple[int, int]] = {}
 # repartitioning the 131 MB 6-row-group lineitem added ~3 s per pass)
 _REPARTITION_MAX_BYTES = 64 * 1024 * 1024
 
+# profile_stats percentile path switch: below this parquet size the ONE
+# fused percentile() job wins; above it the single-reducer value-map
+# merge degrades with distinct count and distributed rank selection wins
+# (see q_profile_stats)
+_PCT_FUSED_MAX_BYTES = 32 * 1024 * 1024
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The oracle comparison needs timestamp rendering to be UTC-stable
@@ -177,6 +183,44 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg(col), 4).alias(f"{c}__mean"),
             F.round(F.stddev_samp(col), 4).alias(f"{c}__std"),
         ]
+    # Size-adaptive percentile path (the same metadata-only check _t
+    # uses; analogous to AQE's size-conditioned choices): below
+    # _PCT_FUSED_MAX_BYTES the single-reducer percentile() merge is
+    # cheap and ONE fused job beats the rank-selection passes' ~5-job
+    # fixed overhead (2.2 s vs 3.8 s at sf0.1's 11 MB lineitem); above
+    # it the single reducer degrades with distinct-value count (12.5 s
+    # on one column at sf1.0) and the distributed rank selection wins
+    # 3-6x. Both paths are bit-identical (exact_percentiles pin +
+    # tests/test_entry_queries.py path-equality pin).
+    try:
+        _, li_bytes = _SCAN_PAR_CACHE.get(
+            f"{sf}/lineitem.parquet"
+        ) or _scan_parallelism(f"{sf}/lineitem.parquet")
+    except Exception:
+        li_bytes = 1 << 60
+    if li_bytes <= _PCT_FUSED_MAX_BYTES:
+        for c in cols:
+            aggs.append(
+                F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(
+                    f"{c}__qs"
+                )
+            )
+        ndv = li.agg(
+            *[F.count_distinct(F.col(c)).alias(f"{c}__ndv") for c in cols]
+        )
+        one = li.agg(*aggs).crossJoin(F.broadcast(ndv))
+        for c in cols:
+            for i, s in enumerate(["q1", "med", "q3"]):
+                one = one.withColumn(f"{c}__{s}", F.round(F.col(f"{c}__qs")[i], 4))
+            one = one.drop(f"{c}__qs")
+        stats = ["cnt", "nulls", "ndv", "min", "max", "mean", "std", "q1", "med", "q3"]
+        stack = ", ".join(
+            "'" + c + "', " + ", ".join(f"`{c}__{s}`" for s in stats) for c in cols
+        )
+        return one.selectExpr(
+            f"stack({len(cols)}, {stack}) as (column, cnt, nulls, ndv, "
+            "min_v, max_v, mean_v, std_v, q1, med, q3)"
+        )
     aggs += percentile_bracket_aggs(cols, qs3)
 
     def _ndv(c: str) -> int:

@@ -236,3 +236,25 @@ def test_exact_percentiles_match_percentile_aggregate(spark):
     for c in ("uniqish", "dupes", "single"):
         assert mine[c] == list(ref[c]), (c, mine[c], ref[c])
     assert mine["allnull"] == [None, None, None] and ref["allnull"] is None
+
+
+def test_profile_stats_paths_identical(spark):
+    """Round-7 pin: q_profile_stats' size-adaptive percentile paths
+    (fused single-job percentile() below _PCT_FUSED_MAX_BYTES vs
+    distributed rank selection above) return IDENTICAL rows and
+    schema on the same input."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    saved = entrymod._PCT_FUSED_MAX_BYTES
+    try:
+        entrymod._PCT_FUSED_MAX_BYTES = 1 << 60
+        small = entrymod.q_profile_stats(spark, sf)
+        small_schema = small.schema.simpleString()
+        small_rows = sorted(map(tuple, small.collect()))
+        entrymod._PCT_FUSED_MAX_BYTES = 0
+        big = entrymod.q_profile_stats(spark, sf)
+        assert big.schema.simpleString() == small_schema
+        assert sorted(map(tuple, big.collect())) == small_rows
+    finally:
+        entrymod._PCT_FUSED_MAX_BYTES = saved
