@@ -78,6 +78,10 @@ _REPARTITION_MAX_BYTES = 64 * 1024 * 1024
 # (see q_profile_stats)
 _PCT_FUSED_MAX_BYTES = 32 * 1024 * 1024
 
+# tables whose consumers do heavy per-row compute — the only ones where
+# the under-parallel-input repartition in _t pays (see _t)
+_REPARTITION_TABLES = {"documents", "embeddings"}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The oracle comparison needs timestamp rendering to be UTC-stable
@@ -85,25 +89,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # The driver-generated tables are written as one row group per file
-    # (documents/embeddings/events: ONE task reads everything), so the
-    # per-row compute of every downstream operator serializes onto a
-    # single core (guide §2.5 input skew: "one huge unsplittable file...
-    # repartition immediately after the read"). A round-robin exchange of
-    # these small tables costs milliseconds and unlocks the full slot
-    # count; tables whose row-group count already feeds every slot (e.g.
-    # a 100 TB lake table) skip it — the check is metadata-only.
-    path = f"{sf_dir}/{name}.parquet"
-    meta = _SCAN_PAR_CACHE.get(path)
-    if meta is None:
-        try:
-            meta = _scan_parallelism(path)
-        except Exception:
-            meta = (1 << 30, 1 << 60)  # metadata unreadable: assume splittable
-        _SCAN_PAR_CACHE[path] = meta
-    par, nbytes = meta
-    slots = spark.sparkContext.defaultParallelism
-    if par < slots and nbytes <= _REPARTITION_MAX_BYTES:
-        df = df.repartition(slots)
+    # (ONE task reads everything), so the per-row compute of downstream
+    # operators serializes onto a single core (guide §2.5 input skew:
+    # "one huge unsplittable file... repartition immediately after the
+    # read"). The round-robin exchange only pays for itself where
+    # per-row compute dominates — the CORPUS tables (tokenize / shingle
+    # / hash / vector math); on the narrow relational tables every
+    # consumer is a near-free columnar agg and the exchange is pure
+    # loss (measured on a 10x replica: uniqueness_orders 0.33→0.62 s,
+    # histogram 0.30→0.55 s with the exchange, vs lang_id 1.87→0.6 s
+    # WITH it on documents at driver-sf1.0). Tables whose row-group
+    # count already feeds every slot (e.g. a 100 TB lake table) skip it
+    # regardless — the check is metadata-only.
+    if name in _REPARTITION_TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        meta = _SCAN_PAR_CACHE.get(path)
+        if meta is None:
+            try:
+                meta = _scan_parallelism(path)
+            except Exception:
+                meta = (1 << 30, 1 << 60)  # metadata unreadable: assume splittable
+            _SCAN_PAR_CACHE[path] = meta
+        par, nbytes = meta
+        slots = spark.sparkContext.defaultParallelism
+        if par < slots and nbytes <= _REPARTITION_MAX_BYTES:
+            df = df.repartition(slots)
     return df
 
 
