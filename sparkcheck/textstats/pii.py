@@ -39,7 +39,9 @@ def pii_stats(
     contract)."""
     t = F.col(text_col)
     counts = {
-        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+        # regexp_count ≡ size(regexp_extract_all(...)): same
+        # non-overlapping-match count, no per-row match-array build
+        name: F.regexp_count(t, F.lit(pat)).cast("long")
         for name, pat in PII_PATTERNS.items()
     }
     total = None

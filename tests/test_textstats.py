@@ -703,3 +703,41 @@ def test_distinctive_terms_min_df_prunes_hapaxes(spark):
     df = spark.createDataFrame(rows, "doc_id long, src string, text string")
     out = {r["term"] for r in distinctive_terms(df, "src", min_df=2).collect()}
     assert "rare" not in out and "cat" in out and "dog" in out
+
+
+def test_punct_translate_count_equals_regex(spark):
+    """Round-7 pin: quality_score's translate-based punct count is
+    exactly regexp_count(text, '[^A-Za-z0-9\\s]') — incl. accents,
+    non-BMP emoji, every Java \\s member, empty and NULL text."""
+    from pyspark.sql import functions as F
+
+    from sparkcheck.textstats.analysis import _ALNUM_WS
+
+    rows = [
+        ("a b,c!",), ("héllo wörld...",), ("emoji \U0001F600 ok?",),
+        ("\ttabs\nnew\x0b\x0c\r",), ("",), (None,), ("....",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    bad = df.select(
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("re"),
+        F.length(F.translate(F.col("text"), _ALNUM_WS, "")).alias("tr"),
+    ).where(
+        F.col("re").eqNullSafe(F.col("tr")) == False  # noqa: E712
+    ).count()
+    assert bad == 0
+
+
+def test_gopher_mean_word_len_closed_form(spark):
+    """Round-7 pin: length(text) - size(tokens) + 1 equals the summed
+    token lengths for split-on-space semantics, incl. leading/trailing/
+    double spaces and empty text."""
+    from pyspark.sql import functions as F
+
+    rows = [("a bb ccc",), (" lead",), ("trail ",), ("two  gaps",), ("",), ("   ",)]
+    df = spark.createDataFrame(rows, "text string")
+    toks = F.split(F.col("text"), " ")
+    bad = df.select(
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).alias("s"),
+        (F.length(F.col("text")) - F.size(toks) + 1).alias("c"),
+    ).where("s <> c").count()
+    assert bad == 0
