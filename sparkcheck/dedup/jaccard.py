@@ -199,7 +199,13 @@ def jaccard_for_pairs(
         .union(p.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = shingles(df.join(ids, id_col, "left_semi"), text_col, id_col, k)
+    # localCheckpoint: the frame has three consumers (sizes + both join
+    # sides) and each would re-run the corpus semi-join + shingle
+    # explode (3 corpus scans when AQE broadcasts the id set). Bounded:
+    # O(candidate shingle mass) by the restriction above.
+    sh = shingles(
+        df.join(ids, id_col, "left_semi"), text_col, id_col, k
+    ).localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a_sh = p.join(sh.withColumnRenamed("id", "id_a"), "id_a").select(
         "id_a", "id_b", "shingle"
