@@ -167,6 +167,7 @@ def dedup_corpus(
         # url+exact groupBy/semi-join chain (measured 2.4× the whole
         # pipeline wall at 250k docs). Ids only — full rows re-join the
         # pruned source, same shape as the checkpointed path.
+        source = df
         if url_col is not None:
             url_ids = (
                 _drop_url_duplicates(df, url_col, id_col)
@@ -179,7 +180,11 @@ def dedup_corpus(
             .select(id_col)
             .localCheckpoint()
         )
-        exact = df.join(exact_ids, on=id_col, how="left_semi")
+        # join against the ORIGINAL source, not the url-filtered frame:
+        # exact_ids is already a subset of the URL survivors, so one
+        # semi-join reproduces the composition and every downstream
+        # consumer of `exact` pays one broadcast semi-join, not two
+        exact = source.join(exact_ids, on=id_col, how="left_semi")
         if band_index_table is not None:
             bands = band_assignments(
                 minhash_signatures(exact, text_col, id_col, k, num_hashes, hash_fn),
@@ -217,6 +222,7 @@ def dedup_corpus(
         ).hexdigest()
         base = os.path.join(checkpoint_dir, key)
         spark = df.sparkSession
+        source = df
         if url_col is not None:
             url_ids = _stage_cached(
                 base, "url_ids",
@@ -231,7 +237,8 @@ def dedup_corpus(
             ).select(id_col),
             spark,
         )
-        exact = df.join(exact_ids, on=id_col, how="left_semi")
+        # one semi-join against the original source — see the plain path
+        exact = source.join(exact_ids, on=id_col, how="left_semi")
         if band_index_table is not None:
             # materialize the band frame as its OWN stage so pair
             # generation and the final index write share one computation
@@ -272,10 +279,19 @@ def dedup_corpus(
             spark,
         )
 
-    member = exact.join(
+    # Decide survivors on ID-ONLY lineage, touch full rows ONCE (guide
+    # §8: decide with small rows, move big rows once). The previous
+    # shape unioned two branches of a full-row `member` join, so the
+    # whole exact lineage — scan + semi-joins + cluster join — executed
+    # once per branch plus once inside the keep-best subtree (~3 full
+    # passes per action). Here the member join carries only the id (+
+    # quality when ranking on it); the final frame is one semi-join of
+    # `exact` against the materialized survivor-id set.
+    sel = [id_col] if quality_col is None else [id_col, quality_col]
+    member_ids = exact.select(*sel).join(
         clusters.withColumnRenamed("id", id_col), id_col, "left"
     )
-    in_cluster = member.where(F.col("cluster").isNotNull())
+    in_cluster = member_ids.where(F.col("cluster").isNotNull())
     if quality_col is not None:
         best = F.max(
             F.struct(
@@ -290,17 +306,11 @@ def dedup_corpus(
         in_cluster.groupBy("cluster").agg(best.alias("_b"))
         .select(F.col("_b.id").alias(id_col))
     )
-    survivors = in_cluster.join(kept_ids, id_col, "left_semi").drop("cluster")
-    untouched = member.where(F.col("cluster").isNull()).drop("cluster")
-    result = untouched.unionByName(survivors)
+    survivor_ids = in_cluster.join(kept_ids, id_col, "left_semi").select(id_col)
+    untouched_ids = member_ids.where(F.col("cluster").isNull()).select(id_col)
+    final_ids = untouched_ids.unionByName(survivor_ids).localCheckpoint()
+    result = exact.join(final_ids, id_col, "left_semi")
     if band_index_table is not None:
-        # The index write is an eager action; without materialization it
-        # would run the whole final assembly (member join + kept_ids
-        # groupBy + survivor semi-join) and the CALLER's action would
-        # re-run it all again. localCheckpoint the narrow survivor-ID
-        # frame once, then both the index write and the returned frame
-        # are one cheap semi-join against it.
-        final_ids = result.select(id_col).localCheckpoint()
         surviving_bands = (
             bands.join(
                 final_ids.withColumnRenamed(id_col, "id"), "id", "left_semi"
@@ -320,7 +330,6 @@ def dedup_corpus(
         write_band_index(
             surviving_bands, band_index_table, num_buckets=band_index_buckets
         )
-        result = exact.join(final_ids, on=id_col, how="left_semi")
     return result
 
 
